@@ -1,13 +1,69 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a self-contained `(session, sfDir) =>
+  * DataFrame` plan; entries with a DuckDB-expressible twin appear in
+  * [[oracleSql]] (column names and types aligned — the driver sorts columns
+  * by name and hash-compares values). Entries without a twin (engine-specific
+  * hashing: MinHash/SimHash/LSH) get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The 4-way star join exercises scan→broadcast-join→agg→sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q04StarJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_selective_filter" -> (Relational.q02SelectiveFilter _),
+    "q03_join_agg" -> (Relational.q03JoinAgg _),
+    "q04_star_join" -> (Relational.q04StarJoin _),
+    "q05_anti_join" -> (Relational.q05AntiJoin _),
+    "q06_semi_join" -> (Relational.q06SemiJoin _),
+    "q07_band_having" -> (Relational.q07BandHaving _),
+    "q08_window_topk_per_group" -> (Relational.q08WindowTopkPerGroup _),
+    "q09_running_sum" -> (Relational.q09RunningSum _),
+    "q10_hw_contiguous" -> (HighWaterMark.q10HwContiguous _),
+    "q11_topk" -> (Relational.q11TopK _),
+    "q12_set_ops" -> (Relational.q12SetOps _),
+    "q14_distinct_agg" -> (Relational.q14DistinctAgg _),
+    "q15_rollup" -> (Relational.q15Rollup _),
+    "q16_json_extract" -> (Relational.q16JsonExtract _),
+    "q17_date_buckets" -> (Relational.q17DateBuckets _),
+    "q18_range_join" -> (Relational.q18RangeJoin _),
+    "q33_work_queue_claim" -> (Relational.q33WorkQueueClaim _),
+    "q34_release_band" -> (Relational.q34ReleaseBand _),
+    "q35_hw_per_key" -> (HighWaterMark.q35HwPerKey _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_selective_filter" -> Relational.q02Sql,
+    "q03_join_agg" -> Relational.q03Sql,
+    "q04_star_join" -> Relational.q04Sql,
+    "q05_anti_join" -> Relational.q05Sql,
+    "q06_semi_join" -> Relational.q06Sql,
+    "q07_band_having" -> Relational.q07Sql,
+    "q08_window_topk_per_group" -> Relational.q08Sql,
+    "q09_running_sum" -> Relational.q09Sql,
+    "q10_hw_contiguous" -> HighWaterMark.q10Sql,
+    "q11_topk" -> Relational.q11Sql,
+    "q12_set_ops" -> Relational.q12Sql,
+    "q14_distinct_agg" -> Relational.q14Sql,
+    "q15_rollup" -> Relational.q15Sql,
+    "q16_json_extract" -> Relational.q16Sql,
+    "q17_date_buckets" -> Relational.q17Sql,
+    "q18_range_join" -> Relational.q18Sql,
+    "q33_work_queue_claim" -> Relational.q33Sql,
+    "q34_release_band" -> Relational.q34Sql,
+    "q35_hw_per_key" -> HighWaterMark.q35Sql,
+  )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** The reference's semantic heart: the contiguous-prefix high-water mark
+  * (SURVEY.md §2.5 W2; reference PL/pgSQL cursor loop at
+  * StreamingApp.scala:238-246). Chunks carry a 0-based sequence number; the
+  * HW is the cumulative size of the longest gap-free prefix 0..k. The
+  * reference walks rows in a Postgres cursor; here it is a pure window plan:
+  *
+  *   rn   = row_number() over (order by seq)
+  *   row is in the contiguous prefix  ⇔  seq == rn - 1
+  *
+  * (seq strictly increases by ≥1 per row while rn increases by exactly 1,
+  * so seq-(rn-1) is non-decreasing: once a gap appears it never "re-closes"
+  * — the filter captures exactly the prefix, no loop needed.)
+  */
+object HighWaterMark {
+
+  /** Contiguity marker over a (seq, size) chunk set. Single global window —
+    * faithful to the reference, where one disk image is one stream. For
+    * many-image / 100 TB use, [[perKeyHighWaterMark]] partitions by image. */
+  def contiguousPrefix(chunks: DataFrame, seqCol: String): DataFrame = {
+    val w = Window.orderBy(col(seqCol))
+    chunks.withColumn("rn", row_number().over(w))
+      .filter(col(seqCol) === col("rn") - 1)
+      .drop("rn")
+  }
+
+  /** HW per image/device key: the scalable form. Each key's window sorts
+    * only that key's chunks (shuffle by key, sort within partition). */
+  def perKeyHighWaterMark(chunks: DataFrame, keyCol: String, seqCol: String,
+      sizeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    chunks.withColumn("rn", row_number().over(w))
+      .filter(col(seqCol) === col("rn") - 1)
+      .groupBy(col(keyCol))
+      .agg(coalesce(sum(col(sizeCol)), lit(0)).as("hw"),
+        count(lit(1)).as("n_contig"))
+  }
+
+  /** Flagship fixture query: events is the chunk stream (event_id = sequence,
+    * value = chunk size); rows whose JSON prop k == 87 are the "missing"
+    * chunks, so the HW must stop at the first such gap. Exercises scan →
+    * json extract → window → filter → agg in one plan. */
+  def q10HwContiguous(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.events(s, d)
+      .filter(get_json_object(col("props"), "$.k").cast("int") =!= 87)
+      .select(col("event_id").as("seq"), col("value").cast(DecimalType(18, 2)).as("size"))
+    contiguousPrefix(chunks, "seq")
+      .agg(
+        coalesce(sum(col("size")), lit(0).cast(DecimalType(28, 2))).cast("double").as("hw"),
+        count(lit(1)).as("n_contig"))
+  }
+
+  def q10Sql: String =
+    """WITH c AS (
+      |  SELECT event_id AS seq, CAST(value AS DECIMAL(18,2)) AS size FROM events
+      |  WHERE CAST(json_extract_string(props, '$.k') AS INT) <> 87
+      |), r AS (
+      |  SELECT seq, size, row_number() OVER (ORDER BY seq) AS rn FROM c
+      |)
+      |SELECT CAST(coalesce(sum(size), 0) AS DOUBLE) AS hw, count(*) AS n_contig
+      |FROM r WHERE seq = rn - 1""".stripMargin
+
+  /** Per-key HW over events keyed by user (the 100-TB shape: thousands of
+    * independent sequences, windows partitioned by key — no global sort).
+    * Per-user sequence = dense position of the event among the user's own
+    * events; gaps injected by the same JSON filter applied AFTER sequence
+    * assignment, so each user has a nontrivial prefix. */
+  def q35HwPerKey(s: SparkSession, d: String): DataFrame = {
+    val seqW = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val seqd = Tables.events(s, d)
+      .withColumn("seq", row_number().over(seqW) - 1)
+      .filter(get_json_object(col("props"), "$.k").cast("int") % 7 =!= 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("seq"))
+    seqd.withColumn("rn", row_number().over(w))
+      .filter(col("seq") === col("rn") - 1)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("hw"),
+        count(lit(1)).as("n_contig"))
+      .orderBy(col("user_id"))
+  }
+
+  def q35Sql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS seq,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events
+      |), filt AS (
+      |  SELECT user_id, value, seq,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn
+      |  FROM seqd WHERE k % 7 <> 0
+      |)
+      |SELECT user_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hw,
+      |  count(*) AS n_contig
+      |FROM filt WHERE seq = rn - 1
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Monotonic HW advance (reference W3, StreamingApp.scala:247-252):
+    * given the previous mark, a new mark is accepted only if it strictly
+    * advances; returns (previous, current, advanced) for the state machine.
+    * Pure function — the streaming layer wires it into state. */
+  def advance(previous: Long, candidate: Long, mftHw: Long): (Long, Long, Boolean) =
+    if (candidate > previous && mftHw < candidate) (previous, candidate, true)
+    else (previous, previous, false)
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify output
+parquet against DuckDB oracle SQL on the same fixture tables.
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, duckdb, pandas as pd, numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name in sorted(os.listdir(outdir)):
+    p = os.path.join(outdir, name)
+    if not os.path.isdir(p):
+        continue
+    got = pd.read_parquet(p)
+    if name not in oracle:
+        print(f"{name:28s} rows-only: {len(got)} rows")
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"{name:28s} ORACLE ERROR: {e}")
+        fail += 1
+        continue
+    # driver-style: sort columns by name, compare values
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].reset_index(drop=True)
+    ok = True
+    msgs = []
+    if list(got.columns) != list(exp.columns):
+        ok = False; msgs.append(f"cols {list(got.columns)} vs {list(exp.columns)}")
+    elif len(got) != len(exp):
+        ok = False; msgs.append(f"rows {len(got)} vs {len(exp)}")
+    else:
+        # sort rows to be order-insensitive, then exact compare
+        gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+        for c in got.columns:
+            g, e = gs[c], es[c]
+            if str(g.dtype) != str(e.dtype):
+                msgs.append(f"dtype[{c}] {g.dtype} vs {e.dtype}")
+            try:
+                if g.dtype.kind == 'f':
+                    same = np.allclose(g.values.astype(float), e.values.astype(float), rtol=0, atol=0, equal_nan=True)
+                    exact = same
+                else:
+                    exact = g.astype(str).equals(e.astype(str))
+            except Exception as ex:
+                exact = False; msgs.append(f"cmp[{c}]: {ex}")
+            if not exact:
+                ok = False
+                msgs.append(f"VALUES differ in {c}: got {gs[c].head(3).tolist()} exp {es[c].head(3).tolist()}")
+        # also check row order as produced (driver may be order-sensitive)
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            try:
+                if g.dtype.kind == 'f':
+                    o = np.allclose(g.values.astype(float), e.values.astype(float), rtol=0, atol=0, equal_nan=True)
+                else:
+                    o = g.astype(str).equals(e.astype(str))
+            except Exception:
+                o = False
+            if not o:
+                msgs.append(f"(row-order differs in {c})")
+                break
+    status = "OK " if ok else "FAIL"
+    if not ok: fail += 1
+    print(f"{name:28s} {status} rows={len(got)} {'; '.join(msgs)}")
+print(f"\n{'ALL OK' if fail==0 else f'{fail} FAILURES'}")
+sys.exit(1 if fail else 0)
