@@ -104,10 +104,13 @@ object HighWaterMark {
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Monotonic HW advance (reference W3, StreamingApp.scala:247-252):
-    * given the previous mark, a new mark is accepted only if it strictly
-    * advances; returns (previous, current, advanced) for the state machine.
-    * Pure function — the streaming layer wires it into state. */
-  def advance(previous: Long, candidate: Long, mftHw: Long): (Long, Long, Boolean) =
-    if (candidate > previous && mftHw < candidate) (previous, candidate, true)
+    * a candidate mark is accepted only if it strictly advances AND the MFT
+    * is fully ingested — where "no MFT located yet" (`mft_entry is null` in
+    * the reference guard) ALSO accepts, i.e. the MFT check only blocks when
+    * a mark for it exists and is not yet covered. Returns
+    * (previous, current, advanced); wired into cross-batch state by
+    * [[graft.streaming.ChunkIngest]]. */
+  def advance(previous: Long, candidate: Long, mftHw: Option[Long]): (Long, Long, Boolean) =
+    if (candidate > previous && mftHw.forall(_ < candidate)) (previous, candidate, true)
     else (previous, previous, false)
 }

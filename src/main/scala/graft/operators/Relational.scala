@@ -334,23 +334,23 @@ object Relational {
       |GROUP BY band ORDER BY band""".stripMargin
 
   /** Work-queue claim semantics (reference O2/T9, FileWorkerApp.scala:207-227):
-    * the row-lock claim becomes deterministic partition assignment — claimable
-    * rows ranked and dealt round-robin to workers. Exactly-once at scale comes
-    * from determinism + idempotent writes, not locks. */
+    * the row-lock claim becomes deterministic, shuffle-free assignment —
+    * each claimable row hashes to a worker via key arithmetic, no global
+    * ranking, no single-task window. Exactly-once at scale comes from
+    * determinism + idempotent writes, not locks. */
   def q33WorkQueueClaim(s: SparkSession, d: String): DataFrame = {
     val queue = Tables.events(s, d).select(
       col("event_id").as("file_id"),
       (col("event_id") % 4).cast("int").as("status"),
       (col("event_id") % 2).cast("int").as("resident"))
-    val w = Window.orderBy(col("file_id"))
     queue.filter(col("status") === 0)
-      .withColumn("worker", ((row_number().over(w) - 1) % 8).cast("int"))
+      .withColumn("worker", pmod(col("file_id"), lit(8L)).cast("int"))
       .select(col("file_id"), col("resident"), col("worker"))
       .orderBy(col("file_id"))
   }
 
   def q33Sql: String =
-    """SELECT file_id, resident, CAST((row_number() OVER (ORDER BY file_id) - 1) % 8 AS INT) AS worker
+    """SELECT file_id, resident, CAST(file_id % 8 AS INT) AS worker
       |FROM (SELECT event_id AS file_id, CAST(event_id % 4 AS INT) AS status,
       |             CAST(event_id % 2 AS INT) AS resident FROM events) q
       |WHERE status = 0 ORDER BY file_id""".stripMargin

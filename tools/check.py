@@ -43,6 +43,7 @@ for name in sorted(os.listdir(outdir)):
         for c in got.columns:
             g, e = gs[c], es[c]
             if str(g.dtype) != str(e.dtype):
+                ok = False
                 msgs.append(f"dtype[{c}] {g.dtype} vs {e.dtype}")
             try:
                 if g.dtype.kind == 'f':
@@ -71,5 +72,11 @@ for name in sorted(os.listdir(outdir)):
     status = "OK " if ok else "FAIL"
     if not ok: fail += 1
     print(f"{name:28s} {status} rows={len(got)} {'; '.join(msgs)}")
+# A query that crashed in Verify leaves no output dir — that is a failure,
+# not a skip (otherwise a regressed query silently passes the gate).
+for name in sorted(oracle):
+    if not os.path.isdir(os.path.join(outdir, name)):
+        fail += 1
+        print(f"{name:28s} FAIL missing output dir (query crashed in Verify?)")
 print(f"\n{'ALL OK' if fail==0 else f'{fail} FAILURES'}")
 sys.exit(1 if fail else 0)
