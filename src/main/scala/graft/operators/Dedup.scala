@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication family over the `documents` table (north-star surface:
+  * exact, MinHash-banded, SimHash, and LSH-verified exact Jaccard).
+  *
+  * Everything is deterministic arithmetic on md5 — no engine-specific hash
+  * (`hash()` is murmur3 in Spark, xxhash in DuckDB) — so every stage has an
+  * exact DuckDB oracle twin. The shared primitive is a 48-bit integer per
+  * string: the first 12 hex chars of its md5
+  * (Spark `conv(…,16,10)`, DuckDB `('0x'||…)::BIGINT` — both exact in 64-bit).
+  *
+  * Scale design (the 100 TB contract):
+  *  - candidate generation is ALWAYS banded/bucketed — a join on
+  *    (band, band_key) buckets, never a cross join. All-pairs appears
+  *    nowhere; the only quadratic term is within-bucket, bounded by bucket
+  *    size (at extreme skew — e.g. millions of identical spam docs — cap or
+  *    salt the bucket before pairing; the fixture's largest cluster is ~30).
+  *  - signatures are one narrow row per doc (groupBy doc_id with partial
+  *    min map-side); the shuffle carries |docs| rows, not |shingles|.
+  */
+object Dedup {
+
+  private val P = 1000000007L // prime modulus for the minhash permutations
+  private val R = 12          // minhash signature length
+  private val Bands = 4       // bands of R/Bands rows each
+
+  /** 48-bit deterministic string hash: md5 hex prefix as integer. */
+  def hex12(c: Column): Column = conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  private def toksCol: Column = split(col("text"), " ")
+
+  /** Distinct word 2-shingles per doc, exploded. size(toks) >= 2 guards the
+    * descending-sequence pitfall (sequence(1,0) counts down in Spark). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toksCol.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(toks)-1), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))")))
+        .as("s"))
+
+  /** MinHash signature: m_j = min over shingles of (a_j·x + b_j) mod P with
+    * a_j = 2j+1, b_j = 17j+3. One pass: 12 partial mins combine map-side. */
+  private def signature(docs: DataFrame): DataFrame = {
+    val hashed = shingles(docs).withColumn("x", hex12(col("s")))
+    val mins = (0 until R).map(j =>
+      min((col("x") * (2 * j + 1) + (17 * j + 3)) % P).as(s"m$j"))
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band keys: Bands rows per doc, key = the band's signature slice. */
+  private def bandKeys(sig: DataFrame): DataFrame = {
+    val rows = R / Bands
+    val bandStructs = (0 until Bands).map { b =>
+      val key = concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs: docs sharing any band bucket (the LSH join). */
+  private def candidates(sig: DataFrame): DataFrame = {
+    val a = bandKeys(sig).select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = bandKeys(sig).select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  // ---------------------------------------------------------------- q19
+
+  /** Exact dedup (F1 + hash-groupBy): fingerprint = md5 of the 3-token
+    * prefix; duplicate groups keep min(doc_id). The classic exact-dedup
+    * shape — one shuffle on the fingerprint, partial counts map-side. */
+  def q19ExactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toksCol, 1, 3))).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fingerprint"))
+
+  def q19Sql: String =
+    """SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM (SELECT doc_id, md5(array_to_string(list_slice(string_split(text,' '),1,3), ' ')) AS fingerprint
+      |      FROM documents) t
+      |GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+
+  /** MinHash near-dup: shingle → 12-perm signature → 4×3 banded buckets →
+    * candidate pairs only within buckets → estimated Jaccard = matching
+    * signature fraction, threshold 0.5. est is k/12.0 (exact in IEEE double
+    * for integer k) so the oracle hash-matches bit-for-bit. */
+  def q20MinhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val sig = signature(Tables.documents(s, d))
+    val sa = sig.toDF("doc_a" +: (0 until R).map(j => s"a$j"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until R).map(j => s"b$j"): _*)
+    val matches = (0 until R)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates(sig)
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("est_jaccard", matches / lit(12.0))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def q20Sql: String = {
+    val sigCols = (0 until R)
+      .map(j => s"min((${2 * j + 1}*x + ${17 * j + 3}) % $P) AS m$j").mkString(",\n    ")
+    val bandCase = (0 until Bands).map { b =>
+      val cols = (0 until R / Bands).map(r => s"m${b * (R / Bands) + r}").mkString(",")
+      s"WHEN $b THEN concat_ws(',', $cols)"
+    }.mkString(" ")
+    val matchSum = (0 until R).map(j => s"CAST(sa.m$j = sb.m$j AS INT)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS s
+       |  FROM toks WHERE len(t) >= 2
+       |), hx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s),1,12))::BIGINT AS x FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hx GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, b.b AS band,
+       |    CASE b.b $bandCase END AS key
+       |  FROM sig, (SELECT unnest(range(0,$Bands)) AS b) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, (($matchSum) / 12.0) AS est_jaccard
+       |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE (($matchSum) / 12.0) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q26
+
+  /** SimHash (32-bit, term-frequency weighted): per bit j, sum ±1 over
+    * token occurrences by bit j of the token's 48-bit hash; fingerprint
+    * sets bit j iff the sum is positive. Identical fingerprint ⇒ near-dup
+    * group. One explode + one groupBy — 32 partial sums combine map-side. */
+  def q26Simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("x", hex12(col("tok")))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(shiftright(col("x"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+    val fp = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("simhash"))
+  }
+
+  def q26Sql: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"sum(CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val fp = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+       |), hx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok),1,12))::BIGINT AS x FROM tok
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hx GROUP BY doc_id
+       |), fp AS (
+       |  SELECT doc_id, $fp AS simhash FROM sums
+       |)
+       |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+       |FROM fp GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q27
+
+  /** The full LSH pipeline: MinHash bands propose candidates, then EXACT
+    * 2-shingle Jaccard verifies them (|∩| / |∪| over distinct shingle sets,
+    * integer ratio ⇒ exact double). This is the production near-dup shape:
+    * approximate recall from banding, exact precision from verification —
+    * still never all-pairs. */
+  def q27NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = signature(docs)
+    val counts = shingles(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh")) // shingles() is already distinct
+    val sh = shingles(docs)
+    val inter = candidates(sig)
+      .join(sh.toDF("doc_a", "s"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_int"))
+    inter
+      .join(counts.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(counts.toDF("doc_b", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_int") / (col("na") + col("nb") - col("n_int")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def q27Sql: String = {
+    val sigCols = (0 until R)
+      .map(j => s"min((${2 * j + 1}*x + ${17 * j + 3}) % $P) AS m$j").mkString(",\n    ")
+    val bandCase = (0 until Bands).map { b =>
+      val cols = (0 until R / Bands).map(r => s"m${b * (R / Bands) + r}").mkString(",")
+      s"WHEN $b THEN concat_ws(',', $cols)"
+    }.mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS s
+       |  FROM toks WHERE len(t) >= 2
+       |), hx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s),1,12))::BIGINT AS x FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hx GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, b.b AS band,
+       |    CASE b.b $bandCase END AS key
+       |  FROM sig, (SELECT unnest(range(0,$Bands)) AS b) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_int
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+       |  GROUP BY doc_a, doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |  n_int / CAST(ca.n_sh + cb.n_sh - n_int AS DOUBLE) AS jaccard
+       |FROM inter JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
+       |WHERE n_int / CAST(ca.n_sh + cb.n_sh - n_int AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}
