@@ -39,8 +39,10 @@ object SparkEntry {
     "q18_range_join" -> (Relational.q18RangeJoin _),
     "q19_exact_dedup" -> (Dedup.q19ExactDedup _),
     "q20_minhash_neardup" -> (Dedup.q20MinhashNeardup _),
+    "q21_cosine_topk" -> (Similarity.q21CosineTopk _),
     "q26_simhash" -> (Dedup.q26Simhash _),
     "q27_ngram_jaccard" -> (Dedup.q27NgramJaccard _),
+    "q28_lsh_ann" -> (Similarity.q28LshAnn _),
     "q33_work_queue_claim" -> (Relational.q33WorkQueueClaim _),
     "q34_release_band" -> (Relational.q34ReleaseBand _),
     "q35_hw_per_key" -> (HighWaterMark.q35HwPerKey _),
@@ -68,8 +70,10 @@ object SparkEntry {
     "q18_range_join" -> Relational.q18Sql,
     "q19_exact_dedup" -> Dedup.q19Sql,
     "q20_minhash_neardup" -> Dedup.q20Sql,
+    "q21_cosine_topk" -> Similarity.q21Sql,
     "q26_simhash" -> Dedup.q26Sql,
     "q27_ngram_jaccard" -> Dedup.q27Sql,
+    "q28_lsh_ann" -> Similarity.q28Sql,
     "q33_work_queue_claim" -> Relational.q33Sql,
     "q34_release_band" -> Relational.q34Sql,
     "q35_hw_per_key" -> HighWaterMark.q35Sql,

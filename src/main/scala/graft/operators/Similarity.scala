@@ -1,0 +1,157 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over `embeddings` (north-star surface): brute-force
+  * cosine top-k as the correctness baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Precision contract with the oracle: every dot product is an explicit
+  * LEFT fold over per-element double products — Spark's `aggregate` folds
+  * left from an explicit zero, DuckDB's `list_reduce` folds left from the
+  * first element, and IEEE `0.0 + x == x`, so the sums are bit-identical.
+  * float→double casts are exact; sqrt/division are IEEE-determined. No
+  * rounding or tolerance needed anywhere.
+  *
+  * Scale design:
+  *  - q21 (brute force) broadcasts the PROBE set — a top-k query batch is
+  *    small by definition; the candidate scan streams once, the per-probe
+  *    window partitions by probe. Honest baseline, linear in |candidates|.
+  *  - q28 (LSH) joins probe→candidate on a hyperplane sign bucket — the
+  *    cross join disappears; the quadratic term is within-bucket only
+  *    (|bucket| ≈ N / 2^planes, tunable). This is the 100 TB shape: bucket
+  *    is a shuffle key, and an IVF/coarse-quantizer variant would swap the
+  *    bucket function, not the plan.
+  */
+object Similarity {
+
+  private val K = 5       // neighbors per probe (q21)
+  private val NProbes = 10
+  private val Planes = 4  // LSH hyperplanes → 16 buckets (q28)
+  private val Dim = 64
+
+  /** Deterministic ±1 hyperplane weights from md5 — reproducible anywhere,
+    * no RNG. w(j,i) = +1 iff the 48-bit md5 int of "plane_j_i" is even. */
+  private[operators] def planeWeights: Seq[(Int, Seq[Double])] =
+    (0 until Planes).map { j =>
+      j -> (0 until Dim).map { i =>
+        val hex = MessageDigest.getInstance("MD5")
+          .digest(s"plane_${j}_$i".getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Left-fold dot product of two array columns, all-double. */
+  private def dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> double(x) * double(y)), " +
+      "cast(0 as double), (acc, v) -> acc + v)")
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+
+  // ---------------------------------------------------------------- q21
+
+  /** Brute-force cosine top-k: 10 probes (vec_id < 10) against all vectors.
+    * Probe set broadcast; cosine = dot / sqrt(|a|²·|b|²); k=5 per probe
+    * with vec_id tiebreak. */
+  def q21CosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), dot("embedding", "embedding").as("n2"))
+    val probes = emb.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("n2").as("pn2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", dot("pe", "embedding") / sqrt(col("pn2") * col("n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  def q21Sql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM embeddings
+       |), probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2 FROM emb WHERE vec_id < $NProbes
+       |), scored AS (
+       |  SELECT probe_id, vec_id,
+       |    ${duckDot("pe", "embedding")} / sqrt(pn2 * n2) AS cosine
+       |  FROM emb, probes WHERE vec_id <> probe_id
+       |), ranked AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+       |  FROM scored
+       |)
+       |SELECT probe_id, vec_id, cosine, rn FROM ranked
+       |WHERE rn <= $K ORDER BY probe_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+
+  /** LSH-bucketed ANN: bucket = sign bits of 4 fixed random hyperplanes;
+    * probes meet candidates ONLY inside their bucket (equi-join on the
+    * bucket key — no cross join in the plan), exact cosine re-rank, top-3.
+    * Fewer than 3 in-bucket neighbors ⇒ fewer rows — the recall/cost trade
+    * LSH makes by design. */
+  def q28LshAnn(s: SparkSession, d: String): DataFrame = {
+    val planes = s.createDataFrame(planeWeights.map { case (j, ws) => (j, ws) })
+      .toDF("plane_id", "w")
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), dot("embedding", "embedding").as("n2"))
+    val buckets = emb.crossJoin(broadcast(planes))
+      .withColumn("bit",
+        when(dot("w", "embedding") > 0, expr("shiftleft(1, plane_id)")).otherwise(0))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).cast("int").as("bucket"))
+    val tagged = emb.join(buckets, Seq("vec_id"))
+    val probes = tagged.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"), col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    tagged.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", dot("pe", "embedding") / sqrt(col("pn2") * col("n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("bucket"), col("vec_id"), col("cosine"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  def q28Sql: String = {
+    val planeRows = planeWeights.map { case (j, ws) =>
+      s"($j, [${ws.mkString(", ")}])"
+    }.mkString(",\n    ")
+    s"""WITH planes(plane_id, w) AS (VALUES
+       |    $planeRows
+       |), emb AS (
+       |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM embeddings
+       |), bits AS (
+       |  SELECT vec_id,
+       |    CASE WHEN ${duckDot("w", "embedding")} > 0 THEN (1 << plane_id) ELSE 0 END AS bit
+       |  FROM emb, planes
+       |), buckets AS (
+       |  SELECT vec_id, CAST(sum(bit) AS INT) AS bucket FROM bits GROUP BY vec_id
+       |), tagged AS (
+       |  SELECT emb.vec_id, embedding, n2, bucket FROM emb JOIN buckets ON emb.vec_id = buckets.vec_id
+       |), probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2, bucket FROM tagged WHERE vec_id < $NProbes
+       |), scored AS (
+       |  SELECT probe_id, t.bucket, t.vec_id,
+       |    ${duckDot("pe", "embedding")} / sqrt(pn2 * n2) AS cosine
+       |  FROM tagged t JOIN probes p ON t.bucket = p.bucket AND t.vec_id <> p.probe_id
+       |), ranked AS (
+       |  SELECT probe_id, bucket, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+       |  FROM scored
+       |)
+       |SELECT probe_id, bucket, vec_id, cosine, rn FROM ranked
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+  }
+}
