@@ -40,9 +40,11 @@ object SparkEntry {
     "q19_exact_dedup" -> (Dedup.q19ExactDedup _),
     "q20_minhash_neardup" -> (Dedup.q20MinhashNeardup _),
     "q21_cosine_topk" -> (Similarity.q21CosineTopk _),
+    "q22_token_tf" -> (TextAnalysis.q22TokenTf _),
     "q26_simhash" -> (Dedup.q26Simhash _),
     "q27_ngram_jaccard" -> (Dedup.q27NgramJaccard _),
     "q28_lsh_ann" -> (Similarity.q28LshAnn _),
+    "q29_text_metrics" -> (TextAnalysis.q29TextMetrics _),
     "q33_work_queue_claim" -> (Relational.q33WorkQueueClaim _),
     "q34_release_band" -> (Relational.q34ReleaseBand _),
     "q35_hw_per_key" -> (HighWaterMark.q35HwPerKey _),
@@ -71,9 +73,11 @@ object SparkEntry {
     "q19_exact_dedup" -> Dedup.q19Sql,
     "q20_minhash_neardup" -> Dedup.q20Sql,
     "q21_cosine_topk" -> Similarity.q21Sql,
+    "q22_token_tf" -> TextAnalysis.q22Sql,
     "q26_simhash" -> Dedup.q26Sql,
     "q27_ngram_jaccard" -> Dedup.q27Sql,
     "q28_lsh_ann" -> Similarity.q28Sql,
+    "q29_text_metrics" -> TextAnalysis.q29Sql,
     "q33_work_queue_claim" -> Relational.q33Sql,
     "q34_release_band" -> Relational.q34Sql,
     "q35_hw_per_key" -> HighWaterMark.q35Sql,

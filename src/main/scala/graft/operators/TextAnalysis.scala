@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis family over `documents` (north-star surface): term
+  * frequencies, language-ID heuristic, quality scoring, token counting and
+  * order-sensitive document fingerprinting — all built-in expressions
+  * (split/explode/HOF lambdas), zero UDFs, so the whole pipeline stays
+  * inside whole-stage codegen and every metric has an exact DuckDB twin.
+  *
+  * Scale notes: q22 is explode → two-level agg — the shuffle carries
+  * (lang, token) partial counts, not raw tokens (map-side combine), and the
+  * top-N window partitions by lang. q29 is a single narrow projection per
+  * document — no explode at all (the per-token arithmetic happens inside
+  * array lambdas), so it scans 100 TB of documents with zero shuffles.
+  */
+object TextAnalysis {
+
+  private val P = 1000000007L
+
+  // ---------------------------------------------------------------- q22
+
+  /** Token TF: per-(lang, token) counts, top-5 tokens per lang
+    * (count desc, token asc tiebreak — the q08 window shape). */
+  def q22TokenTf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("token"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("token"), col("cnt"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  def q22Sql: String =
+    """WITH tf AS (
+      |  SELECT lang, unnest(string_split(text,' ')) AS token FROM documents
+      |), counts AS (
+      |  SELECT lang, token, count(*) AS cnt FROM tf GROUP BY lang, token
+      |), ranked AS (
+      |  SELECT lang, token, cnt,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS INT) AS rn
+      |  FROM counts
+      |)
+      |SELECT lang, token, cnt, rn FROM ranked WHERE rn <= 5
+      |ORDER BY lang, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+
+  /** Per-document text metrics in ONE shuffle-free pass:
+    *  - n_tokens: whitespace tokenizer count; n_words: BPE-ish regex token
+    *    count (`[a-z0-9]+`) — the two token-counting flavors;
+    *  - avg_token_len, stop_ratio: quality-score inputs (length shape,
+    *    stopword density);
+    *  - pred_lang: marker-stopword language-ID heuristic (en/es/de markers,
+    *    deterministic argmax with fixed precedence, 'und' when no marker
+    *    hits — fixture text is synthetic word soup, so the interesting part
+    *    is the operator shape, not linguistic accuracy);
+    *  - fingerprint: order-sensitive rolling fingerprint
+    *    Σ_p hash48(token_p)·((p-1) mod 64 + 1) mod P — position-weighted so
+    *    permuted documents fingerprint differently (unlike bag-of-words
+    *    hashes); exact 64-bit arithmetic both engines.
+    */
+  def q29TextMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_words", size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")))
+      .withColumn("avg_token_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
+      .withColumn("stop_hits", size(expr(
+        "filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("en_hits", size(expr("filter(toks, x -> x IN ('the', 'a', 'of', 'and'))")))
+      .withColumn("es_hits", size(expr("filter(toks, x -> x IN ('el', 'la', 'de', 'y'))")))
+      .withColumn("de_hits", size(expr("filter(toks, x -> x IN ('der', 'die', 'das', 'und'))")))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
+          && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
+          .when(col("de_hits") > 0, "de")
+          .otherwise("und"))
+      .withColumn("fingerprint", expr(
+        "aggregate(zip_with(toks, sequence(1, size(toks)), " +
+          "(t, p) -> cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint) * (((p-1) % 64) + 1)), " +
+          s"cast(0 as bigint), (acc, v) -> acc + v) % $P"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("n_tokens"),
+        col("n_words"), col("avg_token_len"), col("stop_ratio"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  def q29Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, lang, string_split(text,' ') AS toks,
+       |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_words,
+       |    length(replace(text, ' ', ''))::DOUBLE / len(string_split(text,' ')) AS avg_token_len,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in'))) AS INT) AS stop_hits,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS INT) AS en_hits,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y'))) AS INT) AS es_hits,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS INT) AS de_hits,
+       |    list_reduce(list_transform(range(1, len(string_split(text,' '))+1),
+       |      i -> ('0x' || substr(md5(string_split(text,' ')[i]),1,12))::BIGINT * (((i-1) % 64) + 1)),
+       |      (acc, v) -> acc + v) % $P AS fingerprint
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+       |       WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+       |       WHEN de_hits > 0 THEN 'de'
+       |       ELSE 'und' END AS pred_lang,
+       |  n_tokens, n_words, avg_token_len,
+       |  stop_hits::DOUBLE / n_tokens AS stop_ratio, fingerprint
+       |FROM m ORDER BY doc_id""".stripMargin
+}
