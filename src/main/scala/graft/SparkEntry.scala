@@ -41,10 +41,14 @@ object SparkEntry {
     "q20_minhash_neardup" -> (Dedup.q20MinhashNeardup _),
     "q21_cosine_topk" -> (Similarity.q21CosineTopk _),
     "q22_token_tf" -> (TextAnalysis.q22TokenTf _),
+    "q23_scalar_funcs" -> (Catalog.q23ScalarFuncs _),
+    "q24_queue_transitions" -> (Catalog.q24QueueTransitions _),
+    "q25_time_windows" -> (Catalog.q25TimeWindows _),
     "q26_simhash" -> (Dedup.q26Simhash _),
     "q27_ngram_jaccard" -> (Dedup.q27NgramJaccard _),
     "q28_lsh_ann" -> (Similarity.q28LshAnn _),
     "q29_text_metrics" -> (TextAnalysis.q29TextMetrics _),
+    "q30_binary_meta" -> (Catalog.q30BinaryMeta _),
     "q33_work_queue_claim" -> (Relational.q33WorkQueueClaim _),
     "q34_release_band" -> (Relational.q34ReleaseBand _),
     "q35_hw_per_key" -> (HighWaterMark.q35HwPerKey _),
@@ -74,10 +78,14 @@ object SparkEntry {
     "q20_minhash_neardup" -> Dedup.q20Sql,
     "q21_cosine_topk" -> Similarity.q21Sql,
     "q22_token_tf" -> TextAnalysis.q22Sql,
+    "q23_scalar_funcs" -> Catalog.q23Sql,
+    "q24_queue_transitions" -> Catalog.q24Sql,
+    "q25_time_windows" -> Catalog.q25Sql,
     "q26_simhash" -> Dedup.q26Sql,
     "q27_ngram_jaccard" -> Dedup.q27Sql,
     "q28_lsh_ann" -> Similarity.q28Sql,
     "q29_text_metrics" -> TextAnalysis.q29Sql,
+    "q30_binary_meta" -> Catalog.q30Sql,
     "q33_work_queue_claim" -> Relational.q33Sql,
     "q34_release_band" -> Relational.q34Sql,
     "q35_hw_per_key" -> HighWaterMark.q35Sql,
