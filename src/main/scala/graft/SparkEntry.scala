@@ -32,6 +32,7 @@ object SparkEntry {
     "q10_hw_contiguous" -> (HighWaterMark.q10HwContiguous _),
     "q11_topk" -> (Relational.q11TopK _),
     "q12_set_ops" -> (Relational.q12SetOps _),
+    "q13_outer_join" -> (RelationalExt.q13OuterJoin _),
     "q14_distinct_agg" -> (Relational.q14DistinctAgg _),
     "q15_rollup" -> (Relational.q15Rollup _),
     "q16_json_extract" -> (Relational.q16JsonExtract _),
@@ -49,9 +50,13 @@ object SparkEntry {
     "q28_lsh_ann" -> (Similarity.q28LshAnn _),
     "q29_text_metrics" -> (TextAnalysis.q29TextMetrics _),
     "q30_binary_meta" -> (Catalog.q30BinaryMeta _),
+    "q31_subquery_agg" -> (RelationalExt.q31SubqueryAgg _),
+    "q32_window_zoo" -> (RelationalExt.q32WindowZoo _),
     "q33_work_queue_claim" -> (Relational.q33WorkQueueClaim _),
     "q34_release_band" -> (Relational.q34ReleaseBand _),
     "q35_hw_per_key" -> (HighWaterMark.q35HwPerKey _),
+    "q36_var_stats" -> (RelationalExt.q36VarStats _),
+    "q37_pivot" -> (RelationalExt.q37Pivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,6 +74,7 @@ object SparkEntry {
     "q10_hw_contiguous" -> HighWaterMark.q10Sql,
     "q11_topk" -> Relational.q11Sql,
     "q12_set_ops" -> Relational.q12Sql,
+    "q13_outer_join" -> RelationalExt.q13Sql,
     "q14_distinct_agg" -> Relational.q14Sql,
     "q15_rollup" -> Relational.q15Sql,
     "q16_json_extract" -> Relational.q16Sql,
@@ -86,8 +92,12 @@ object SparkEntry {
     "q28_lsh_ann" -> Similarity.q28Sql,
     "q29_text_metrics" -> TextAnalysis.q29Sql,
     "q30_binary_meta" -> Catalog.q30Sql,
+    "q31_subquery_agg" -> RelationalExt.q31Sql,
+    "q32_window_zoo" -> RelationalExt.q32Sql,
     "q33_work_queue_claim" -> Relational.q33Sql,
     "q34_release_band" -> Relational.q34Sql,
     "q35_hw_per_key" -> HighWaterMark.q35Sql,
+    "q36_var_stats" -> RelationalExt.q36Sql,
+    "q37_pivot" -> RelationalExt.q37Sql,
   )
 }
