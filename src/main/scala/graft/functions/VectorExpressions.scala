@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding hot path (SURVEY.md §7.4:
+  * "custom Catalyst Expression only as a perf optimization" — this is it).
+  *
+  * `graft_dot(a, b)`: dot product of two float vectors, accumulated in
+  * double LEFT TO RIGHT — exactly the fold order of the higher-order
+  * `aggregate(zip_with(...))` form in [[graft.operators.Similarity]], so
+  * the two paths are bit-identical and interchangeable under the oracle.
+  *
+  * Why an Expression and not a UDF: codegen emits a tight primitive loop
+  * over the array (no boxing, no Row copying, no lambda-per-element
+  * dispatch), and it stays inside the surrounding WholeStageCodegen stage,
+  * unlike a Scala UDF which black-boxes the call. nullSafeEval provides the
+  * interpreted fallback so the expression also works where codegen is off.
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects two array<float> args, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL-registry front doors for the vector expressions. */
+object Vectors {
+
+  /** Column API — no registration needed, usable in any plan. */
+  def dot(a: Column, b: Column): Column =
+    shims.column(DotProductFloat(shims.expression(a), shims.expression(b)))
+
+  /** Session-scoped SQL registration: `SELECT graft_dot(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — the documented
+  * deploy-time path (SparkSessionExtensions.injectFunction). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
+}

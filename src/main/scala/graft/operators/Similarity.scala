@@ -36,14 +36,16 @@ object Similarity {
   private val Dim = 64
 
   /** Deterministic ±1 hyperplane weights from md5 — reproducible anywhere,
-    * no RNG. w(j,i) = +1 iff the 48-bit md5 int of "plane_j_i" is even. */
-  private[operators] def planeWeights: Seq[(Int, Seq[Double])] =
+    * no RNG. w(j,i) = +1 iff the 48-bit md5 int of "plane_j_i" is even.
+    * Float so the arrays type-match the embeddings for [[graft.functions
+    * .Vectors.dot]] (±1.0 is exact in float). */
+  private[operators] def planeWeights: Seq[(Int, Seq[Float])] =
     (0 until Planes).map { j =>
       j -> (0 until Dim).map { i =>
         val hex = MessageDigest.getInstance("MD5")
           .digest(s"plane_${j}_$i".getBytes("UTF-8"))
           .take(6).map("%02x".format(_)).mkString
-        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0f else -1.0f
       }
     }
 
@@ -99,15 +101,22 @@ object Similarity {
     * probes meet candidates ONLY inside their bucket (equi-join on the
     * bucket key — no cross join in the plan), exact cosine re-rank, top-3.
     * Fewer than 3 in-bucket neighbors ⇒ fewer rows — the recall/cost trade
-    * LSH makes by design. */
+    * LSH makes by design.
+    *
+    * The dots here go through the native codegen expression
+    * [[graft.functions.Vectors.dot]] (bit-identical to q21's higher-order
+    * form — same left fold — but a primitive loop in generated code). */
   def q28LshAnn(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Vectors
     val planes = s.createDataFrame(planeWeights.map { case (j, ws) => (j, ws) })
       .toDF("plane_id", "w")
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), dot("embedding", "embedding").as("n2"))
+      .select(col("vec_id"), col("embedding"),
+        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
     val buckets = emb.crossJoin(broadcast(planes))
       .withColumn("bit",
-        when(dot("w", "embedding") > 0, expr("shiftleft(1, plane_id)")).otherwise(0))
+        when(Vectors.dot(col("w"), col("embedding")) > 0,
+          expr("shiftleft(1, plane_id)")).otherwise(0))
       .groupBy(col("vec_id")).agg(sum(col("bit")).cast("int").as("bucket"))
     val tagged = emb.join(buckets, Seq("vec_id"))
     val probes = tagged.filter(col("vec_id") < NProbes)
@@ -117,7 +126,8 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
     tagged.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", dot("pe", "embedding") / sqrt(col("pn2") * col("n2")))
+      .withColumn("cosine",
+        Vectors.dot(col("pe"), col("embedding")) / sqrt(col("pn2") * col("n2")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("probe_id"), col("bucket"), col("vec_id"), col("cosine"), col("rn"))
