@@ -69,12 +69,20 @@ final class ChunkIngest(
   def hwLogSnapshot: DataFrame = state.read(HwLogTable, HwLogSchema)
   def chunksSnapshot: DataFrame = state.read(ChunksTable, ChunksSchema)
 
-  /** T1: attach to a chunk stream with a micro-batch trigger. */
+  /** T1: attach to a chunk stream with a micro-batch trigger. The stream is
+    * instrumented with `observe` metrics (A6 — the reference's `Clock`
+    * aggregate-group timings, `Clock.scala:58-100`, recast as Spark's
+    * native per-batch metrics): chunk and byte counts appear in every
+    * `StreamingQueryProgress.observedMetrics("ingest")`. */
   def start(blocks: Dataset[ImageBlock], trigger: Trigger,
       checkpoint: String): StreamingQuery = {
     val batchFn: (Dataset[ImageBlock], Long) => Unit =
       (ds, id) => processBatch(ds, id)
-    blocks.writeStream
+    blocks
+      .observe("ingest",
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum(length(col("data"))), lit(0L)).as("n_bytes"))
+      .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch(batchFn)
@@ -83,12 +91,21 @@ final class ChunkIngest(
 
   /** T2+T3: the per-batch body. Public so batch-mode tests drive it directly
     * — same code path streaming and batch. */
-  def processBatch(blocks: Dataset[ImageBlock], batchId: Long): Unit = {
+  def processBatch(rawBlocks: Dataset[ImageBlock], batchId: Long): Unit = {
     // T9: foreachBatch may replay a batch after failure; the state writes
     // below are idempotent, and the batch-id guard skips exact re-runs.
     val lastBatch = if (state.exists(MetaTable))
       state.read(MetaTable, MetaSchema).first().getLong(0) else -1L
     if (batchId <= lastBatch) return
+
+    // The batch feeds two actions (metadata write + binary sink); cache so
+    // the source executes once per batch (also keeps the A6 observe
+    // metrics single-counted — accumulators don't re-fire on cache hits).
+    val blocks = rawBlocks.persist()
+    try processCachedBatch(blocks, batchId) finally blocks.unpersist()
+  }
+
+  private def processCachedBatch(blocks: Dataset[ImageBlock], batchId: Long): Unit = {
 
     // (1) decode → chunk metadata. length(binary) and md5 are codegen'd
     // built-ins; the whole projection pipelines inside one codegen stage.

@@ -134,6 +134,13 @@ class ChunkIngestSpec extends AnyFunSuite {
     val log = ingest.hwLogSnapshot.orderBy("current").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(log == Seq((-1L, 60L), (60L, 280L), (280L, 360L)))
+
+    // A6 observe metrics: per-batch chunk/byte counts sum to the image.
+    val observed = query.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest")))
+    val totChunks = observed.map(_.getLong(0)).sum
+    val totBytes = observed.map(_.getLong(1)).sum
+    assert(totChunks == 8 && totBytes == 360)
   }
 
   test("MFT gate blocks advance until the MFT is fully ingested (W3)") {
