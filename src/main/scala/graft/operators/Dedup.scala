@@ -62,12 +62,18 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate pairs: docs sharing any band bucket (the LSH join). */
+  /** Candidate pairs: docs sharing any band bucket (the LSH join). The
+    * self-join uses ONE band-key plan aliased twice — canonically identical
+    * subtrees, so Spark's ReuseExchange computes the signature/banding once
+    * and replays it for the other side (instead of re-scanning + re-hashing
+    * every shingle per branch). */
   private def candidates(sig: DataFrame): DataFrame = {
-    val a = bandKeys(sig).select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val b = bandKeys(sig).select(col("doc_id").as("doc_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val bk = bandKeys(sig)
+    bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   // ---------------------------------------------------------------- q19
@@ -97,14 +103,18 @@ object Dedup {
     * signature fraction, threshold 0.5. est is k/12.0 (exact in IEEE double
     * for integer k) so the oracle hash-matches bit-for-bit. */
   def q20MinhashNeardup(s: SparkSession, d: String): DataFrame = {
+    // The signature subtree feeds the band self-join and both pair sides.
+    // Measured at sf0.1: staging it (localCheckpoint) does NOT help — the
+    // within-bucket pair expansion dominates, not the recompute. At real
+    // scale the signature is a persisted table (one narrow row per doc)
+    // and the pair cost is bounded by capping/salting oversized buckets.
     val sig = signature(Tables.documents(s, d))
-    val sa = sig.toDF("doc_a" +: (0 until R).map(j => s"a$j"): _*)
-    val sb = sig.toDF("doc_b" +: (0 until R).map(j => s"b$j"): _*)
     val matches = (0 until R)
-      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
       .reduce(_ + _)
     candidates(sig)
-      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("est_jaccard", matches / lit(12.0))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
@@ -200,19 +210,20 @@ object Dedup {
   def q27NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val sig = signature(docs)
-    val counts = shingles(docs).groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh")) // shingles() is already distinct
     val sh = shingles(docs)
+    val counts = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh")) // shingles() is already distinct
     val inter = candidates(sig)
-      .join(sh.toDF("doc_a", "s"), Seq("doc_a"))
-      .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
+      .join(sh.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(sh.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.s") === col("gb.s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_int"))
     inter
-      .join(counts.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(counts.toDF("doc_b", "nb"), Seq("doc_b"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
       .withColumn("jaccard",
-        col("n_int") / (col("na") + col("nb") - col("n_int")).cast("double"))
+        col("n_int") / (col("ca.n_sh") + col("cb.n_sh") - col("n_int")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
