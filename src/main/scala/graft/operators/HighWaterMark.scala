@@ -26,7 +26,13 @@ object HighWaterMark {
     * many-image / 100 TB use, [[perKeyHighWaterMark]] partitions by image. */
   def contiguousPrefix(chunks: DataFrame, seqCol: String): DataFrame = {
     val w = Window.orderBy(col(seqCol))
-    chunks.withColumn("rn", row_number().over(w))
+    // dropDuplicates: replayed chunks (same sequence re-delivered) must be
+    // idempotent (FIXTURES.md §2 invariant). Without it a duplicate shifts
+    // every later row_number and falsely truncates the prefix — the
+    // reference's cursor loop (StreamingApp.scala:239-241) has exactly that
+    // replay bug; the port fixes it.
+    chunks.dropDuplicates(seqCol)
+      .withColumn("rn", row_number().over(w))
       .filter(col(seqCol) === col("rn") - 1)
       .drop("rn")
   }
@@ -36,7 +42,8 @@ object HighWaterMark {
   def perKeyHighWaterMark(chunks: DataFrame, keyCol: String, seqCol: String,
       sizeCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
-    chunks.withColumn("rn", row_number().over(w))
+    chunks.dropDuplicates(keyCol, seqCol) // replay-idempotent, see above
+      .withColumn("rn", row_number().over(w))
       .filter(col(seqCol) === col("rn") - 1)
       .groupBy(col(keyCol))
       .agg(coalesce(sum(col(sizeCol)), lit(0)).as("hw"),

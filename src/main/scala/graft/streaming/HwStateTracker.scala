@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-image chunk arrival event (the many-image generalization of the
+  * single-image stream — SURVEY.md §7.5 "partition by image/device id and
+  * keep per-key sequences"). */
+final case class ChunkEvent(image: String, sequence: Int, size: Long)
+
+/** Per-image incremental HW state: the first missing sequence, the bytes of
+  * the contiguous prefix, and the out-of-order chunks waiting for the gap
+  * to close. Replay-safe: duplicates (< nextSeq or already pending) no-op. */
+final case class ImageState(nextSeq: Int, hw: Long, pending: Map[Int, Long])
+
+/** Per-image HW after a batch: `hwSeq` = last contiguous sequence (-1 none). */
+final case class HwUpdate(image: String, hw: Long, hwSeq: Int, nPending: Int)
+
+/** Cross-batch high-water-mark state via `mapGroupsWithState` (T4's typed
+  * alternative to the [[ChunkIngest]] foreachBatch design; reference
+  * semantics `StreamingApp.scala:238-252`).
+  *
+  * Where [[ChunkIngest]] recomputes the prefix from the full chunk table
+  * each batch (exact reference behavior, one image), this tracker is the
+  * 1000-executor shape: state is KEYED BY IMAGE and lives in the state
+  * store (sharded across executors by key — thousands of concurrent images
+  * scale horizontally), and each batch does O(batch) incremental work:
+  * buffer out-of-order chunks, then advance the mark while the next
+  * expected sequence is present. Late chunks only ever close gaps — the
+  * reference's no-drop late policy (T5), not a watermark eviction.
+  */
+object HwStateTracker {
+
+  private[streaming] def updateImage(
+      image: String,
+      chunks: Iterator[ChunkEvent],
+      state: GroupState[ImageState]): HwUpdate = {
+    var st = state.getOption.getOrElse(ImageState(0, 0L, Map.empty))
+    chunks.foreach { c =>
+      if (c.sequence >= st.nextSeq && !st.pending.contains(c.sequence))
+        st = st.copy(pending = st.pending + (c.sequence -> c.size))
+    }
+    while (st.pending.contains(st.nextSeq)) {
+      st = ImageState(st.nextSeq + 1, st.hw + st.pending(st.nextSeq),
+        st.pending - st.nextSeq)
+    }
+    state.update(st)
+    HwUpdate(image, st.hw, st.nextSeq - 1, st.pending.size)
+  }
+
+  /** Attach: chunk stream → per-image HW updates (one row per image per
+    * batch that touched it). */
+  def track(chunks: Dataset[ChunkEvent]): Dataset[HwUpdate] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.image)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateImage)
+  }
+
+  /** The streaming query: Update mode (each batch re-emits touched keys). */
+  def start(chunks: Dataset[ChunkEvent], queryName: String) =
+    track(chunks).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}
