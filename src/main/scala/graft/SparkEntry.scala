@@ -57,6 +57,7 @@ object SparkEntry {
     "q35_hw_per_key" -> (HighWaterMark.q35HwPerKey _),
     "q36_var_stats" -> (RelationalExt.q36VarStats _),
     "q37_pivot" -> (RelationalExt.q37Pivot _),
+    "q38_salted_agg" -> (Skew.q38SaltedAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +100,6 @@ object SparkEntry {
     "q35_hw_per_key" -> HighWaterMark.q35Sql,
     "q36_var_stats" -> RelationalExt.q36Sql,
     "q37_pivot" -> RelationalExt.q37Sql,
+    "q38_salted_agg" -> Skew.q38Sql,
   )
 }
