@@ -58,6 +58,8 @@ object SparkEntry {
     "q36_var_stats" -> (RelationalExt.q36VarStats _),
     "q37_pivot" -> (RelationalExt.q37Pivot _),
     "q38_salted_agg" -> (Skew.q38SaltedAgg _),
+    "q39_binned_range_join" -> (RangeJoin.q39BinnedRangeJoin _),
+    "q40_ivf_ann" -> (Ivf.q40IvfAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +103,7 @@ object SparkEntry {
     "q36_var_stats" -> RelationalExt.q36Sql,
     "q37_pivot" -> RelationalExt.q37Sql,
     "q38_salted_agg" -> Skew.q38Sql,
+    "q39_binned_range_join" -> RangeJoin.q39Sql,
+    "q40_ivf_ann" -> Ivf.q40Sql,
   )
 }
