@@ -60,6 +60,8 @@ object SparkEntry {
     "q38_salted_agg" -> (Skew.q38SaltedAgg _),
     "q39_binned_range_join" -> (RangeJoin.q39BinnedRangeJoin _),
     "q40_ivf_ann" -> (Ivf.q40IvfAnn _),
+    "q41_sessionize" -> (Sessions.q41Sessionize _),
+    "q42_median" -> (Sessions.q42Median _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +107,7 @@ object SparkEntry {
     "q38_salted_agg" -> Skew.q38Sql,
     "q39_binned_range_join" -> RangeJoin.q39Sql,
     "q40_ivf_ann" -> Ivf.q40Sql,
+    "q41_sessionize" -> Sessions.q41Sql,
+    "q42_median" -> Sessions.q42Sql,
   )
 }
