@@ -45,32 +45,36 @@ object RangeJoin {
 
   // ---------------------------------------------------------------- q39
 
-  /** Binned range join at non-broadcast scale: every lineitem's extended
-    * price banded against an interval PER ORDER (|intervals| = |orders| —
-    * far beyond broadcast at real scale). Each order defines the band
-    * [totalprice/10, totalprice/10 + 5000); output: per-order count/sum of
-    * price-compatible lineitems. The oracle runs the naive range join —
-    * hash equality proves the binned rewrite exact. */
+  /** Binned range join at non-broadcast scale: low-quantity lineitem prices
+    * banded against a NARROW interval per part ([retailprice·10,
+    * +200) — |intervals| = |part|, beyond broadcast at real scale). Band
+    * width matters: a wide band makes the RESULT quadratic in sf no matter
+    * the algorithm (the first cut of this query used a 5000-wide band per
+    * order and produced billions of pairs at sf0.1 — the bench caught it);
+    * a selective band keeps the matched-pair count linear-ish (~7k at
+    * sf0.01, ~920k at sf0.1). The oracle runs the naive range join — hash
+    * equality proves the binned rewrite exact. */
   def q39BinnedRangeJoin(s: SparkSession, d: String): DataFrame = {
     val points = Tables.lineitem(s, d)
+      .filter(col("l_quantity") < 3)
       .select(col("l_extendedprice").as("price"))
-    val intervals = Tables.orders(s, d)
-      .select(col("o_orderkey"),
-        (col("o_totalprice") / 10).as("lo"),
-        (col("o_totalprice") / 10 + 5000).as("hi"))
-    binnedPointInterval(points, "price", intervals, "lo", "hi", binWidth = 1000L)
-      .groupBy(col("o_orderkey"))
+    val intervals = Tables.part(s, d)
+      .select(col("p_partkey"),
+        (col("p_retailprice") * 10).as("lo"),
+        (col("p_retailprice") * 10 + 200).as("hi"))
+    binnedPointInterval(points, "price", intervals, "lo", "hi", binWidth = 200L)
+      .groupBy(col("p_partkey"))
       .agg(count(lit(1)).as("n"),
         sum(col("price").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("p_partkey"))
   }
 
   def q39Sql: String =
-    """SELECT o_orderkey, count(*) AS n,
+    """SELECT p_partkey, count(*) AS n,
       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-      |FROM (SELECT l_extendedprice AS price FROM lineitem) p
-      |JOIN (SELECT o_orderkey, o_totalprice/10 AS lo, o_totalprice/10 + 5000 AS hi
-      |      FROM orders) i
+      |FROM (SELECT l_extendedprice AS price FROM lineitem WHERE l_quantity < 3) p
+      |JOIN (SELECT p_partkey, p_retailprice*10 AS lo, p_retailprice*10 + 200 AS hi
+      |      FROM part) i
       |  ON price >= lo AND price < hi
-      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin
 }
