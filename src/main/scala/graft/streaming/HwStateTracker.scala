@@ -13,8 +13,11 @@ final case class ChunkEvent(image: String, sequence: Int, size: Long)
   * to close. Replay-safe: duplicates (< nextSeq or already pending) no-op. */
 final case class ImageState(nextSeq: Int, hw: Long, pending: Map[Int, Long])
 
-/** Per-image HW after a batch: `hwSeq` = last contiguous sequence (-1 none). */
-final case class HwUpdate(image: String, hw: Long, hwSeq: Int, nPending: Int)
+/** Per-image HW after a batch: `hwSeq` = last contiguous sequence (-1 none);
+  * `complete` = the image reached its declared total size and its state was
+  * evicted from the store. */
+final case class HwUpdate(image: String, hw: Long, hwSeq: Int, nPending: Int,
+    complete: Boolean)
 
 /** Cross-batch high-water-mark state via `mapGroupsWithState` (T4's typed
   * alternative to the [[ChunkIngest]] foreachBatch design; reference
@@ -31,7 +34,15 @@ final case class HwUpdate(image: String, hw: Long, hwSeq: Int, nPending: Int)
   */
 object HwStateTracker {
 
-  private[streaming] def updateImage(
+  /** State lifecycle at scale: with millions of images over a job's life,
+    * completed images must LEAVE the state store or it grows without
+    * bound. When the per-image total size is known (`totalSizes`), a state
+    * whose HW reaches it is evicted after emitting its final update —
+    * safe because a complete gap-free prefix admits no further chunks
+    * (duplicates of already-counted sequences would be ignored anyway; a
+    * stray replay after eviction starts a fresh state whose updates are
+    * distinguishable by `complete=false` and hw < total). */
+  private[streaming] def updateImage(totalSizes: Map[String, Long])(
       image: String,
       chunks: Iterator[ChunkEvent],
       state: GroupState[ImageState]): HwUpdate = {
@@ -44,21 +55,25 @@ object HwStateTracker {
       st = ImageState(st.nextSeq + 1, st.hw + st.pending(st.nextSeq),
         st.pending - st.nextSeq)
     }
-    state.update(st)
-    HwUpdate(image, st.hw, st.nextSeq - 1, st.pending.size)
+    val complete = totalSizes.get(image).exists(st.hw >= _)
+    if (complete) state.remove() else state.update(st)
+    HwUpdate(image, st.hw, st.nextSeq - 1, st.pending.size, complete)
   }
 
   /** Attach: chunk stream → per-image HW updates (one row per image per
-    * batch that touched it). */
-  def track(chunks: Dataset[ChunkEvent]): Dataset[HwUpdate] = {
+    * batch that touched it). `totalSizes`: known image sizes for state
+    * eviction on completion (empty ⇒ states live for the job's duration). */
+  def track(chunks: Dataset[ChunkEvent],
+      totalSizes: Map[String, Long] = Map.empty): Dataset[HwUpdate] = {
     import chunks.sparkSession.implicits._
     chunks.groupByKey(_.image)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateImage)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateImage(totalSizes))
   }
 
   /** The streaming query: Update mode (each batch re-emits touched keys). */
-  def start(chunks: Dataset[ChunkEvent], queryName: String) =
-    track(chunks).writeStream
+  def start(chunks: Dataset[ChunkEvent], queryName: String,
+      totalSizes: Map[String, Long] = Map.empty) =
+    track(chunks, totalSizes).writeStream
       .outputMode(OutputMode.Update())
       .format("memory")
       .queryName(queryName)

@@ -54,6 +54,30 @@ class HwStateTrackerSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("completed images are evicted from the state store; stray replays restart cold") {
+    val totalA = (1 to 3).map(_ * 10L).sum
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChunkEvent]
+    val query = HwStateTracker.start(input.toDS(), "hw_evict",
+      totalSizes = Map("imgA" -> totalA))
+
+    input.addData(Seq(ChunkEvent("imgA", 0, 10), ChunkEvent("imgA", 2, 30)))
+    query.processAllAvailable()
+    input.addData(Seq(ChunkEvent("imgA", 1, 20)))
+    query.processAllAvailable()
+    val rows = spark.table("hw_evict").collect()
+      .map(r => (r.getLong(1), r.getBoolean(4))).toSet
+    assert(rows.contains((totalA, true)), "final update flags completion")
+
+    // a stray duplicate AFTER eviction starts a cold state — visible as a
+    // non-complete, partial-hw update (documented semantics).
+    input.addData(Seq(ChunkEvent("imgA", 2, 30)))
+    query.processAllAvailable()
+    val last = spark.table("hw_evict").collect().last
+    assert(!last.getBoolean(4) && last.getLong(1) == 0L && last.getInt(3) == 1)
+    query.stop()
+  }
+
   test("updateImage is idempotent under duplicate delivery") {
     // pure-function check, no stream: drive the transition directly.
     import org.apache.spark.sql.streaming.GroupStateTimeout
