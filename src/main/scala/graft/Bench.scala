@@ -29,9 +29,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // truncate BEFORE escaping — cutting after could split an escape pair
+    // and emit invalid JSON exactly when the driver needs the error list.
     val errJson = errs.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\x00-\\x1f]", " ").take(200) + "\""
+      "\"" + k + "\":\"" + v.take(200).replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     if (errs.nonEmpty) { spark.stop(); sys.exit(1) }

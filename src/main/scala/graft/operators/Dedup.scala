@@ -121,14 +121,16 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def q20Sql: String = {
+  /** Shared oracle CTE chain (toks → shingles → hash → signature → bands →
+    * candidates) — q20 and q27 diverge only after `cand`, so the
+    * load-bearing arithmetic lives in exactly one place. */
+  private def lshCtes: String = {
     val sigCols = (0 until R)
       .map(j => s"min((${2 * j + 1}*x + ${17 * j + 3}) % $P) AS m$j").mkString(",\n    ")
     val bandCase = (0 until Bands).map { b =>
       val cols = (0 until R / Bands).map(r => s"m${b * (R / Bands) + r}").mkString(",")
       s"WHEN $b THEN concat_ws(',', $cols)"
     }.mkString(" ")
-    val matchSum = (0 until R).map(j => s"CAST(sa.m$j = sb.m$j AS INT)").mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
        |), sh AS (
@@ -148,7 +150,12 @@ object Dedup {
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  def q20Sql: String = {
+    val matchSum = (0 until R).map(j => s"CAST(sa.m$j = sb.m$j AS INT)").mkString(" + ")
+    s"""$lshCtes
        |SELECT doc_a, doc_b, (($matchSum) / 12.0) AS est_jaccard
        |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
        |WHERE (($matchSum) / 12.0) >= 0.5
@@ -229,33 +236,8 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def q27Sql: String = {
-    val sigCols = (0 until R)
-      .map(j => s"min((${2 * j + 1}*x + ${17 * j + 3}) % $P) AS m$j").mkString(",\n    ")
-    val bandCase = (0 until Bands).map { b =>
-      val cols = (0 until R / Bands).map(r => s"m${b * (R / Bands) + r}").mkString(",")
-      s"WHEN $b THEN concat_ws(',', $cols)"
-    }.mkString(" ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
-       |), sh AS (
-       |  SELECT DISTINCT doc_id,
-       |    unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS s
-       |  FROM toks WHERE len(t) >= 2
-       |), hx AS (
-       |  SELECT doc_id, ('0x' || substr(md5(s),1,12))::BIGINT AS x FROM sh
-       |), sig AS (
-       |  SELECT doc_id,
-       |    $sigCols
-       |  FROM hx GROUP BY doc_id
-       |), bands AS (
-       |  SELECT doc_id, b.b AS band,
-       |    CASE b.b $bandCase END AS key
-       |  FROM sig, (SELECT unnest(range(0,$Bands)) AS b) b
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |), counts AS (
+  def q27Sql: String =
+    s"""$lshCtes, counts AS (
        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
        |), inter AS (
        |  SELECT doc_a, doc_b, count(*) AS n_int
@@ -267,5 +249,4 @@ object Dedup {
        |FROM inter JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
        |WHERE n_int / CAST(ca.n_sh + cb.n_sh - n_int AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 }

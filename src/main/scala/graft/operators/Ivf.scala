@@ -20,7 +20,10 @@ import graft.functions.Vectors
 object Ivf {
 
   private val K = 8        // centroids / cells
-  private val ProbeFrom = 490L // probes: vec_id in [490, 500)
+  private val ProbeFrom = 490L
+  private val NProbes = 10L // probes: vec_id in [490, 500) at EVERY sf —
+                            // an unbounded >= filter would quietly turn
+                            // larger fixtures into thousands of probes
 
   /** Nearest-centroid assignment: (vec_id, embedding, n2, cell). */
   private def assign(s: SparkSession, d: String): DataFrame = {
@@ -46,7 +49,8 @@ object Ivf {
     * contract as q21/q28. */
   def q40IvfAnn(s: SparkSession, d: String): DataFrame = {
     val tagged = assign(s, d)
-    val probes = tagged.filter(col("vec_id") >= ProbeFrom)
+    val probes = tagged
+      .filter(col("vec_id") >= ProbeFrom && col("vec_id") < ProbeFrom + NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("n2").as("pn2"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
@@ -61,8 +65,7 @@ object Ivf {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  private def duckDot(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+  private def duckDot(a: String, b: String): String = Similarity.duckDotSql(a, b)
 
   def q40Sql: String =
     s"""WITH emb AS (
@@ -79,7 +82,7 @@ object Ivf {
        |    FROM scored) t WHERE crn = 1
        |), probes AS (
        |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2, cell
-       |  FROM tagged WHERE vec_id >= $ProbeFrom
+       |  FROM tagged WHERE vec_id >= $ProbeFrom AND vec_id < ${ProbeFrom + NProbes}
        |), cand AS (
        |  SELECT probe_id, t.cell, t.vec_id,
        |    ${duckDot("pe", "embedding")} / sqrt(pn2 * n2) AS cosine

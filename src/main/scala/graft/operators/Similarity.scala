@@ -54,8 +54,12 @@ object Similarity {
     s"aggregate(zip_with($a, $b, (x, y) -> double(x) * double(y)), " +
       "cast(0 as double), (acc, v) -> acc + v)")
 
-  private def duckDot(a: String, b: String): String =
+  /** The oracle-side left-fold dot product — the single source of the
+    * bit-exactness contract (Ivf reuses it; keep the folds in one place). */
+  private[operators] def duckDotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+
+  private def duckDot(a: String, b: String): String = duckDotSql(a, b)
 
   // ---------------------------------------------------------------- q21
 

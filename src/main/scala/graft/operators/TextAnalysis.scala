@@ -86,10 +86,15 @@ object TextAnalysis {
           .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
           .when(col("de_hits") > 0, "de")
           .otherwise("und"))
+      // running (acc + v) % P keeps acc < P ≈ 1e9 against terms ≤ 2^48·64
+      // ≈ 1.8e16 — no Long overflow at ANY document length (an unmodded
+      // running sum wraps silently in Spark past ~500 tokens while DuckDB
+      // raises, breaking the oracle contract). The trailing % P makes the
+      // single-token case agree with DuckDB's no-init list_reduce.
       .withColumn("fingerprint", expr(
         "aggregate(zip_with(toks, sequence(1, size(toks)), " +
           "(t, p) -> cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint) * (((p-1) % 64) + 1)), " +
-          s"cast(0 as bigint), (acc, v) -> acc + v) % $P"))
+          s"cast(0 as bigint), (acc, v) -> (acc + v) % $P) % $P"))
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("n_tokens"),
         col("n_words"), col("avg_token_len"), col("stop_ratio"), col("fingerprint"))
       .orderBy(col("doc_id"))
@@ -106,7 +111,7 @@ object TextAnalysis {
        |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS INT) AS de_hits,
        |    list_reduce(list_transform(range(1, len(string_split(text,' '))+1),
        |      i -> ('0x' || substr(md5(string_split(text,' ')[i]),1,12))::BIGINT * (((i-1) % 64) + 1)),
-       |      (acc, v) -> acc + v) % $P AS fingerprint
+       |      (acc, v) -> (acc + v) % $P) % $P AS fingerprint
        |  FROM documents
        |)
        |SELECT doc_id, lang,

@@ -68,6 +68,7 @@ final class ChunkIngest(
   def hwSnapshot: DataFrame = state.read(HwTable, HwSchema)
   def hwLogSnapshot: DataFrame = state.read(HwLogTable, HwLogSchema)
   def chunksSnapshot: DataFrame = state.read(ChunksTable, ChunksSchema)
+  def badChunksSnapshot: DataFrame = state.read(BadChunksTable, ChunksSchema)
 
   /** T1: attach to a chunk stream with a micro-batch trigger. The stream is
     * instrumented with `observe` metrics (A6 — the reference's `Clock`
@@ -129,9 +130,20 @@ final class ChunkIngest(
       }
     }
 
-    // S4: append chunk metadata, idempotent on (name, sequence).
+    // Hash verification ENFORCED (the reference's TODO at
+    // StreamingApp.scala:322-324): chunks whose md5 mismatches the
+    // producer hash are quarantined, not ingested — a corrupt chunk reads
+    // as MISSING, so the HW holds at the gap and the image cannot be
+    // declared complete until a good copy arrives (re-delivery replaces it
+    // because the chunks dedup keeps the verified row).
+    val bad = state.read(BadChunksTable, ChunksSchema)
+      .unionByName(meta.filter(!col("hash_ok")))
+      .dropDuplicates("name", "sequence")
+    state.write(BadChunksTable, bad)
+
+    // S4: append verified chunk metadata, idempotent on (name, sequence).
     val chunks = state.read(ChunksTable, ChunksSchema)
-      .unionByName(meta)
+      .unionByName(meta.filter(col("hash_ok")))
       .dropDuplicates("name", "sequence")
     state.write(ChunksTable, chunks)
 
@@ -156,12 +168,19 @@ final class ChunkIngest(
 
     val (hwBefore, hwAfter) =
       if (advanced) {
-        val next = HwState(prev.current, candidate, candSeq, candName, prev.status)
-        writeHw(next)
-        state.write(HwLogTable, state.read(HwLogTable, HwLogSchema).unionByName(
-          spark.createDataFrame(Seq(
-            (prev.current, candidate, candSeq, candName)))
-            .toDF("previous", "current", "current_seq", "current_name")))
+        // Log BEFORE the state swap: a crash between the two writes then
+        // leaves a log row whose advance replays (idempotent — deduped on
+        // (previous, current)), whereas the reverse order would lose the
+        // advance from the audit trail forever (the replay sees the new
+        // mark and never re-logs).
+        val logRow = spark.createDataFrame(Seq(
+          (prev.current, candidate, candSeq, candName)))
+          .toDF("previous", "current", "current_seq", "current_name")
+        val existing = state.read(HwLogTable, HwLogSchema)
+        state.write(HwLogTable, existing.unionByName(
+          logRow.join(existing.select("previous", "current"),
+            Seq("previous", "current"), "left_anti")))
+        writeHw(HwState(prev.current, candidate, candSeq, candName, prev.status))
         (prev.current, candidate)
       } else (prev.previous, prev.current)
 
@@ -193,7 +212,7 @@ final class ChunkIngest(
       if (cur.status == 0) writeHw(cur.copy(status = 1))
       doneFlag = true
     }
-    if (resetErrors) {
+    if (resetErrors) state.locked {
       val q = state.read(QueueTable, QueueSchema)
       state.write(QueueTable, q.withColumn("status",
         when(col("error_status") === 1 && col("resident") === 1, 0)
@@ -214,9 +233,10 @@ final class ChunkIngest(
       (h.previous, h.current, h.currentSeq, h.currentName, h.status)))
       .toDF("previous", "current", "current_seq", "current_name", "status"))
 
-  /** S5: enqueue newly released/resident files — idempotent on file_id. */
+  /** S5: enqueue newly released/resident files — idempotent on file_id,
+    * serialized against concurrent worker claims. */
   private def enqueue(objIds: DataFrame, resident: Int,
-      window: Option[(Long, Long)]): Unit = {
+      window: Option[(Long, Long)]): Unit = state.locked {
     val now = new Timestamp(System.currentTimeMillis())
     val existing = state.read(QueueTable, QueueSchema)
     val fresh = objIds.select(col("obj_id").as("file_id"))
@@ -239,6 +259,7 @@ object ChunkIngest {
       currentName: String, status: Int)
 
   val ChunksTable = "chunks"
+  val BadChunksTable = "bad_chunks"
   val HwTable = "hw"
   val HwLogTable = "hw_log"
   val QueueTable = "queue"

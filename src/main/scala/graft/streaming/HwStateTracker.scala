@@ -38,10 +38,15 @@ object HwStateTracker {
     * completed images must LEAVE the state store or it grows without
     * bound. When the per-image total size is known (`totalSizes`), a state
     * whose HW reaches it is evicted after emitting its final update —
-    * safe because a complete gap-free prefix admits no further chunks
-    * (duplicates of already-counted sequences would be ignored anyway; a
-    * stray replay after eviction starts a fresh state whose updates are
-    * distinguishable by `complete=false` and hw < total). */
+    * safe because a complete gap-free prefix admits no further chunks.
+    * Caveat (deliberate): eviction assumes the source does not redeliver a
+    * completed image's chunks — true in the intended wiring (Structured
+    * Streaming checkpoints state atomically with source offsets, so batch
+    * replay cannot resurrect an evicted key; only duplicates INSIDE the
+    * input data can). Such a stray duplicate starts a cold state,
+    * distinguishable by `complete=false` and hw < total — consumers
+    * treating HW as monotonic per image ignore it; if the input is known
+    * dirty, run without `totalSizes` and evict administratively. */
   private[streaming] def updateImage(totalSizes: Map[String, Long])(
       image: String,
       chunks: Iterator[ChunkEvent],

@@ -26,6 +26,17 @@ final class StateDir(spark: SparkSession, root: String) {
 
   new File(root).mkdirs()
 
+  private val rmwLock = new Object
+
+  /** Serializes read-modify-write sequences on this state dir. The version
+    * pointer itself is swapped atomically, but two concurrent RMW cycles
+    * (e.g. two workers claiming from the queue) would both read version N
+    * and publish competing N+1s — last write wins, first is lost. All
+    * driver-side mutators take this lock; on a real cluster the state
+    * tables are a transactional format (Delta/Iceberg) and this becomes
+    * optimistic commit-conflict retry. */
+  def locked[T](f: => T): T = rmwLock.synchronized(f)
+
   private def tableRoot(name: String) = s"$root/$name"
   private def pointerPath(name: String) = Paths.get(s"$root/$name.latest")
 

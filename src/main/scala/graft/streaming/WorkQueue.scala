@@ -36,36 +36,40 @@ final class WorkQueue(spark: SparkSession, state: StateDir) {
     * Returns the claimed file ids (driver-side list — a work claim is by
     * nature a small driver decision, not a data-scale collect). */
   def claim(workerId: Int, nWorkers: Int,
-      now: Timestamp = new Timestamp(System.currentTimeMillis())): Seq[Long] = {
-    val mine = pmod(hash(col("file_id")), lit(nWorkers)) === workerId &&
-      col("status") === 0
-    val claimed = snapshot.filter(mine).select("file_id")
-      .collect().map(_.getLong(0)).toSeq
-    if (claimed.nonEmpty)
-      transition(col("file_id").isin(claimed: _*) && col("status") === 0,
-        toStatus = 1, stamp = "removed", now)
-    claimed
-  }
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Seq[Long] =
+    state.locked {
+      val mine = pmod(hash(col("file_id")), lit(nWorkers)) === workerId &&
+        col("status") === 0
+      val claimed = snapshot.filter(mine).select("file_id")
+        .collect().map(_.getLong(0)).toSeq
+      if (claimed.nonEmpty)
+        transition(col("file_id").isin(claimed: _*) && col("status") === 0,
+          toStatus = 1, stamp = "removed", now)
+      claimed
+    }
 
   /** 1 → 2: processing begins (`started`). */
   def markStarted(fileIds: Seq[Long],
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit =
-    transition(col("file_id").isin(fileIds: _*) && col("status") === 1,
-      toStatus = 2, stamp = "started", now)
+    state.locked {
+      transition(col("file_id").isin(fileIds: _*) && col("status") === 1,
+        toStatus = 2, stamp = "started", now)
+    }
 
   /** 2 → 3: processing done (`finished`); failures additionally raise
     * `error_status` (reference `error_status_update`,
     * `FileWorkerApp.scala:117`). */
   def markFinished(fileIds: Seq[Long], error: Boolean = false,
-      now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
-    val hit = col("file_id").isin(fileIds: _*) && col("status") === 2
-    val q = snapshot
-      .withColumn("finished", when(hit, lit(now)).otherwise(col("finished")))
-      .withColumn("error_status",
-        when(hit && lit(error), 1).otherwise(col("error_status")))
-      .withColumn("status", when(hit, 3).otherwise(col("status")))
-    state.write(QueueTable, q)
-  }
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit =
+    state.locked {
+      val hit = col("file_id").isin(fileIds: _*) && col("status") === 2
+      val q = snapshot
+        .withColumn("finished", when(hit, lit(now)).otherwise(col("finished")))
+        .withColumn("error_status",
+          when(hit && lit(error), 1).otherwise(col("error_status")))
+        .withColumn("status", when(hit, 3).otherwise(col("status")))
+      state.write(QueueTable, q)
+    }
 
   /** T8 polling loop body: claim → start → finish in one poll, like the
     * reference's `while(run){ getNextFiles; processFiles }`. `process`

@@ -103,8 +103,20 @@ class ChunkIngestSpec extends AnyFunSuite {
     assert(queueIds(st, 1) == Set(8L), "resident populated at quarter; dirs excluded")
     assert(!ingest.isDone)
 
-    // batch 3: final chunk → HW 360 = imageSize → done + graceful stop.
+    // batch 3: the final chunk arrives CORRUPTED — verification quarantines
+    // it, the HW holds at the gap, the image must NOT complete.
     input.addData(Seq(ImageBlockCodec.encode(chunk(7, corruptHash = true))))
+    query.processAllAvailable()
+    hw = ingest.hwSnapshot.collect().head
+    assert(hw.getLong(1) == 280 && !ingest.isDone,
+      "corrupt chunk reads as missing; no completion")
+    val badSeqs = ingest.badChunksSnapshot.select("sequence")
+      .collect().map(_.getInt(0)).toSeq
+    assert(badSeqs == Seq(7), "quarantined, not ingested")
+
+    // batch 4: a good re-delivery closes the gap → HW 360 = imageSize →
+    // done + graceful stop.
+    input.addData(Seq(ImageBlockCodec.encode(chunk(7))))
     query.processAllAvailable()
     hw = ingest.hwSnapshot.collect().head
     assert(hw.getLong(1) == 360 && hw.getInt(4) == 1, "HW complete, status=1")
@@ -116,11 +128,9 @@ class ChunkIngestSpec extends AnyFunSuite {
     val written = new java.io.File(sinkDir).list().toSet
     assert(written == (0 to 7).map(s => s"img.dd.$s").toSet)
 
-    // hash verification (the reference's TODO, done for real): the corrupted
-    // producer hash is flagged, all others verify.
-    val badHashes = ingest.chunksSnapshot.filter(!$"hash_ok")
-      .select("sequence").collect().map(_.getInt(0)).toSeq
-    assert(badHashes == Seq(7))
+    // ingested chunk set holds only verified rows (the reference's
+    // verification TODO, enforced for real).
+    assert(ingest.chunksSnapshot.filter(!$"hash_ok").isEmpty)
 
     // batch↔stream equivalence: the union of per-batch release windows
     // equals one batch-mode release over the full range [-1, 360) — no file
@@ -135,12 +145,13 @@ class ChunkIngestSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(log == Seq((-1L, 60L), (60L, 280L), (280L, 360L)))
 
-    // A6 observe metrics: per-batch chunk/byte counts sum to the image.
+    // A6 observe metrics: per-batch chunk/byte counts cover every DELIVERY
+    // (9 = 8 chunks + the corrupted copy of 7; 440 = 360 + its 80 bytes).
     val observed = query.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("ingest")))
     val totChunks = observed.map(_.getLong(0)).sum
     val totBytes = observed.map(_.getLong(1)).sum
-    assert(totChunks == 8 && totBytes == 360)
+    assert(totChunks == 9 && totBytes == 440)
   }
 
   test("MFT gate blocks advance until the MFT is fully ingested (W3)") {

@@ -19,16 +19,17 @@ class FileSourceSpec extends AnyFunSuite {
 
   test("file-source stream of events equals batch q25") {
     val srcDir = Files.createTempDirectory("graft-src-").toString
+    // deterministic split — limit() without ordering may pick different
+    // rows per evaluation, silently dropping/duplicating events.
     val events = Tables.events(spark, TestSession.sf)
-      .select($"ts", $"event_type", $"value")
-    val n = events.count()
-    val firstHalf = events.limit((n / 2).toInt)
-    val secondHalf = events.exceptAll(firstHalf)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val firstHalf = events.filter($"event_id" % 2 === 0).drop("event_id")
+    val secondHalf = events.filter($"event_id" % 2 =!= 0).drop("event_id")
 
     firstHalf.write.mode("append").parquet(srcDir)
 
     val stream = spark.readStream
-      .schema(events.schema)
+      .schema(firstHalf.schema)
       .parquet(srcDir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour"), $"event_type")

@@ -20,8 +20,10 @@ class HwStateTrackerSpec extends AnyFunSuite {
   }
 
   private def trackerHw(table: String): Map[String, Long] =
+    // hw is monotonic per image, so max == latest (last() over an unordered
+    // groupBy would be shuffle-order-nondeterministic).
     spark.table(table).groupBy("image").agg(
-      org.apache.spark.sql.functions.last("hw")) // Update mode: latest row wins
+      org.apache.spark.sql.functions.max("hw"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   test("per-image incremental HW equals batch per-key HW across batches") {
