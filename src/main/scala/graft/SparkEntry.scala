@@ -62,6 +62,9 @@ object SparkEntry {
     "q40_ivf_ann" -> (Ivf.q40IvfAnn _),
     "q41_sessionize" -> (Sessions.q41Sessionize _),
     "q42_median" -> (Sessions.q42Median _),
+    "q43_multiset_ops" -> (SetsExt.q43MultisetOps _),
+    "q44_cube" -> (SetsExt.q44Cube _),
+    "q45_array_agg" -> (SetsExt.q45ArrayAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +112,8 @@ object SparkEntry {
     "q40_ivf_ann" -> Ivf.q40Sql,
     "q41_sessionize" -> Sessions.q41Sql,
     "q42_median" -> Sessions.q42Sql,
+    "q43_multiset_ops" -> SetsExt.q43Sql,
+    "q44_cube" -> SetsExt.q44Sql,
+    "q45_array_agg" -> SetsExt.q45Sql,
   )
 }
