@@ -31,8 +31,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // truncate BEFORE escaping — cutting after could split an escape pair
     // and emit invalid JSON exactly when the driver needs the error list.
+    // Also drop a trailing lone high surrogate the char-based take() can
+    // leave behind (same invalid-output problem, one level down).
+    def clip(v: String): String = {
+      val t = v.take(200)
+      if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+    }
     val errJson = errs.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.take(200).replace("\\", "\\\\").replace("\"", "\\\"")
+      "\"" + k + "\":\"" + clip(v).replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")

@@ -48,7 +48,11 @@ object Ivf {
     * cosine re-rank, top-3 (vec_id tiebreak). Same bit-exact arithmetic
     * contract as q21/q28. */
   def q40IvfAnn(s: SparkSession, d: String): DataFrame = {
-    val tagged = assign(s, d)
+    // Materialize the assignment once: it feeds BOTH the probe broadcast
+    // and the candidate scan, and the N×K scoring + argmax window is the
+    // expensive stage — without this it executes twice. (At production
+    // scale the cell assignment is a persisted table, like an IVF index.)
+    val tagged = assign(s, d).localCheckpoint()
     val probes = tagged
       .filter(col("vec_id") >= ProbeFrom && col("vec_id") < ProbeFrom + NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),

@@ -59,7 +59,11 @@ final class ChunkIngest(
 
   import ChunkIngest._
 
-  @volatile private var doneFlag = false
+  // Recover completion from persisted state: after a restart the completing
+  // batch replays as a no-op (batch-id guard), so a process-local-only flag
+  // would leave the graceful-stop poller hanging on a finished image.
+  @volatile private var doneFlag =
+    state.exists(HwTable) && currentHw().status == 1
 
   /** T7: set when the image is fully ingested; caller stops the query. */
   def isDone: Boolean = doneFlag
@@ -120,12 +124,19 @@ final class ChunkIngest(
 
     // (2) S3: side-effecting binary sink, cleanly separated from the pure
     // transforms (SURVEY §7.5) — executor-side, one file per chunk.
+    // VERIFIED chunks only: a corrupt payload must not overwrite good bytes
+    // (or sit unmarked on disk) while the metadata path quarantines it.
     chunkSink.foreach { dir =>
       new File(dir).mkdirs()
       blocks.foreachPartition { it: Iterator[ImageBlock] =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
         it.foreach { b =>
-          val out = new FileOutputStream(new File(dir, b.filename))
-          try out.write(b.data) finally out.close()
+          digest.reset()
+          val ok = digest.digest(b.data).map("%02x".format(_)).mkString == b.localHash
+          if (ok) {
+            val out = new FileOutputStream(new File(dir, b.filename))
+            try out.write(b.data) finally out.close()
+          }
         }
       }
     }
@@ -212,10 +223,17 @@ final class ChunkIngest(
       if (cur.status == 0) writeHw(cur.copy(status = 1))
       doneFlag = true
     }
+    // Deviation from the reference's unconditional reset (`set status = 0
+    // where error_status = 1 and resident = 1`, StreamingApp.scala:443):
+    // only FINISHED-with-error rows (status 3) re-queue. The reference's
+    // form also resets rows a worker is actively retrying (status 1/2) —
+    // the worker's finish transition then matches nothing and the file is
+    // claimed again, every non-advancing batch, forever.
     if (resetErrors) state.locked {
       val q = state.read(QueueTable, QueueSchema)
       state.write(QueueTable, q.withColumn("status",
-        when(col("error_status") === 1 && col("resident") === 1, 0)
+        when(col("error_status") === 1 && col("resident") === 1
+          && col("status") === 3, 0)
           .otherwise(col("status"))))
     }
 

@@ -65,8 +65,11 @@ final class WorkQueue(spark: SparkSession, state: StateDir) {
       val hit = col("file_id").isin(fileIds: _*) && col("status") === 2
       val q = snapshot
         .withColumn("finished", when(hit, lit(now)).otherwise(col("finished")))
+        // success CLEARS a stale error flag from an earlier attempt —
+        // otherwise the ingest side's threshold reset would re-queue a
+        // file that already finished cleanly on retry.
         .withColumn("error_status",
-          when(hit && lit(error), 1).otherwise(col("error_status")))
+          when(hit, if (error) lit(1) else lit(0)).otherwise(col("error_status")))
         .withColumn("status", when(hit, 3).otherwise(col("status")))
       state.write(QueueTable, q)
     }
