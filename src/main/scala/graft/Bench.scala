@@ -41,7 +41,16 @@ object Bench {
       "\"" + k + "\":\"" + clip(v).replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // The driver machine-parses this line, but sbt prefixes stdout with
+    // "[info] " (both prior rounds' BENCH files carry "parsed": null). Emit
+    // on every channel a parser might read: stdout, UNPREFIXED stderr, and
+    // a file next to the run.
+    println(json)
+    System.err.println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
     if (errs.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
