@@ -1,7 +1,9 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.io.{File, RandomAccessFile}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
@@ -16,7 +18,15 @@ import org.apache.spark.sql.types.StructType
   * writing into a directory a live plan is reading (self-overwrite is how
   * Spark jobs corrupt state). At cluster scale the same call sites map 1:1
   * onto a transactional table format (Delta/Iceberg MERGE); the versioning
-  * here IS that pattern, minus compaction.
+  * here IS that pattern, including retention: old versions beyond
+  * [[StateDir.KeepVersions]] are deleted after each pointer bump (current
+  * plus one prior, so an in-flight reader of version N-1 still resolves).
+  *
+  * Crash safety: the pointer is written to a temp file and published with an
+  * ATOMIC_MOVE — a crash mid-publish leaves either the old pointer or the
+  * new one, never a torn file. If a pointer is nonetheless unreadable (e.g.
+  * hand-edited), [[latestVersion]] falls back to the highest version
+  * directory that finished writing (has a `_SUCCESS` marker).
   *
   * Exactly-once (T9): writers dedupe on their natural key before publishing,
   * so a replayed micro-batch (foreachBatch may re-run a batch id after
@@ -27,24 +37,59 @@ final class StateDir(spark: SparkSession, root: String) {
   new File(root).mkdirs()
 
   private val rmwLock = new Object
+  private var lockDepth = 0
 
-  /** Serializes read-modify-write sequences on this state dir. The version
-    * pointer itself is swapped atomically, but two concurrent RMW cycles
-    * (e.g. two workers claiming from the queue) would both read version N
-    * and publish competing N+1s — last write wins, first is lost. All
-    * driver-side mutators take this lock; on a real cluster the state
-    * tables are a transactional format (Delta/Iceberg) and this becomes
-    * optimistic commit-conflict retry. */
-  def locked[T](f: => T): T = rmwLock.synchronized(f)
+  /** Serializes read-modify-write sequences on this state dir — in-process
+    * via the monitor AND cross-process via an OS file lock on `.lock`, so
+    * two worker processes sharing the same state dir (the reference's
+    * multi-worker deployment, `FileWorkerApp` × N on one Postgres) cannot
+    * both read version N and publish competing N+1s. All queue mutators
+    * ([[WorkQueue]] claim/start/finish, [[ChunkIngest]] enqueue/reset) go
+    * through here; the ingest-only tables (chunks, hw, …) assume a single
+    * ingest process per state dir, like the reference's single StreamingApp.
+    * On a real cluster the state tables are a transactional format
+    * (Delta/Iceberg) and this becomes optimistic commit-conflict retry. */
+  def locked[T](f: => T): T = rmwLock.synchronized {
+    // Depth guard: FileChannel locks are per-JVM and non-reentrant
+    // (OverlappingFileLockException on a nested acquire), while the monitor
+    // IS reentrant — only the outermost locked() touches the OS lock.
+    if (lockDepth > 0) { lockDepth += 1; try f finally lockDepth -= 1 }
+    else {
+      val raf = new RandomAccessFile(new File(root, ".lock"), "rw")
+      try {
+        val fl = raf.getChannel.lock()
+        lockDepth = 1
+        try f finally { lockDepth = 0; fl.release() }
+      } finally raf.close()
+    }
+  }
 
   private def tableRoot(name: String) = s"$root/$name"
   private def pointerPath(name: String) = Paths.get(s"$root/$name.latest")
 
-  /** S7 "create if not exists": tables spring into existence empty. */
-  private def latestVersion(name: String): Option[Int] =
-    if (Files.exists(pointerPath(name)))
-      Some(new String(Files.readAllBytes(pointerPath(name))).trim.toInt)
-    else None
+  private def versionDirs(name: String): Seq[(Int, File)] = {
+    val dirs = Option(new File(tableRoot(name)).listFiles()).getOrElse(Array.empty)
+    dirs.toSeq.flatMap { f =>
+      if (f.isDirectory && f.getName.startsWith("v"))
+        Try(f.getName.drop(1).toInt).toOption.map(_ -> f)
+      else None
+    }
+  }
+
+  /** S7 "create if not exists": tables spring into existence empty. A
+    * corrupt/unparseable pointer recovers to the newest COMPLETE version
+    * directory (parquet `_SUCCESS` marker) instead of wedging every read. */
+  private def latestVersion(name: String): Option[Int] = {
+    val fromPointer =
+      if (Files.exists(pointerPath(name)))
+        Try(new String(Files.readAllBytes(pointerPath(name))).trim.toInt).toOption
+      else None
+    fromPointer.orElse {
+      versionDirs(name)
+        .filter { case (_, f) => new File(f, "_SUCCESS").exists() }
+        .map(_._1).sorted.lastOption
+    }
+  }
 
   def read(name: String, schema: StructType): DataFrame =
     latestVersion(name) match {
@@ -59,9 +104,29 @@ final class StateDir(spark: SparkSession, root: String) {
   def write(name: String, df: DataFrame): Unit = {
     val v = latestVersion(name).getOrElse(-1) + 1
     df.write.mode("overwrite").parquet(s"${tableRoot(name)}/v$v")
-    Files.write(pointerPath(name), v.toString.getBytes,
+    val tmp = Paths.get(s"$root/$name.latest.tmp")
+    Files.write(tmp, v.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
+    Files.move(tmp, pointerPath(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    gc(name, v)
+  }
+
+  /** Retention: drop version dirs older than current − (KeepVersions − 1).
+    * Without this a long-running ingest leaks a full parquet directory per
+    * table per micro-batch, unbounded. */
+  private def gc(name: String, current: Int): Unit =
+    versionDirs(name)
+      .filter { case (ver, _) => ver <= current - StateDir.KeepVersions }
+      .foreach { case (_, dir) => deleteRecursively(dir.toPath) }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(c => deleteRecursively(c)) finally children.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** S7 truncate — `delete from` (reference `StreamingApp.scala:161,222`). */
@@ -71,4 +136,10 @@ final class StateDir(spark: SparkSession, root: String) {
   def exists(name: String): Boolean = latestVersion(name).isDefined
 
   def path(name: String): String = tableRoot(name)
+}
+
+object StateDir {
+  /** Versions retained per table: the live one plus one for in-flight
+    * readers that resolved the pointer just before a publish. */
+  val KeepVersions = 2
 }
