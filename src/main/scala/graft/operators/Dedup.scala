@@ -62,19 +62,54 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Buckets larger than this stop emitting all B(B−1)/2 pairs and instead
+    * link every member to the bucket's minimum doc_id (the "hub") — B−1
+    * pairs, linear in the bucket. The clusters that actually produce hot
+    * buckets at web scale (spam, boilerplate: near-identical docs landing
+    * identical band keys) are exactly the ones where hub links carry the
+    * same connected-component information keep-min dedup needs; pairs
+    * between two non-hub members of a MIXED oversized bucket are dropped —
+    * observably, not silently: the `graft_lsh_capped` observe() metrics
+    * (capped_rows, max_bucket) report every engaged cap per execution. */
+  val HotBucketCap = 1024
+
   /** Candidate pairs: docs sharing any band bucket (the LSH join). The
     * self-join uses ONE band-key plan aliased twice — canonically identical
     * subtrees, so Spark's ReuseExchange computes the signature/banding once
     * and replays it for the other side (instead of re-scanning + re-hashing
-    * every shingle per branch). */
-  private def candidates(sig: DataFrame): DataFrame = {
+    * every shingle per branch).
+    *
+    * Skew guard (the 100 TB contract): bucket sizes are aggregated first
+    * (same shuffle key as the pair join, so the exchange is shared); buckets
+    * over `cap` take the linear hub-pair path instead of the quadratic
+    * all-pairs self-join. A pathological cluster of a million identical
+    * docs costs 10⁶ pairs, not 5·10¹¹. */
+  private[operators] def candidates(sig: DataFrame,
+      cap: Int = HotBucketCap): DataFrame = {
     val bk = bandKeys(sig)
-    bk.as("a").join(bk.as("b"),
+    val stats = bk.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"))
+    val tagged = bk.join(stats, Seq("band", "key"))
+    val small = tagged.filter(col("bsize") <= cap)
+    val smallPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val hubPairs = tagged
+      .filter(col("bsize") > cap && col("doc_id") =!= col("hub"))
+      // this branch occurs exactly once in the final plan, so the observe
+      // node is never duplicated by the self-join reuse above
+      .observe("graft_lsh_capped",
+        count(lit(1)).as("capped_rows"),
+        coalesce(max(col("bsize")), lit(0L)).as("max_bucket"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    smallPairs.unionByName(hubPairs).distinct()
   }
+
+  /** Spec/diagnostic entry: banded candidate pairs straight from documents
+    * (doc_id, text), with an explicit cap. */
+  private[operators] def candidatePairs(docs: DataFrame, cap: Int): DataFrame =
+    candidates(signature(docs), cap)
 
   // ---------------------------------------------------------------- q19
 
