@@ -65,24 +65,64 @@ object Sessions {
 
   // ---------------------------------------------------------------- q42
 
-  /** Exact median per group via rank arithmetic (row_number against the
-    * partition count picks the middle one-or-two rows; their mean is the
-    * median). No percentile built-in ⇒ no engine-specific interpolation —
+  /** Exact median per group — two-phase rank selection, no low-cardinality
+    * window (the r2 verdict's scale-killer: `partitionBy(event_type)` over
+    * ~5 types funnels every row of a type into ONE task's sort at scale).
+    *
+    * Phase A: per-group counts (|types| rows) fix the middle ranks
+    * ((n+1) DIV 2 and (n+2) DIV 2 — integer DIV; "/" on integers is double
+    * division in Spark and an even group's k.5 would match nothing).
+    * Phase B: `repartitionByRange(event_type, value, event_id)` lays the
+    * global per-group sort order ACROSS many partitions (a group spans
+    * partitions instead of owning one task); a tiny per-(partition, group)
+    * count aggregate then tells every partition its starting rank, and one
+    * narrow scan picks the middle rows. Driver-side state is
+    * O(partitions × groups), never data-scale. The selected one-or-two rows
+    * per group average to the exact median — no percentile interpolation,
     * deterministic to the bit on both engines. */
   def q42Median(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    val cw = Window.partitionBy(col("event_type"))
-    Tables.events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
-      // DIV, not "/": Spark's / on integers is double division — an even
-      // group's (cnt+1)/2 = k.5 would match nothing and the median would
-      // silently collapse to a single row.
-      .filter(col("rn") === expr("(cnt + 1) DIV 2") || col("rn") === expr("(cnt + 2) DIV 2"))
+    import s.implicits._
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"), col("event_id"))
+    val totals: Map[String, Long] = ev.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets: Map[String, Set[Long]] = totals.map { case (g, n) =>
+      g -> Set((n + 1) / 2, (n + 2) / 2)
+    }
+    // localCheckpoint pins the sampled range boundaries: the offset pass and
+    // the selection pass MUST see the identical partitioning.
+    val ranged = ev
+      .repartitionByRange(col("event_type"), col("value"), col("event_id"))
+      .sortWithinPartitions(col("event_type"), col("value"), col("event_id"))
+      .select(col("event_type"), col("value"))
+      .localCheckpoint()
+    val slices = ranged
+      .groupBy(spark_partition_id().as("pid"), col("event_type")).count()
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets: Map[(Int, String), Long] = slices.groupBy(_._2).flatMap {
+      case (g, sl) =>
+        var acc = 0L
+        sl.sortBy(_._1).map { case (pid, _, c) =>
+          val o = acc; acc += c; ((pid, g), o)
+        }
+    }
+    val bcTargets = s.sparkContext.broadcast(targets)
+    val bcOffsets = s.sparkContext.broadcast(offsets)
+    val picked = ranged.as[(String, Double)].rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        var g: String = null
+        var rank = 0L
+        it.flatMap { case (et, v) =>
+          if (et != g) { g = et; rank = bcOffsets.value.getOrElse((pid, g), 0L) }
+          rank += 1
+          if (bcTargets.value(g).contains(rank)) Iterator((g, v))
+          else Iterator.empty
+        }
+    }
+    picked.toDF("event_type", "value")
       .groupBy(col("event_type"))
-      .agg((sum(col("value")) / count(lit(1))).as("median"),
-        max(col("cnt")).as("n"))
+      .agg((sum(col("value")) / count(lit(1))).as("median"))
+      .join(totals.toSeq.toDF("event_type", "n"), Seq("event_type"))
+      .select(col("event_type"), col("median"), col("n"))
       .orderBy(col("event_type"))
   }
 
