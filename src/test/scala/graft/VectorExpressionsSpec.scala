@@ -33,6 +33,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows.length == 5 && rows.forall(_.getDouble(1) > 0))
   }
 
+  test("length mismatch and null elements go null, exactly like the HOF form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),          // clean: 11.0
+      (2L, Seq(1.0f, 2.0f), Seq(3.0f)),                // length mismatch
+      (3L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f, 5.0f)))    // mismatch, other side
+      .toDF("id", "a", "b")
+      // null element injected via SQL (Seq[Float] can't carry null)
+      .union(Seq((4L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("id", "a", "b")
+        .withColumn("b", expr("transform(b, (x, i) -> IF(i = 1, NULL, x))")))
+    val hof = expr(
+      "aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), " +
+        "cast(0 as double), (acc, v) -> acc + v)")
+    val rows = df.select(col("id"), Vectors.dot(col("a"), col("b")).as("native"), hof.as("hof"))
+      .orderBy(col("id")).collect()
+    assert(rows.forall(r => r.isNullAt(1) == r.isNullAt(2)))
+    assert(!rows(0).isNullAt(1) && rows(0).getDouble(1) == 11.0)
+    assert(rows.drop(1).forall(_.isNullAt(1)))
+  }
+
+  test("interpreted path: mismatch and null element also go null") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def lit(a: Array[Any]) = Literal.create(a, ArrayType(FloatType))
+    val mismatch = graft.functions.DotProductFloat(
+      lit(Array[Any](1.0f, 2.0f)), lit(Array[Any](3.0f)))
+    assert(mismatch.eval(null) == null)
+    val nullElem = graft.functions.DotProductFloat(
+      lit(Array[Any](1.0f, 2.0f)), lit(Array[Any](3.0f, null)))
+    assert(nullElem.eval(null) == null)
+  }
+
   test("interpreted fallback equals codegen path") {
     val e = graft.functions.DotProductFloat(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
