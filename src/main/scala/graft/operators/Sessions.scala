@@ -19,12 +19,16 @@ object Sessions {
 
   /** Gap-based sessionization per user: a session breaks where the gap to
     * the previous event exceeds 2 h; session ids from a running sum of
-    * break flags. All windows partition by user — scales horizontally. */
-  def q41Sessionize(s: SparkSession, d: String): DataFrame = {
+    * break flags. All windows partition by user — scales horizontally.
+    * The streaming twin is `session_window($"ts", "2 hours")`
+    * (SessionWindowStreamSpec pins batch ≡ stream on the same rows; the
+    * only semantic seam is a gap of EXACTLY 2 h — batch merges on `> gap`,
+    * session_window splits on window-overlap, i.e. `>= gap`). */
+  def sessionize(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    events
       .withColumn("ms", unix_millis(col("ts")))
       .withColumn("brk",
         when(col("ms") - lag(col("ms"), 1).over(byUser) > GapMs, 1)
@@ -39,6 +43,9 @@ object Sessions {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  def q41Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionize(Tables.events(s, d))
 
   def q41Sql: String =
     s"""WITH e AS (
