@@ -37,18 +37,26 @@ object HighWaterMark {
       .drop("rn")
   }
 
-  /** HW per image/device key: the scalable form. Each key's window sorts
-    * only that key's chunks (shuffle by key, sort within partition). */
-  def perKeyHighWaterMark(chunks: DataFrame, keyCol: String, seqCol: String,
-      sizeCol: String): DataFrame = {
+  /** Per-key contiguity marker: the scalable window form — each key's
+    * window sorts only that key's chunks (shuffle by key, sort within
+    * partition). [[graft.streaming.ChunkIngest]] uses this keyed by image
+    * name, so the streaming default carries NO unpartitioned window. */
+  def contiguousPrefixPerKey(chunks: DataFrame, keyCol: String,
+      seqCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
     chunks.dropDuplicates(keyCol, seqCol) // replay-idempotent, see above
       .withColumn("rn", row_number().over(w))
       .filter(col(seqCol) === col("rn") - 1)
+      .drop("rn")
+  }
+
+  /** HW per image/device key: per-key prefix → per-key sum. */
+  def perKeyHighWaterMark(chunks: DataFrame, keyCol: String, seqCol: String,
+      sizeCol: String): DataFrame =
+    contiguousPrefixPerKey(chunks, keyCol, seqCol)
       .groupBy(col(keyCol))
       .agg(coalesce(sum(col(sizeCol)), lit(0)).as("hw"),
         count(lit(1)).as("n_contig"))
-  }
 
   /** Flagship fixture query: events is the chunk stream (event_id = sequence,
     * value = chunk size); rows whose JSON prop k == 87 are the "missing"

@@ -159,9 +159,16 @@ final class ChunkIngest(
     state.write(ChunksTable, chunks)
 
     // (3) candidate HW over the full chunk set: contiguous-prefix sum plus
-    // the seq/name of the last contiguous chunk.
-    val contig = HighWaterMark.contiguousPrefix(
-      state.read(ChunksTable, ChunksSchema), "sequence")
+    // the seq/name of the last contiguous chunk. The window partitions by
+    // image name (filename minus the trailing ".N") — one partition for
+    // this machine's single image, so the result is identical to the global
+    // form, but the streaming default carries no unpartitioned window and
+    // the same plan holds when a coordinator fans chunks across images
+    // ([[MultiImageIngest]]).
+    val contig = HighWaterMark.contiguousPrefixPerKey(
+      state.read(ChunksTable, ChunksSchema)
+        .withColumn("img", regexp_replace(col("name"), "\\.[0-9]+$", "")),
+      "img", "sequence")
     val hwRow = contig.agg(
       coalesce(sum(col("size")), lit(0L)).as("hw"),
       coalesce(max(col("sequence")), lit(-1)).cast("long").as("hw_seq"),
