@@ -86,17 +86,27 @@ object Dedup {
     * docs costs 10⁶ pairs, not 5·10¹¹. */
   private[operators] def candidates(sig: DataFrame,
       cap: Int = HotBucketCap): DataFrame = {
-    val bk = bandKeys(sig)
-    val stats = bk.groupBy(col("band"), col("key"))
+    // One narrow row per (doc, band), materialized ONCE: the hot-bucket agg
+    // and the three join arms below would otherwise each replay the whole
+    // shingle→minhash pipeline from the scan (AQE broadcasts these small
+    // sides, so there is no shared shuffle for ReuseExchange to dedupe).
+    // At warehouse scale this is the persisted signature/band table.
+    val bk = bandKeys(sig).localCheckpoint()
+    // Only the OVERSIZED buckets survive the filter, so this side is tiny
+    // (≤ N/cap rows, usually zero) and broadcasts: the guard costs one
+    // aggregate over the same (band, key) exchange the self-join already
+    // shuffles — no extra sort-merge pass over every band row.
+    val hot = bk.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"))
-    val tagged = bk.join(stats, Seq("band", "key"))
-    val small = tagged.filter(col("bsize") <= cap)
+      .filter(col("bsize") > cap)
+    val tagged = bk.join(broadcast(hot), Seq("band", "key"), "left")
+    val small = tagged.filter(col("hub").isNull)
     val smallPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val hubPairs = tagged
-      .filter(col("bsize") > cap && col("doc_id") =!= col("hub"))
+      .filter(col("hub").isNotNull && col("doc_id") =!= col("hub"))
       // this branch occurs exactly once in the final plan, so the observe
       // node is never duplicated by the self-join reuse above
       .observe("graft_lsh_capped",
@@ -138,12 +148,10 @@ object Dedup {
     * signature fraction, threshold 0.5. est is k/12.0 (exact in IEEE double
     * for integer k) so the oracle hash-matches bit-for-bit. */
   def q20MinhashNeardup(s: SparkSession, d: String): DataFrame = {
-    // The signature subtree feeds the band self-join and both pair sides.
-    // Measured at sf0.1: staging it (localCheckpoint) does NOT help — the
-    // within-bucket pair expansion dominates, not the recompute. At real
-    // scale the signature is a persisted table (one narrow row per doc)
-    // and the pair cost is bounded by capping/salting oversized buckets.
-    val sig = signature(Tables.documents(s, d))
+    // The signature subtree feeds the band pipeline and both pair sides —
+    // materialize it once (one narrow row per doc; at real scale this is
+    // the persisted signature table an LSH index maintains).
+    val sig = signature(Tables.documents(s, d)).localCheckpoint()
     val matches = (0 until R)
       .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -251,8 +259,10 @@ object Dedup {
     * still never all-pairs. */
   def q27NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val sig = signature(docs)
-    val sh = shingles(docs)
+    // sh feeds both exact-intersection arms AND the per-doc counts; sig
+    // feeds the band pipeline. Materialize each once (see q20).
+    val sig = signature(docs).localCheckpoint()
+    val sh = shingles(docs).localCheckpoint()
     val counts = sh.groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh")) // shingles() is already distinct
     val inter = candidates(sig)

@@ -90,21 +90,23 @@ object Sessions {
   def q42Median(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select(col("event_type"), col("value"), col("event_id"))
-    val totals: Map[String, Long] = ev.groupBy(col("event_type")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val targets: Map[String, Set[Long]] = totals.map { case (g, n) =>
-      g -> Set((n + 1) / 2, (n + 2) / 2)
-    }
     // localCheckpoint pins the sampled range boundaries: the offset pass and
-    // the selection pass MUST see the identical partitioning.
+    // the selection pass MUST see the identical partitioning (lazy: the
+    // slice-count job below materializes it — one pass, not two).
     val ranged = ev
       .repartitionByRange(col("event_type"), col("value"), col("event_id"))
       .sortWithinPartitions(col("event_type"), col("value"), col("event_id"))
       .select(col("event_type"), col("value"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val slices = ranged
       .groupBy(spark_partition_id().as("pid"), col("event_type")).count()
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // group totals fall out of the slice counts — no separate count job
+    val totals: Map[String, Long] =
+      slices.groupBy(_._2).map { case (g, sl) => g -> sl.map(_._3).sum }
+    val targets: Map[String, Set[Long]] = totals.map { case (g, n) =>
+      g -> Set((n + 1) / 2, (n + 2) / 2)
+    }
     val offsets: Map[(Int, String), Long] = slices.groupBy(_._2).flatMap {
       case (g, sl) =>
         var acc = 0L
