@@ -65,6 +65,7 @@ object SparkEntry {
     "q43_multiset_ops" -> (SetsExt.q43MultisetOps _),
     "q44_cube" -> (SetsExt.q44Cube _),
     "q45_array_agg" -> (SetsExt.q45ArrayAgg _),
+    "q46_cosine_neardup" -> (Similarity.q46CosineNeardup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,5 +116,6 @@ object SparkEntry {
     "q43_multiset_ops" -> SetsExt.q43Sql,
     "q44_cube" -> SetsExt.q44Sql,
     "q45_array_agg" -> SetsExt.q45Sql,
+    "q46_cosine_neardup" -> Similarity.q46Sql,
   )
 }

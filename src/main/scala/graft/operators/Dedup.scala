@@ -85,13 +85,21 @@ object Dedup {
     * all-pairs self-join. A pathological cluster of a million identical
     * docs costs 10⁶ pairs, not 5·10¹¹. */
   private[operators] def candidates(sig: DataFrame,
+      cap: Int = HotBucketCap): DataFrame =
+    guardedBandPairs(bandKeys(sig), cap)
+
+  /** Guarded within-bucket pairing over ANY (doc_id, band, key) band table —
+    * minhash bands here, hyperplane sign bands in
+    * [[Similarity.q46CosineNeardup]]: the LSH candidate step is the same
+    * operator whatever produced the keys. */
+  private[operators] def guardedBandPairs(bandTable: DataFrame,
       cap: Int = HotBucketCap): DataFrame = {
     // One narrow row per (doc, band), materialized ONCE: the hot-bucket agg
     // and the three join arms below would otherwise each replay the whole
-    // shingle→minhash pipeline from the scan (AQE broadcasts these small
-    // sides, so there is no shared shuffle for ReuseExchange to dedupe).
-    // At warehouse scale this is the persisted signature/band table.
-    val bk = bandKeys(sig).localCheckpoint()
+    // upstream pipeline from the scan (AQE broadcasts these small sides, so
+    // there is no shared shuffle for ReuseExchange to dedupe). At warehouse
+    // scale this is the persisted signature/band table.
+    val bk = bandTable.localCheckpoint()
     // Only the OVERSIZED buckets survive the filter, so this side is tiny
     // (≤ N/cap rows, usually zero) and broadcasts: the guard costs one
     // aggregate over the same (band, key) exchange the self-join already

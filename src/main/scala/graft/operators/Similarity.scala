@@ -39,8 +39,8 @@ object Similarity {
     * no RNG. w(j,i) = +1 iff the 48-bit md5 int of "plane_j_i" is even.
     * Float so the arrays type-match the embeddings for [[graft.functions
     * .Vectors.dot]] (±1.0 is exact in float). */
-  private[operators] def planeWeights: Seq[(Int, Seq[Float])] =
-    (0 until Planes).map { j =>
+  private[operators] def planeWeights(n: Int): Seq[(Int, Seq[Float])] =
+    (0 until n).map { j =>
       j -> (0 until Dim).map { i =>
         val hex = MessageDigest.getInstance("MD5")
           .digest(s"plane_${j}_$i".getBytes("UTF-8"))
@@ -48,6 +48,7 @@ object Similarity {
         if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0f else -1.0f
       }
     }
+
 
   /** Left-fold dot product of two array columns, all-double. */
   private def dot(a: String, b: String): Column = expr(
@@ -112,7 +113,7 @@ object Similarity {
     * form — same left fold — but a primitive loop in generated code). */
   def q28LshAnn(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Vectors
-    val planes = s.createDataFrame(planeWeights.map { case (j, ws) => (j, ws) })
+    val planes = s.createDataFrame(planeWeights(Planes))
       .toDF("plane_id", "w")
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
@@ -139,7 +140,7 @@ object Similarity {
   }
 
   def q28Sql: String = {
-    val planeRows = planeWeights.map { case (j, ws) =>
+    val planeRows = planeWeights(Planes).map { case (j, ws) =>
       s"($j, [${ws.mkString(", ")}])"
     }.mkString(",\n    ")
     s"""WITH planes(plane_id, w) AS (VALUES
@@ -167,5 +168,74 @@ object Similarity {
        |)
        |SELECT probe_id, bucket, vec_id, cosine, rn FROM ranked
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q46
+
+  private val NdPlanes = 16   // 4 bands × 4 sign bits
+  private val NdBands = 4
+  private val NdThreshold = 0.4
+
+  /** Embedding-cosine near-dup PAIRS (the dedup-family member the ANN
+    * queries don't cover: all pairs over threshold, not top-k per probe).
+    * Banded sign-LSH, the minhash banding recast for vectors: 16 fixed
+    * hyperplanes → 4 bands of 4 sign bits; vectors sharing any band key
+    * become candidates ([[Dedup.guardedBandPairs]] — same hot-bucket guard,
+    * never all-pairs); exact cosine verifies ≥ 0.4. Banding trades recall
+    * for never scanning N² — the oracle runs the SAME banding, so the
+    * contract is algorithm-exactness, not retrieval recall. */
+  def q46CosineNeardup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Vectors
+    val planes = s.createDataFrame(planeWeights(NdPlanes)).toDF("plane_id", "w")
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+    val bands = emb.crossJoin(broadcast(planes))
+      .withColumn("bit",
+        when(Vectors.dot(col("w"), col("embedding")) > 0,
+          expr(s"shiftleft(1, plane_id % ${NdPlanes / NdBands})")).otherwise(0))
+      .groupBy(col("vec_id").as("doc_id"),
+        expr(s"plane_id DIV ${NdPlanes / NdBands}").as("band"))
+      .agg(sum(col("bit")).cast("int").as("key"))
+    val pairs = Dedup.guardedBandPairs(bands)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    pairs
+      .join(emb.select(col("vec_id"), col("embedding").as("ea"), col("n2").as("na")),
+        col("vec_a") === col("vec_id")).drop("vec_id")
+      .join(emb.select(col("vec_id"), col("embedding").as("eb"), col("n2").as("nb")),
+        col("vec_b") === col("vec_id")).drop("vec_id")
+      .withColumn("cosine", Vectors.dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")))
+      .filter(col("cosine") >= NdThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def q46Sql: String = {
+    val planeRows = planeWeights(NdPlanes).map { case (j, ws) =>
+      s"($j, [${ws.mkString(", ")}])"
+    }.mkString(",\n    ")
+    val bitsPerBand = NdPlanes / NdBands
+    s"""WITH planes(plane_id, w) AS (VALUES
+       |    $planeRows
+       |), emb AS (
+       |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM embeddings
+       |), bits AS (
+       |  SELECT vec_id, plane_id,
+       |    CASE WHEN ${duckDot("w", "embedding")} > 0 THEN (1 << (plane_id % $bitsPerBand)) ELSE 0 END AS bit
+       |  FROM emb, planes
+       |), keys AS (
+       |  SELECT vec_id, plane_id // $bitsPerBand AS band, CAST(sum(bit) AS INT) AS key
+       |  FROM bits GROUP BY vec_id, plane_id // $bitsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b,
+       |  ${duckDot("ea.embedding", "eb.embedding")} / sqrt(ea.n2 * eb.n2) AS cosine
+       |FROM cand
+       |JOIN emb ea ON ea.vec_id = vec_a
+       |JOIN emb eb ON eb.vec_id = vec_b
+       |WHERE ${duckDot("ea.embedding", "eb.embedding")} / sqrt(ea.n2 * eb.n2) >= $NdThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 }
