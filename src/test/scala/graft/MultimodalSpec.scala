@@ -29,4 +29,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas.forall(m => m.width >= 256 && m.width < 1280))
     assert(metas.forall(m => m.height >= 256 && m.height < 1024))
   }
+
+  private def payloads = Tables.documents(spark, TestSession.sf)
+    .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  test("resize keeps row count and shrinks payloads to the target budget") {
+    val out = Multimodal.resize(payloads, 64, 64).collect()
+    assert(out.length == payloads.count())
+    assert(out.forall(r => r.width == 64 && r.height == 64))
+    assert(out.forall(r => r.payload.length <= 64 * 64 / 64))
+    val one = payloads.orderBy("doc_id").limit(1).collect().head
+    val expect = Multimodal.resizeStub(one.getAs[Array[Byte]]("payload"), 64, 64)
+    assert(out.find(_.docId == one.getLong(0)).get.payload.toSeq == expect.toSeq)
+  }
+
+  test("sampleFrames explodes every Nth fixed-size slice with timestamps") {
+    import TestSession.spark.implicits._
+    val video = Seq((7L, Array.tabulate(100)(_.toByte))).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(video, frameBytes = 10, everyNth = 3)
+      .collect().sortBy(_.frameNo)
+    // 10 full frames, every 3rd → frames 0,3,6,9
+    assert(frames.map(_.frameNo).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.map(_.tsMs).toSeq == Seq(0L, 100L, 200L, 300L))
+    assert(frames.forall(_.payload.length == 10))
+    assert(frames(1).payload.toSeq == (30 until 40).map(_.toByte).toSeq)
+  }
+
+  test("extractFeatures emits array<float> embeddings compatible with the ANN ops") {
+    val feats = Multimodal.extractFeatures(payloads)
+    assert(feats.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    val rows = feats.collect()
+    assert(rows.length == payloads.count())
+    // L1-normalized histogram: sums to ~1 for non-empty payloads
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](1)
+      assert(v.length == 16 && math.abs(v.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
+    // and the ANN hot path accepts it: graft_dot over the derived vectors
+    val d = feats.select(graft.functions.Vectors.dot(col("embedding"), col("embedding")).as("d"))
+      .agg(min("d")).collect().head.getDouble(0)
+    assert(d > 0.0)
+  }
 }
