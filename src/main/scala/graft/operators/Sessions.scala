@@ -98,9 +98,15 @@ object Sessions {
       .sortWithinPartitions(col("event_type"), col("value"), col("event_id"))
       .select(col("event_type"), col("value"))
       .localCheckpoint(eager = false)
-    val slices = ranged
-      .groupBy(spark_partition_id().as("pid"), col("event_type")).count()
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .as[(String, Double)].rdd
+    // per-(partition, group) counts: a plain RDD pass (rows arrive grouped —
+    // each partition is sorted with event_type leading), tiny driver result
+    val slices: Array[(Int, String, Long)] = ranged
+      .mapPartitionsWithIndex { (pid, it) =>
+        val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
+        it.foreach { case (g, _) => counts(g) = counts.getOrElse(g, 0L) + 1 }
+        counts.iterator.map { case (g, c) => (pid, g, c) }
+      }.collect()
     // group totals fall out of the slice counts — no separate count job
     val totals: Map[String, Long] =
       slices.groupBy(_._2).map { case (g, sl) => g -> sl.map(_._3).sum }
@@ -116,21 +122,24 @@ object Sessions {
     }
     val bcTargets = s.sparkContext.broadcast(targets)
     val bcOffsets = s.sparkContext.broadcast(offsets)
-    val picked = ranged.as[(String, Double)].rdd.mapPartitionsWithIndex {
-      (pid, it) =>
-        var g: String = null
-        var rank = 0L
-        it.flatMap { case (et, v) =>
-          if (et != g) { g = et; rank = bcOffsets.value.getOrElse((pid, g), 0L) }
-          rank += 1
-          if (bcTargets.value(g).contains(rank)) Iterator((g, v))
-          else Iterator.empty
-        }
+    val picked = ranged.mapPartitionsWithIndex { (pid, it) =>
+      var g: String = null
+      var rank = 0L
+      it.flatMap { case (et, v) =>
+        if (et != g) { g = et; rank = bcOffsets.value.getOrElse((pid, g), 0L) }
+        rank += 1
+        if (bcTargets.value(g).contains(rank)) Iterator((et, v))
+        else Iterator.empty
+      }
+    }
+    // n comes from the already-collected totals — no join back
+    val nCol = totals.foldLeft(lit(null).cast("long")) { case (acc, (g, n)) =>
+      when(col("event_type") === g, lit(n)).otherwise(acc)
     }
     picked.toDF("event_type", "value")
       .groupBy(col("event_type"))
       .agg((sum(col("value")) / count(lit(1))).as("median"))
-      .join(totals.toSeq.toDF("event_type", "n"), Seq("event_type"))
+      .withColumn("n", nCol)
       .select(col("event_type"), col("median"), col("n"))
       .orderBy(col("event_type"))
   }
