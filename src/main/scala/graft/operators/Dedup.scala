@@ -99,7 +99,7 @@ object Dedup {
     // upstream pipeline from the scan (AQE broadcasts these small sides, so
     // there is no shared shuffle for ReuseExchange to dedupe). At warehouse
     // scale this is the persisted signature/band table.
-    val bk = bandTable.localCheckpoint()
+    val bk = bandTable.localCheckpoint(eager = false)
     // Only the OVERSIZED buckets survive the filter, so this side is tiny
     // (≤ N/cap rows, usually zero) and broadcasts: the guard costs one
     // aggregate over the same (band, key) exchange the self-join already
@@ -159,7 +159,7 @@ object Dedup {
     // The signature subtree feeds the band pipeline and both pair sides —
     // materialize it once (one narrow row per doc; at real scale this is
     // the persisted signature table an LSH index maintains).
-    val sig = signature(Tables.documents(s, d)).localCheckpoint()
+    val sig = signature(Tables.documents(s, d)).localCheckpoint(eager = false)
     val matches = (0 until R)
       .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -269,8 +269,8 @@ object Dedup {
     val docs = Tables.documents(s, d)
     // sh feeds both exact-intersection arms AND the per-doc counts; sig
     // feeds the band pipeline. Materialize each once (see q20).
-    val sig = signature(docs).localCheckpoint()
-    val sh = shingles(docs).localCheckpoint()
+    val sig = signature(docs).localCheckpoint(eager = false)
+    val sh = shingles(docs).localCheckpoint(eager = false)
     val counts = sh.groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh")) // shingles() is already distinct
     val inter = candidates(sig)
