@@ -25,7 +25,7 @@ import graft.Tables
 object Dedup {
 
   private val P = 1000000007L // prime modulus for the minhash permutations
-  private val R = 12          // minhash signature length
+  private[graft] val R = 12          // minhash signature length
   private val Bands = 4       // bands of R/Bands rows each
 
   /** 48-bit deterministic string hash: md5 hex prefix as integer. */
@@ -35,7 +35,7 @@ object Dedup {
 
   /** Distinct word 2-shingles per doc, exploded. size(toks) >= 2 guards the
     * descending-sequence pitfall (sequence(1,0) counts down in Spark). */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toksCol.as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -44,7 +44,7 @@ object Dedup {
 
   /** MinHash signature: m_j = min over shingles of (a_j·x + b_j) mod P with
     * a_j = 2j+1, b_j = 17j+3. One pass: 12 partial mins combine map-side. */
-  private def signature(docs: DataFrame): DataFrame = {
+  private[graft] def signature(docs: DataFrame): DataFrame = {
     val hashed = shingles(docs).withColumn("x", hex12(col("s")))
     val mins = (0 until R).map(j =>
       min((col("x") * (2 * j + 1) + (17 * j + 3)) % P).as(s"m$j"))
@@ -52,7 +52,7 @@ object Dedup {
   }
 
   /** Band keys: Bands rows per doc, key = the band's signature slice. */
-  private def bandKeys(sig: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sig: DataFrame): DataFrame = {
     val rows = R / Bands
     val bandStructs = (0 until Bands).map { b =>
       val key = concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)

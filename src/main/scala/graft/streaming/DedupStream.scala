@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** Incremental MinHash near-dup — dedup at INGEST time, the shape a
+  * training-data pipeline actually runs at 100 TB: documents stream in,
+  * each micro-batch signs only its NEW docs, probes its band keys against
+  * the persisted signature state (one narrow row per doc ever seen), emits
+  * the near-dup pairs the batch introduced, and appends its signatures.
+  * Per-batch work is O(batch × matching buckets), never O(corpus²); the
+  * union of per-batch pairs over any arrival order equals the one-shot
+  * batch pipeline ([[Dedup.q20MinhashNeardup]]) on the same corpus —
+  * pinned by DedupStreamSpec.
+  *
+  * The hot-bucket guard carries over: STATE buckets over `cap` pair a new
+  * doc only with the bucket's hub (the same linear bound as
+  * [[Dedup.guardedBandPairs]]), so a spam cluster growing without bound
+  * costs one pair per arrival, not |cluster| pairs. Deviation from the
+  * batch guard, by construction: pairs emitted BEFORE a bucket crossed the
+  * cap are kept, so the incremental output is a superset of the batch
+  * guard's hub-only output for that bucket (equal whenever no cap engages).
+  *
+  * Replay safety (T9): doc_ids already in state are dropped before signing
+  * (idempotent re-delivery), pair appends dedupe on (doc_a, doc_b), and a
+  * batch-id guard skips exact re-runs.
+  */
+final class DedupStream(
+    spark: SparkSession,
+    state: StateDir,
+    threshold: Double = 0.5,
+    cap: Int = Dedup.HotBucketCap) extends Serializable {
+
+  import DedupStream._
+
+  def sigSnapshot: DataFrame = state.read(SigTable, SigSchema)
+  def pairsSnapshot: DataFrame = state.read(PairsTable, PairsSchema)
+
+  /** Per-batch body (public: batch tests drive it directly). `docs` needs
+    * (doc_id long, text string). */
+  def processBatch(docs: DataFrame, batchId: Long): Unit = {
+    val lastBatch = if (state.exists(MetaTable))
+      state.read(MetaTable, MetaSchema).first().getLong(0) else -1L
+    if (batchId <= lastBatch) return
+
+    val stateSig = state.read(SigTable, SigSchema)
+    // idempotent re-delivery: docs already signed are not re-signed
+    val newSig = Dedup.signature(docs)
+      .join(stateSig.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds bands, scoring (twice), and the state append
+    val allSig = stateSig.unionByName(newSig).localCheckpoint()
+
+    val newBands = Dedup.bandKeys(newSig)
+    val allBands = Dedup.bandKeys(allSig).localCheckpoint()
+    // hot buckets measured over the FULL corpus state, tiny by construction
+    val hot = allBands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"))
+      .filter(col("bsize") > cap)
+    val newTagged = newBands.join(broadcast(hot), Seq("band", "key"), "left")
+    val allSmall = allBands.join(broadcast(hot.select("band", "key", "bsize")),
+      Seq("band", "key"), "left_anti")
+    // small buckets: new docs probe every resident; hot buckets: hub only
+    val candSmall = newTagged.filter(col("hub").isNull).as("n")
+      .join(allSmall.as("a"),
+        col("n.band") === col("a.band") && col("n.key") === col("a.key")
+          && col("n.doc_id") =!= col("a.doc_id"))
+      .select(least(col("n.doc_id"), col("a.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("a.doc_id")).as("doc_b"))
+    val candHot = newTagged
+      .filter(col("hub").isNotNull && col("doc_id") =!= col("hub"))
+      .select(least(col("hub"), col("doc_id")).as("doc_a"),
+        greatest(col("hub"), col("doc_id")).as("doc_b"))
+    val matches = (0 until Dedup.R)
+      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = candSmall.unionByName(candHot).distinct()
+      .join(allSig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(allSig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("est_jaccard", matches / lit(Dedup.R.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+
+    val existing = state.read(PairsTable, PairsSchema)
+    state.write(PairsTable, existing.unionByName(
+      scored.join(existing.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")))
+    state.write(SigTable, allSig)
+    state.write(MetaTable,
+      spark.createDataFrame(Seq(Tuple1(batchId))).toDF("last_batch"))
+  }
+
+  /** Attach to a (doc_id, text) stream. */
+  def start(docs: DataFrame, trigger: Trigger,
+      checkpoint: String): StreamingQuery = {
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processBatch(df.toDF(), id))
+      .start()
+  }
+}
+
+object DedupStream {
+  val SigTable = "sig"
+  val PairsTable = "neardup_pairs"
+  val MetaTable = "dedup_meta"
+
+  val SigSchema: StructType = StructType(
+    StructField("doc_id", LongType) +:
+      (0 until Dedup.R).map(j => StructField(s"m$j", LongType)))
+
+  val PairsSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType),
+    StructField("est_jaccard", DoubleType)))
+
+  val MetaSchema: StructType = StructType(Seq(StructField("last_batch", LongType)))
+}
