@@ -41,7 +41,14 @@ final class DedupStream(
   def pairsSnapshot: DataFrame = state.read(PairsTable, PairsSchema)
 
   /** Per-batch body (public: batch tests drive it directly). `docs` needs
-    * (doc_id long, text string). */
+    * (doc_id long, text string).
+    *
+    * Incremental invariant: NOTHING here recomputes over the corpus — the
+    * band table and per-bucket stats are persisted state, appended/merged
+    * per batch. Batch cost is O(new docs + matching-bucket residents +
+    * |bucket stats|); the only corpus-sized reads are columnar state scans
+    * (bands for the probe join, sig for pair scoring), never the
+    * shingle→minhash pipeline. */
   def processBatch(docs: DataFrame, batchId: Long): Unit = {
     val lastBatch = if (state.exists(MetaTable))
       state.read(MetaTable, MetaSchema).first().getLong(0) else -1L
@@ -52,20 +59,25 @@ final class DedupStream(
     val newSig = Dedup.signature(docs)
       .join(stateSig.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint() // feeds bands, scoring (twice), and the state append
-    val allSig = stateSig.unionByName(newSig).localCheckpoint()
+    val newBands = Dedup.bandKeys(newSig).localCheckpoint()
 
-    val newBands = Dedup.bandKeys(newSig)
-    val allBands = Dedup.bandKeys(allSig).localCheckpoint()
-    // hot buckets measured over the FULL corpus state, tiny by construction
-    val hot = allBands.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"))
-      .filter(col("bsize") > cap)
+    // merge per-bucket stats incrementally: old stats ∪ this batch's deltas
+    val stateBands = state.read(BandsTable, BandsSchema)
+    val stats = state.read(StatsTable, StatsSchema)
+      .unionByName(newBands.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub")))
+      .groupBy(col("band"), col("key"))
+      .agg(sum(col("bsize")).as("bsize"), min(col("hub")).as("hub"))
+      .localCheckpoint()
+    val hot = stats.filter(col("bsize") > cap)
+
     val newTagged = newBands.join(broadcast(hot), Seq("band", "key"), "left")
-    val allSmall = allBands.join(broadcast(hot.select("band", "key", "bsize")),
-      Seq("band", "key"), "left_anti")
+    // residents of the probed buckets: state + this batch's other new docs
+    val allBands = stateBands.unionByName(newBands)
+      .join(broadcast(hot.select("band", "key")), Seq("band", "key"), "left_anti")
     // small buckets: new docs probe every resident; hot buckets: hub only
     val candSmall = newTagged.filter(col("hub").isNull).as("n")
-      .join(allSmall.as("a"),
+      .join(allBands.as("a"),
         col("n.band") === col("a.band") && col("n.key") === col("a.key")
           && col("n.doc_id") =!= col("a.doc_id"))
       .select(least(col("n.doc_id"), col("a.doc_id")).as("doc_a"),
@@ -74,6 +86,7 @@ final class DedupStream(
       .filter(col("hub").isNotNull && col("doc_id") =!= col("hub"))
       .select(least(col("hub"), col("doc_id")).as("doc_a"),
         greatest(col("hub"), col("doc_id")).as("doc_b"))
+    val allSig = stateSig.unionByName(newSig)
     val matches = (0 until Dedup.R)
       .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -89,6 +102,8 @@ final class DedupStream(
       scored.join(existing.select("doc_a", "doc_b"),
         Seq("doc_a", "doc_b"), "left_anti")))
     state.write(SigTable, allSig)
+    state.write(BandsTable, stateBands.unionByName(newBands))
+    state.write(StatsTable, stats)
     state.write(MetaTable,
       spark.createDataFrame(Seq(Tuple1(batchId))).toDF("last_batch"))
   }
@@ -107,12 +122,22 @@ final class DedupStream(
 
 object DedupStream {
   val SigTable = "sig"
+  val BandsTable = "bands"
+  val StatsTable = "bucket_stats"
   val PairsTable = "neardup_pairs"
   val MetaTable = "dedup_meta"
 
   val SigSchema: StructType = StructType(
     StructField("doc_id", LongType) +:
       (0 until Dedup.R).map(j => StructField(s"m$j", LongType)))
+
+  val BandsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("key", StringType)))
+
+  val StatsSchema: StructType = StructType(Seq(
+    StructField("band", IntegerType), StructField("key", StringType),
+    StructField("bsize", LongType), StructField("hub", LongType)))
 
   val PairsSchema: StructType = StructType(Seq(
     StructField("doc_a", LongType), StructField("doc_b", LongType),
