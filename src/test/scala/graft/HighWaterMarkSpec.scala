@@ -51,6 +51,30 @@ class HighWaterMarkSpec extends AnyFunSuite {
     }
   }
 
+  test("property: two-phase prefix stats equal the window form on any shape") {
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(99)
+    for (round <- 1 to 12) {
+      val n = rnd.nextInt(2000)
+      val seqs = (0 until n).collect {
+        case i if rnd.nextDouble() < 0.9 => (i.toLong, (rnd.nextInt(10000) + 1) / 100.0)
+      }
+      // duplicates injected: replayed chunks must no-op in both forms
+      val withDups = seqs ++ seqs.take(rnd.nextInt(5))
+      val chunks = rnd.shuffle(withDups.toVector)
+        .toDF("seq", "size")
+        .withColumn("size", $"size".cast(DecimalType(18, 2)))
+        .repartition(7)
+      val (hw2, n2) = HighWaterMark.contiguousPrefixStats(chunks)
+      val windowed = HighWaterMark.contiguousPrefix(chunks, "seq")
+        .agg(coalesce(sum($"size"), lit(0).cast(DecimalType(28, 2))).cast("double"),
+          count(lit(1)))
+        .head()
+      assert(hw2 == windowed.getDouble(0), s"round $round hw")
+      assert(n2 == windowed.getLong(1), s"round $round n")
+    }
+  }
+
   test("advance: strict monotonic accept") {
     assert(HighWaterMark.advance(10, 20, Some(5L)) == ((10, 20, true)))
   }
