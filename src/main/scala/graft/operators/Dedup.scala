@@ -198,9 +198,24 @@ object Dedup {
        |  SELECT doc_id, b.b AS band,
        |    CASE b.b $bandCase END AS key
        |  FROM sig, (SELECT unnest(range(0,$Bands)) AS b) b
+       |), sized AS (
+       |  SELECT band, key, count(*) AS bsize, min(doc_id) AS hub
+       |  FROM bands GROUP BY band, key
+       |), tagged AS (
+       |  SELECT b.doc_id, b.band, b.key, s.bsize, s.hub
+       |  FROM bands b JOIN sized s USING (band, key)
        |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  -- same guard as guardedBandPairs: all-pairs below the cap,
+       |  -- linear hub pairs above it
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM tagged a JOIN tagged b
+       |      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |    WHERE a.bsize <= $HotBucketCap
+       |    UNION ALL
+       |    SELECT hub AS doc_a, doc_id AS doc_b
+       |    FROM tagged WHERE bsize > $HotBucketCap AND doc_id <> hub
+       |  ) u
        |)""".stripMargin
   }
 

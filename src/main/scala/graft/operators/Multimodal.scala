@@ -52,6 +52,7 @@ object Multimodal {
     * output bytes sample the input at a fixed stride so the payload
     * genuinely shrinks with the target size. Swap ONLY this function. */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (payload.isEmpty) return payload // zero-byte blob: nothing to sample
     val outLen = math.max(1, math.min(payload.length, w * h / 64))
     val stride = math.max(1, payload.length / outLen)
     Array.tabulate(outLen)(i => payload(math.min(i * stride, payload.length - 1)))

@@ -123,18 +123,26 @@ object Sessions {
     val bcTargets = s.sparkContext.broadcast(targets)
     val bcOffsets = s.sparkContext.broadcast(offsets)
     val picked = ranged.mapPartitionsWithIndex { (pid, it) =>
+      // `started` flag, not a null sentinel: a NULL event_type group sorts
+      // first, and initializing g=null would skip its offset load (null ==
+      // null), restarting its rank at 1 in every partition — wrong median.
+      var started = false
       var g: String = null
       var rank = 0L
       it.flatMap { case (et, v) =>
-        if (et != g) { g = et; rank = bcOffsets.value.getOrElse((pid, g), 0L) }
+        if (!started || et != g) {
+          started = true; g = et
+          rank = bcOffsets.value.getOrElse((pid, g), 0L)
+        }
         rank += 1
         if (bcTargets.value(g).contains(rank)) Iterator((et, v))
         else Iterator.empty
       }
     }
-    // n comes from the already-collected totals — no join back
+    // n comes from the already-collected totals — no join back. eqNullSafe:
+    // a NULL event_type group must still find its count.
     val nCol = totals.foldLeft(lit(null).cast("long")) { case (acc, (g, n)) =>
-      when(col("event_type") === g, lit(n)).otherwise(acc)
+      when(col("event_type").eqNullSafe(g), lit(n)).otherwise(acc)
     }
     picked.toDF("event_type", "value")
       .groupBy(col("event_type"))

@@ -226,9 +226,24 @@ object Similarity {
        |), keys AS (
        |  SELECT vec_id, plane_id // $bitsPerBand AS band, CAST(sum(bit) AS INT) AS key
        |  FROM bits GROUP BY vec_id, plane_id // $bitsPerBand
+       |), sized AS (
+       |  SELECT band, key, count(*) AS bsize, min(vec_id) AS hub
+       |  FROM keys GROUP BY band, key
+       |), tagged AS (
+       |  SELECT k.vec_id, k.band, k.key, s.bsize, s.hub
+       |  FROM keys k JOIN sized s USING (band, key)
        |), cand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |  -- same guard as guardedBandPairs: with only 2^$bitsPerBand keys
+       |  -- per band, buckets WILL cross the cap at moderate scale
+       |  SELECT DISTINCT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM tagged a JOIN tagged b
+       |      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |    WHERE a.bsize <= ${Dedup.HotBucketCap}
+       |    UNION ALL
+       |    SELECT hub AS vec_a, vec_id AS vec_b
+       |    FROM tagged WHERE bsize > ${Dedup.HotBucketCap} AND vec_id <> hub
+       |  ) u
        |)
        |SELECT vec_a, vec_b,
        |  ${duckDot("ea.embedding", "eb.embedding")} / sqrt(ea.n2 * eb.n2) AS cosine

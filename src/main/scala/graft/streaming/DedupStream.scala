@@ -25,9 +25,14 @@ import graft.operators.Dedup
   * cap are kept, so the incremental output is a superset of the batch
   * guard's hub-only output for that bucket (equal whenever no cap engages).
   *
-  * Replay safety (T9): doc_ids already in state are dropped before signing
-  * (idempotent re-delivery), pair appends dedupe on (doc_a, doc_b), and a
-  * batch-id guard skips exact re-runs.
+  * Replay safety (T9): every state row is tagged with the batch id that
+  * wrote it, and each write's read-base filters to rows of STRICTLY EARLIER
+  * batches — so a crash between any two of the five table writes replays
+  * exactly (partial rows of the crashed attempt are dropped from the base
+  * and rewritten identically), re-delivered docs dedupe against earlier
+  * batches, and the batch-id guard skips fully-committed re-runs. This is
+  * the standard idempotent-foreachBatch pattern; a cross-table transaction
+  * (the reference's Postgres) is exactly what parquet state lacks.
   */
 final class DedupStream(
     spark: SparkSession,
@@ -54,16 +59,27 @@ final class DedupStream(
       state.read(MetaTable, MetaSchema).first().getLong(0) else -1L
     if (batchId <= lastBatch) return
 
-    val stateSig = state.read(SigTable, SigSchema)
-    // idempotent re-delivery: docs already signed are not re-signed
+    // every read-base excludes rows this batch may have partially written
+    // before a crash — replay then regenerates them bit-identically
+    val sigPrev = state.read(SigTable, SigSchema)
+      .filter(col("batch_id") < batchId)
+    // idempotent re-delivery: docs signed by EARLIER batches are dropped
     val newSig = Dedup.signature(docs)
-      .join(stateSig.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(sigPrev.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint() // feeds bands, scoring (twice), and the state append
     val newBands = Dedup.bandKeys(newSig).localCheckpoint()
 
-    // merge per-bucket stats incrementally: old stats ∪ this batch's deltas
-    val stateBands = state.read(BandsTable, BandsSchema)
-    val stats = state.read(StatsTable, StatsSchema)
+    val bandsPrev = state.read(BandsTable, BandsSchema)
+      .filter(col("batch_id") < batchId)
+      .select("doc_id", "band", "key")
+    // bucket stats: previous snapshot (latest batch < this one) + delta
+    val statsAll = state.read(StatsTable, StatsSchema)
+    val prevSnap = statsAll.filter(col("batch_id") < batchId)
+      .agg(max(col("batch_id"))).first().get(0)
+    val statsPrev =
+      if (prevSnap == null) statsAll.filter(lit(false))
+      else statsAll.filter(col("batch_id") === prevSnap)
+    val stats = statsPrev.select("band", "key", "bsize", "hub")
       .unionByName(newBands.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub")))
       .groupBy(col("band"), col("key"))
@@ -73,7 +89,7 @@ final class DedupStream(
 
     val newTagged = newBands.join(broadcast(hot), Seq("band", "key"), "left")
     // residents of the probed buckets: state + this batch's other new docs
-    val allBands = stateBands.unionByName(newBands)
+    val allBands = bandsPrev.unionByName(newBands)
       .join(broadcast(hot.select("band", "key")), Seq("band", "key"), "left_anti")
     // small buckets: new docs probe every resident; hot buckets: hub only
     val candSmall = newTagged.filter(col("hub").isNull).as("n")
@@ -86,7 +102,7 @@ final class DedupStream(
       .filter(col("hub").isNotNull && col("doc_id") =!= col("hub"))
       .select(least(col("hub"), col("doc_id")).as("doc_a"),
         greatest(col("hub"), col("doc_id")).as("doc_b"))
-    val allSig = stateSig.unionByName(newSig)
+    val allSig = sigPrev.select(newSig.columns.map(col): _*).unionByName(newSig)
     val matches = (0 until Dedup.R)
       .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -97,13 +113,21 @@ final class DedupStream(
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
 
-    val existing = state.read(PairsTable, PairsSchema)
-    state.write(PairsTable, existing.unionByName(
-      scored.join(existing.select("doc_a", "doc_b"),
-        Seq("doc_a", "doc_b"), "left_anti")))
-    state.write(SigTable, allSig)
-    state.write(BandsTable, stateBands.unionByName(newBands))
-    state.write(StatsTable, stats)
+    // each write: earlier-batch rows + this batch's rows tagged batch_id —
+    // self-healing whatever subset of the five writes survived a crash
+    val tag = lit(batchId).as("batch_id")
+    val pairsPrev = state.read(PairsTable, PairsSchema)
+      .filter(col("batch_id") < batchId)
+    state.write(PairsTable, pairsPrev.unionByName(
+      scored.join(pairsPrev.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti").select(col("*"), tag)))
+    state.write(SigTable,
+      sigPrev.unionByName(newSig.select(col("*"), tag)))
+    state.write(BandsTable, state.read(BandsTable, BandsSchema)
+      .filter(col("batch_id") < batchId)
+      .unionByName(newBands.select(col("*"), tag)))
+    state.write(StatsTable,
+      statsPrev.unionByName(stats.select(col("*"), tag)))
     state.write(MetaTable,
       spark.createDataFrame(Seq(Tuple1(batchId))).toDF("last_batch"))
   }
@@ -127,21 +151,25 @@ object DedupStream {
   val PairsTable = "neardup_pairs"
   val MetaTable = "dedup_meta"
 
+  // every state table carries the batch_id that wrote each row — the
+  // replay-exactness anchor (see the class scaladoc)
   val SigSchema: StructType = StructType(
-    StructField("doc_id", LongType) +:
-      (0 until Dedup.R).map(j => StructField(s"m$j", LongType)))
+    (StructField("doc_id", LongType) +:
+      (0 until Dedup.R).map(j => StructField(s"m$j", LongType))) :+
+      StructField("batch_id", LongType))
 
   val BandsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("band", IntegerType),
-    StructField("key", StringType)))
+    StructField("key", StringType), StructField("batch_id", LongType)))
 
   val StatsSchema: StructType = StructType(Seq(
     StructField("band", IntegerType), StructField("key", StringType),
-    StructField("bsize", LongType), StructField("hub", LongType)))
+    StructField("bsize", LongType), StructField("hub", LongType),
+    StructField("batch_id", LongType)))
 
   val PairsSchema: StructType = StructType(Seq(
     StructField("doc_a", LongType), StructField("doc_b", LongType),
-    StructField("est_jaccard", DoubleType)))
+    StructField("est_jaccard", DoubleType), StructField("batch_id", LongType)))
 
   val MetaSchema: StructType = StructType(Seq(StructField("last_batch", LongType)))
 }

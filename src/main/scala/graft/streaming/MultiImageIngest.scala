@@ -41,6 +41,11 @@ final class MultiImageIngest(
 
   def machine(img: String): ChunkIngest = machines(img)
 
+  /** Cumulative count of chunks whose image nobody declared — the
+    * streaming path's record that drops happened (the scaladoc's
+    * "counted, not silently dropped" contract). */
+  @volatile var unroutedTotal: Long = 0L
+
   /** T7 fleet-wide: every declared image fully ingested. */
   def isDone: Boolean = machines.values.forall(_.isDone)
 
@@ -59,8 +64,15 @@ final class MultiImageIngest(
           m.processBatch(blocks.filter(b => imageOf(b.filename) == img), batchId)
       }
       val unknown = present.diff(images.keySet)
-      if (unknown.isEmpty) 0L
-      else blocks.filter(b => unknown(imageOf(b.filename))).count()
+      val unrouted =
+        if (unknown.isEmpty) 0L
+        else blocks.filter(b => unknown(imageOf(b.filename))).count()
+      if (unrouted > 0) {
+        unroutedTotal += unrouted
+        Console.err.println(s"MultiImageIngest: batch $batchId dropped " +
+          s"$unrouted chunk(s) for undeclared image(s) ${unknown.mkString(", ")}")
+      }
+      unrouted
     } finally blocks.unpersist()
   }
 

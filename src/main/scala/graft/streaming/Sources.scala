@@ -32,10 +32,14 @@ object Sources {
     ) ++ maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
 
   /** S2/P2: `value` bytes → typed [[ImageBlock]] rows. Works on any frame
-    * with a binary `value` column — kafka, file, or memory stream. */
+    * with a binary `value` column — kafka, file, or memory stream. Null
+    * values (compacted-topic tombstones, delete markers) are dropped —
+    * decoding one would NPE and wedge the query on every restart. */
   def decodeBlocks(raw: DataFrame): Dataset[ImageBlock] = {
     import raw.sparkSession.implicits._
-    raw.select(col("value").cast("binary")).as[Array[Byte]]
+    raw.select(col("value").cast("binary"))
+      .filter(col("value").isNotNull)
+      .as[Array[Byte]]
       .map(ImageBlockCodec.decode)
   }
 

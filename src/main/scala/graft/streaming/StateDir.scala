@@ -139,7 +139,12 @@ final class StateDir(spark: SparkSession, root: String) {
 }
 
 object StateDir {
-  /** Versions retained per table: the live one plus one for in-flight
-    * readers that resolved the pointer just before a publish. */
-  val KeepVersions = 2
+  /** Versions retained per table: the live one plus a cushion for in-flight
+    * readers that resolved the pointer before recent publishes. A single
+    * ChunkIngest batch can publish the queue table up to three times
+    * (release enqueue, resident enqueue, error reset), so the cushion
+    * covers a full batch; a snapshot DataFrame held across BATCHES must be
+    * re-acquired (it lazily binds to a version directory that will
+    * eventually be GC'd — before GC existed it merely read stale data). */
+  val KeepVersions = 4
 }

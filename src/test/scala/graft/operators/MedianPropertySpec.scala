@@ -38,8 +38,8 @@ class MedianPropertySpec extends AnyFunSuite {
 
   test("two-phase median equals driver-side sort on adversarial group shapes") {
     val rnd = new scala.util.Random(13)
-    (0 until 6).foreach { round =>
-      val nGroups = Seq(1, 2, 5, 40, 7, 3)(round)
+    (0 until 7).foreach { round =>
+      val nGroups = Seq(1, 2, 5, 40, 7, 3, 4)(round)
       val rows = (0 until nGroups).flatMap { g =>
         val size = 1 + rnd.nextInt(300)
         val mode = rnd.nextInt(3)
@@ -49,7 +49,10 @@ class MedianPropertySpec extends AnyFunSuite {
             case 1 => 42.0                          // all equal (total ties)
             case 2 => rnd.nextInt(5).toDouble       // heavy duplicates
           }
-          ((g * 100000 + i).toLong, s"type_$g", math.round(v * 100) / 100.0)
+          // last round: one group is NULL-typed (sorts first — the rank
+          // walker must still load its offsets)
+          val t = if (round == 6 && g == 0) null else s"type_$g"
+          ((g * 100000 + i).toLong, t, math.round(v * 100) / 100.0)
         }
       }
       val dir = writeEvents(rows)

@@ -67,6 +67,39 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(pairs.map(_._2) == (1L until 50L).toSet)
   }
 
+  test("partial-crash replay: batch re-run self-heals whatever subset of writes survived") {
+    import DedupStream._
+    val stClean = new StateDir(spark, Files.createTempDirectory("dedup-clean-").toString)
+    val dsClean = new DedupStream(spark, stClean)
+    val stCrash = new StateDir(spark, Files.createTempDirectory("dedup-crash-").toString)
+    val dsCrash = new DedupStream(spark, stCrash)
+    val (b0, b1) = corpus.splitAt(70)
+
+    dsClean.processBatch(b0.toDF("doc_id", "text"), 0L)
+    dsClean.processBatch(b1.toDF("doc_id", "text"), 1L)
+
+    dsCrash.processBatch(b0.toDF("doc_id", "text"), 0L)
+    // simulate a crash mid-batch-1: the PAIRS and SIG writes landed, the
+    // BANDS/STATS/META writes did not (the reviewed failure scenario — a
+    // doc signed but bandless would silently never match again)
+    stCrash.write(PairsTable, stClean.read(PairsTable, PairsSchema))
+    stCrash.write(SigTable, stClean.read(SigTable, SigSchema))
+    // foreachBatch replays batch 1 (meta still says 0)
+    dsCrash.processBatch(b1.toDF("doc_id", "text"), 1L)
+
+    def rows(st: StateDir, t: String, s: org.apache.spark.sql.types.StructType) =
+      st.read(t, s).collect().map(_.toString).toSet
+    for ((t, s) <- Seq((SigTable, SigSchema), (BandsTable, BandsSchema),
+        (StatsTable, StatsSchema), (PairsTable, PairsSchema)))
+      assert(rows(stCrash, t, s) == rows(stClean, t, s), s"table $t diverged")
+    // and future batches behave: a near-dup of a batch-1 doc still matches
+    val probe = Seq((9999L, corpus.last._2))
+    dsClean.processBatch(probe.toDF("doc_id", "text"), 2L)
+    dsCrash.processBatch(probe.toDF("doc_id", "text"), 2L)
+    assert(rows(stCrash, PairsTable, PairsSchema) == rows(stClean, PairsTable, PairsSchema))
+    assert(pairSet(dsCrash.pairsSnapshot).exists(p => p._2 == 9999L))
+  }
+
   test("streaming wiring: MemoryStream drive matches direct batch drive") {
     val st = new StateDir(spark, Files.createTempDirectory("dedup-ms-").toString)
     val ds = new DedupStream(spark, st)

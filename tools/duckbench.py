@@ -16,6 +16,9 @@ def main():
     sfdir, oracle_path = sys.argv[1], sys.argv[2]
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    # the BASELINE.md comparison is against the SINGLE-THREADED embedded
+    # engine; duckdb defaults to all hardware threads
+    con.execute("SET threads=1")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
