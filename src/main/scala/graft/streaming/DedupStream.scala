@@ -60,8 +60,14 @@ final class DedupStream(
     if (batchId <= lastBatch) return
 
     // every read-base excludes rows this batch may have partially written
-    // before a crash — replay then regenerates them bit-identically
-    val sigPrev = state.read(SigTable, SigSchema)
+    // before a crash — replay then regenerates them bit-identically.
+    // Legacy rows written before the batch_id column existed read as NULL;
+    // they are committed-by-definition, so they coalesce to batch -1
+    // instead of silently vanishing from every filter.
+    def tagged(table: String, schema: StructType): DataFrame =
+      state.read(table, schema)
+        .withColumn("batch_id", coalesce(col("batch_id"), lit(-1L)))
+    val sigPrev = tagged(SigTable, SigSchema)
       .filter(col("batch_id") < batchId)
     // idempotent re-delivery: docs signed by EARLIER batches are dropped
     val newSig = Dedup.signature(docs)
@@ -69,11 +75,11 @@ final class DedupStream(
       .localCheckpoint() // feeds bands, scoring (twice), and the state append
     val newBands = Dedup.bandKeys(newSig).localCheckpoint()
 
-    val bandsPrev = state.read(BandsTable, BandsSchema)
+    val bandsPrevTagged = tagged(BandsTable, BandsSchema)
       .filter(col("batch_id") < batchId)
-      .select("doc_id", "band", "key")
+    val bandsPrev = bandsPrevTagged.select("doc_id", "band", "key")
     // bucket stats: previous snapshot (latest batch < this one) + delta
-    val statsAll = state.read(StatsTable, StatsSchema)
+    val statsAll = tagged(StatsTable, StatsSchema)
     val prevSnap = statsAll.filter(col("batch_id") < batchId)
       .agg(max(col("batch_id"))).first().get(0)
     val statsPrev =
@@ -116,16 +122,15 @@ final class DedupStream(
     // each write: earlier-batch rows + this batch's rows tagged batch_id —
     // self-healing whatever subset of the five writes survived a crash
     val tag = lit(batchId).as("batch_id")
-    val pairsPrev = state.read(PairsTable, PairsSchema)
+    val pairsPrev = tagged(PairsTable, PairsSchema)
       .filter(col("batch_id") < batchId)
     state.write(PairsTable, pairsPrev.unionByName(
       scored.join(pairsPrev.select("doc_a", "doc_b"),
         Seq("doc_a", "doc_b"), "left_anti").select(col("*"), tag)))
     state.write(SigTable,
       sigPrev.unionByName(newSig.select(col("*"), tag)))
-    state.write(BandsTable, state.read(BandsTable, BandsSchema)
-      .filter(col("batch_id") < batchId)
-      .unionByName(newBands.select(col("*"), tag)))
+    state.write(BandsTable,
+      bandsPrevTagged.unionByName(newBands.select(col("*"), tag)))
     state.write(StatsTable,
       statsPrev.unionByName(stats.select(col("*"), tag)))
     state.write(MetaTable,

@@ -43,8 +43,10 @@ final class MultiImageIngest(
 
   /** Cumulative count of chunks whose image nobody declared — the
     * streaming path's record that drops happened (the scaladoc's
-    * "counted, not silently dropped" contract). */
+    * "counted, not silently dropped" contract). Replay-guarded: a
+    * re-delivered batch id does not double-count. */
   @volatile var unroutedTotal: Long = 0L
+  @volatile private var lastUnroutedBatch: Long = -1L
 
   /** T7 fleet-wide: every declared image fully ingested. */
   def isDone: Boolean = machines.values.forall(_.isDone)
@@ -67,7 +69,8 @@ final class MultiImageIngest(
       val unrouted =
         if (unknown.isEmpty) 0L
         else blocks.filter(b => unknown(imageOf(b.filename))).count()
-      if (unrouted > 0) {
+      if (unrouted > 0 && batchId > lastUnroutedBatch) {
+        lastUnroutedBatch = batchId
         unroutedTotal += unrouted
         Console.err.println(s"MultiImageIngest: batch $batchId dropped " +
           s"$unrouted chunk(s) for undeclared image(s) ${unknown.mkString(", ")}")

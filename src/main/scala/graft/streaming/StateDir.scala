@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.StructType
   * onto a transactional table format (Delta/Iceberg MERGE); the versioning
   * here IS that pattern, including retention: old versions beyond
   * [[StateDir.KeepVersions]] are deleted after each pointer bump (current
-  * plus one prior, so an in-flight reader of version N-1 still resolves).
+  * plus a cushion of recent priors — see the companion for the sizing).
   *
   * Crash safety: the pointer is written to a temp file and published with an
   * ATOMIC_MOVE — a crash mid-publish leaves either the old pointer or the

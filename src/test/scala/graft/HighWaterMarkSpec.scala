@@ -65,13 +65,13 @@ class HighWaterMarkSpec extends AnyFunSuite {
         .toDF("seq", "size")
         .withColumn("size", $"size".cast(DecimalType(18, 2)))
         .repartition(7)
-      val (hw2, n2) = HighWaterMark.contiguousPrefixStats(chunks)
+      val twoLevel = HighWaterMark.contiguousPrefixAgg(chunks).head()
       val windowed = HighWaterMark.contiguousPrefix(chunks, "seq")
         .agg(coalesce(sum($"size"), lit(0).cast(DecimalType(28, 2))).cast("double"),
           count(lit(1)))
         .head()
-      assert(hw2 == windowed.getDouble(0), s"round $round hw")
-      assert(n2 == windowed.getLong(1), s"round $round n")
+      assert(twoLevel.getDouble(0) == windowed.getDouble(0), s"round $round hw")
+      assert(twoLevel.getLong(1) == windowed.getLong(1), s"round $round n")
     }
   }
 

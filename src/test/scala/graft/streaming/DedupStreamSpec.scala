@@ -100,6 +100,25 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(pairSet(dsCrash.pairsSnapshot).exists(p => p._2 == 9999L))
   }
 
+  test("legacy state (no batch_id column) upgrades in place, nothing wiped") {
+    import DedupStream._
+    // build state with the CURRENT code, then strip batch_id to simulate a
+    // dir written before the column existed
+    val st = new StateDir(spark, Files.createTempDirectory("dedup-legacy-").toString)
+    val ds = new DedupStream(spark, st)
+    val (b0, b1) = corpus.splitAt(75)
+    ds.processBatch(b0.toDF("doc_id", "text"), 0L)
+    val schemas = Seq(SigTable -> SigSchema, BandsTable -> BandsSchema,
+      StatsTable -> StatsSchema, PairsTable -> PairsSchema)
+    for ((t, s) <- schemas)
+      st.write(t, st.read(t, s).drop("batch_id"))
+    val pairsBefore = st.read(PairsTable, PairsSchema).count()
+    assert(pairsBefore > 0)
+    // next batch must keep every legacy row and still match against it
+    ds.processBatch(b1.toDF("doc_id", "text"), 1L)
+    assert(pairSet(ds.pairsSnapshot) == batchExpected(corpus))
+  }
+
   test("streaming wiring: MemoryStream drive matches direct batch drive") {
     val st = new StateDir(spark, Files.createTempDirectory("dedup-ms-").toString)
     val ds = new DedupStream(spark, st)
