@@ -121,8 +121,11 @@ object HighWaterMark {
     // chain the P stat rows: partition i contributes its leading run iff
     // every earlier partition was fully contiguous AND started exactly at
     // the running row count. Single-task window over ≤ P rows — bounded by
-    // the shuffle partition count, not the data.
-    val wPrev = Window.orderBy(col("pid"))
+    // the shuffle partition count, not the data. The constant partition
+    // key states that on purpose (and silences the unpartitioned-window
+    // warning, whose heuristic cannot see the row bound).
+    val wPrev = Window.partitionBy(lit(1))
+      .orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     s.createDataFrame(statsRdd)
       .withColumn("cumN", coalesce(sum(col("n")).over(wPrev), lit(0L)))

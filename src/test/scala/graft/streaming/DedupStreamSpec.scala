@@ -67,6 +67,23 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(pairs.map(_._2) == (1L until 50L).toSet)
   }
 
+  test("property: any arrival order and batch split yields the same pair set") {
+    val rnd = new scala.util.Random(31)
+    val expected = batchExpected(corpus)
+    (0 until 2).foreach { round =>
+      val st = new StateDir(spark,
+        Files.createTempDirectory(s"dedup-perm-$round-").toString)
+      val ds = new DedupStream(spark, st)
+      val shuffled = rnd.shuffle(corpus.toVector)
+      val k = 2 + rnd.nextInt(3)
+      val batches = shuffled.grouped((shuffled.size + k - 1) / k).toSeq
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        ds.processBatch(rows.toDF("doc_id", "text"), i.toLong)
+      }
+      assert(pairSet(ds.pairsSnapshot) == expected, s"round $round k=$k")
+    }
+  }
+
   test("partial-crash replay: batch re-run self-heals whatever subset of writes survived") {
     import DedupStream._
     val stClean = new StateDir(spark, Files.createTempDirectory("dedup-clean-").toString)
