@@ -31,4 +31,16 @@ class EntrySmokeSpec extends AnyFunSuite {
   test("every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("plan contract: no CartesianProduct in any declared query") {
+    // the 100 TB line in the sand: every join must be keyed or broadcast —
+    // a cartesian between data-scale sides never survives a scale-up.
+    // (crossJoin against a broadcast-bounded side plans as
+    // BroadcastNestedLoopJoin, which this permits by design.)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(TestSession.spark, TestSession.sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
 }
