@@ -87,7 +87,7 @@ object Multimodal {
       .mapPartitions(it => it.flatMap { case (id, payload) =>
         val nFrames = payload.length / frameBytes
         Iterator.range(0, nFrames, everyNth).map { f =>
-          Frame(id, f, (f * 1000 / fps).toLong,
+          Frame(id, f, (f * 1000L / fps).toLong,
             java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))
         }
       })

@@ -89,7 +89,12 @@ object Sessions {
     * deterministic to the bit on both engines. */
   def q42Median(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d).select(col("event_type"), col("value"), col("event_id"))
+    // median over NON-NULL values, explicitly (standard median semantics;
+    // also: a null value would crash the (String, Double) tuple encoder,
+    // and null ordering differs between engines anyway)
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
     // localCheckpoint pins the sampled range boundaries: the offset pass and
     // the selection pass MUST see the identical partitioning (lazy: the
     // slice-count job below materializes it — one pass, not two).
@@ -157,7 +162,7 @@ object Sessions {
       |  SELECT event_type, value,
       |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
       |    count(*) OVER (PARTITION BY event_type) AS cnt
-      |  FROM events
+      |  FROM events WHERE value IS NOT NULL
       |)
       |SELECT event_type, sum(value) / count(*) AS median, max(cnt) AS n
       |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2

@@ -33,6 +33,14 @@ import graft.operators.Dedup
   * batches, and the batch-id guard skips fully-committed re-runs. This is
   * the standard idempotent-foreachBatch pattern; a cross-table transaction
   * (the reference's Postgres) is exactly what parquet state lacks.
+  *
+  * Local write amplification, stated honestly: [[StateDir]]'s versioned
+  * swap rewrites each table in full per publish, so per-batch WRITE I/O is
+  * O(corpus) even though the COMPUTE is O(batch). At warehouse scale the
+  * same call sites are transactional-format appends (the per-batch delta —
+  * newSig/newBands/new pairs, already isolated and batch_id-tagged — is an
+  * APPEND to a Delta/Iceberg table, and the batch_id filters become
+  * time-travel/overwrite-by-partition); the rewrite is the local stand-in.
   */
 final class DedupStream(
     spark: SparkSession,
@@ -91,7 +99,14 @@ final class DedupStream(
       .groupBy(col("band"), col("key"))
       .agg(sum(col("bsize")).as("bsize"), min(col("hub")).as("hub"))
       .localCheckpoint()
+    // hot buckets carry BOTH the merged hub and the bucket's previous hub:
+    // a late arrival with the smallest doc_id ever seen BECOMES the merged
+    // hub, and pairing it against itself would orphan it (no pair, despite
+    // being a duplicate of everything in the bucket) — it pairs with the
+    // previous hub instead.
     val hot = stats.filter(col("bsize") > cap)
+      .join(statsPrev.select(col("band"), col("key"), col("hub").as("prev_hub")),
+        Seq("band", "key"), "left")
 
     val newTagged = newBands.join(broadcast(hot), Seq("band", "key"), "left")
     // residents of the probed buckets: state + this batch's other new docs
@@ -105,9 +120,12 @@ final class DedupStream(
       .select(least(col("n.doc_id"), col("a.doc_id")).as("doc_a"),
         greatest(col("n.doc_id"), col("a.doc_id")).as("doc_b"))
     val candHot = newTagged
-      .filter(col("hub").isNotNull && col("doc_id") =!= col("hub"))
-      .select(least(col("hub"), col("doc_id")).as("doc_a"),
-        greatest(col("hub"), col("doc_id")).as("doc_b"))
+      .filter(col("hub").isNotNull)
+      .select(when(col("doc_id") =!= col("hub"), col("hub"))
+        .otherwise(col("prev_hub")).as("other"), col("doc_id"))
+      .filter(col("other").isNotNull && col("other") =!= col("doc_id"))
+      .select(least(col("other"), col("doc_id")).as("doc_a"),
+        greatest(col("other"), col("doc_id")).as("doc_b"))
     val allSig = sigPrev.select(newSig.columns.map(col): _*).unionByName(newSig)
     val matches = (0 until Dedup.R)
       .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))

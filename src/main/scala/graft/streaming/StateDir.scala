@@ -36,8 +36,11 @@ final class StateDir(spark: SparkSession, root: String) {
 
   new File(root).mkdirs()
 
-  private val rmwLock = new Object
-  private var lockDepth = 0
+  // JVM-wide per-root lock state: two StateDir INSTANCES on the same root
+  // in one JVM must share a monitor — OS file locks are held per JVM, so a
+  // second instance's acquire would otherwise throw
+  // OverlappingFileLockException instead of waiting.
+  private val rmw = StateDir.lockFor(new File(root).getCanonicalPath)
 
   /** Serializes read-modify-write sequences on this state dir — in-process
     * via the monitor AND cross-process via an OS file lock on `.lock`, so
@@ -49,17 +52,17 @@ final class StateDir(spark: SparkSession, root: String) {
     * ingest process per state dir, like the reference's single StreamingApp.
     * On a real cluster the state tables are a transactional format
     * (Delta/Iceberg) and this becomes optimistic commit-conflict retry. */
-  def locked[T](f: => T): T = rmwLock.synchronized {
+  def locked[T](f: => T): T = rmw.synchronized {
     // Depth guard: FileChannel locks are per-JVM and non-reentrant
     // (OverlappingFileLockException on a nested acquire), while the monitor
     // IS reentrant — only the outermost locked() touches the OS lock.
-    if (lockDepth > 0) { lockDepth += 1; try f finally lockDepth -= 1 }
+    if (rmw.depth > 0) { rmw.depth += 1; try f finally rmw.depth -= 1 }
     else {
       val raf = new RandomAccessFile(new File(root, ".lock"), "rw")
       try {
         val fl = raf.getChannel.lock()
-        lockDepth = 1
-        try f finally { lockDepth = 0; fl.release() }
+        rmw.depth = 1
+        try f finally { rmw.depth = 0; fl.release() }
       } finally raf.close()
     }
   }
@@ -145,6 +148,18 @@ object StateDir {
     * (release enqueue, resident enqueue, error reset), so the cushion
     * covers a full batch; a snapshot DataFrame held across BATCHES must be
     * re-acquired (it lazily binds to a version directory that will
-    * eventually be GC'd — before GC existed it merely read stale data). */
+    * eventually be GC'd — before GC existed it merely read stale data).
+    * Cross-process readers have no fence: read() takes no lock, so a slow
+    * reader in another process racing KeepVersions publishes can lose its
+    * directory mid-scan — such a reader must re-resolve and retry on
+    * FileNotFound. A transactional table format's snapshot isolation is
+    * the real fix at deployment scale. */
   val KeepVersions = 4
+
+  /** Per-root lock state, shared by every StateDir instance in this JVM. */
+  private final class RootLock { var depth = 0 }
+  private val rootLocks =
+    scala.collection.concurrent.TrieMap.empty[String, RootLock]
+  private def lockFor(canonicalRoot: String): RootLock =
+    rootLocks.getOrElseUpdate(canonicalRoot, new RootLock)
 }
