@@ -26,21 +26,24 @@ import graft.operators.Dedup
   * guard's hub-only output for that bucket (equal whenever no cap engages).
   *
   * Replay safety (T9): every state row is tagged with the batch id that
-  * wrote it, and each write's read-base filters to rows of STRICTLY EARLIER
+  * wrote it, and each read-base filters to rows of STRICTLY EARLIER
   * batches — so a crash between any two of the five table writes replays
-  * exactly (partial rows of the crashed attempt are dropped from the base
-  * and rewritten identically), re-delivered docs dedupe against earlier
-  * batches, and the batch-id guard skips fully-committed re-runs. This is
-  * the standard idempotent-foreachBatch pattern; a cross-table transaction
-  * (the reference's Postgres) is exactly what parquet state lacks.
+  * exactly (the surviving appends are detected by their batch_id rows and
+  * skipped; the missing ones are regenerated bit-identically), re-delivered
+  * docs dedupe against earlier batches, and the batch-id guard skips
+  * fully-committed re-runs. This is the standard idempotent-foreachBatch
+  * pattern; a cross-table transaction (the reference's Postgres) is exactly
+  * what parquet state lacks.
   *
-  * Local write amplification, stated honestly: [[StateDir]]'s versioned
-  * swap rewrites each table in full per publish, so per-batch WRITE I/O is
-  * O(corpus) even though the COMPUTE is O(batch). At warehouse scale the
-  * same call sites are transactional-format appends (the per-batch delta —
-  * newSig/newBands/new pairs, already isolated and batch_id-tagged — is an
-  * APPEND to a Delta/Iceberg table, and the batch_id filters become
-  * time-travel/overwrite-by-partition); the rewrite is the local stand-in.
+  * Write I/O per batch is O(batch), not O(corpus): the four data tables
+  * publish via [[StateDir.append]] — only this batch's delta rows (new
+  * signatures, new band keys, per-bucket count/hub deltas, new pairs) hit
+  * disk, and [[StateDir]]'s periodic compaction bounds the read fan-in.
+  * The bucket-stats table holds per-batch DELTAS (bsize increments, batch
+  * hub), merged on read with sum/min — both associative, so the delta
+  * representation is exact. Only the one-row meta table is a full write.
+  * DedupStreamDeltaSpec pins bytes-written-per-batch ~flat as the corpus
+  * grows across batches.
   */
 final class DedupStream(
     spark: SparkSession,
@@ -83,19 +86,21 @@ final class DedupStream(
       .localCheckpoint() // feeds bands, scoring (twice), and the state append
     val newBands = Dedup.bandKeys(newSig).localCheckpoint()
 
-    val bandsPrevTagged = tagged(BandsTable, BandsSchema)
+    val bandsPrev = tagged(BandsTable, BandsSchema)
       .filter(col("batch_id") < batchId)
-    val bandsPrev = bandsPrevTagged.select("doc_id", "band", "key")
-    // bucket stats: previous snapshot (latest batch < this one) + delta
-    val statsAll = tagged(StatsTable, StatsSchema)
-    val prevSnap = statsAll.filter(col("batch_id") < batchId)
-      .agg(max(col("batch_id"))).first().get(0)
-    val statsPrev =
-      if (prevSnap == null) statsAll.filter(lit(false))
-      else statsAll.filter(col("batch_id") === prevSnap)
-    val stats = statsPrev.select("band", "key", "bsize", "hub")
-      .unionByName(newBands.groupBy(col("band"), col("key"))
-        .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub")))
+      .select("doc_id", "band", "key")
+    // bucket stats are stored as per-batch DELTAS (count increment + batch
+    // hub); the current merged view is an aggregate over earlier deltas —
+    // sum and min are associative, so merge-on-read is exact.
+    val statsDelta = newBands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"))
+      .localCheckpoint() // feeds the merged view AND the state append
+    val statsPrev = tagged(StatsTable, StatsSchema)
+      .filter(col("batch_id") < batchId)
+      .groupBy(col("band"), col("key"))
+      .agg(sum(col("bsize")).as("bsize"), min(col("hub")).as("hub"))
+    val stats = statsPrev
+      .unionByName(statsDelta)
       .groupBy(col("band"), col("key"))
       .agg(sum(col("bsize")).as("bsize"), min(col("hub")).as("hub"))
       .localCheckpoint()
@@ -137,22 +142,33 @@ final class DedupStream(
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
 
-    // each write: earlier-batch rows + this batch's rows tagged batch_id —
-    // self-healing whatever subset of the five writes survived a crash
+    // each data table APPENDS only this batch's delta rows, tagged with the
+    // batch id (write I/O O(batch)); a table whose chain already carries
+    // this batch's rows survived a crash and is skipped — the recompute is
+    // bit-identical, so skipping is exact self-healing.
     val tag = lit(batchId).as("batch_id")
     val pairsPrev = tagged(PairsTable, PairsSchema)
       .filter(col("batch_id") < batchId)
-    state.write(PairsTable, pairsPrev.unionByName(
+    appendOnce(PairsTable, PairsSchema, batchId,
       scored.join(pairsPrev.select("doc_a", "doc_b"),
-        Seq("doc_a", "doc_b"), "left_anti").select(col("*"), tag)))
-    state.write(SigTable,
-      sigPrev.unionByName(newSig.select(col("*"), tag)))
-    state.write(BandsTable,
-      bandsPrevTagged.unionByName(newBands.select(col("*"), tag)))
-    state.write(StatsTable,
-      statsPrev.unionByName(stats.select(col("*"), tag)))
+        Seq("doc_a", "doc_b"), "left_anti").select(col("*"), tag))
+    appendOnce(SigTable, SigSchema, batchId, newSig.select(col("*"), tag))
+    appendOnce(BandsTable, BandsSchema, batchId, newBands.select(col("*"), tag))
+    appendOnce(StatsTable, StatsSchema, batchId, statsDelta.select(col("*"), tag))
     state.write(MetaTable,
       spark.createDataFrame(Seq(Tuple1(batchId))).toDF("last_batch"))
+  }
+
+  /** Append `delta` unless the table already holds rows of this (or a
+    * later) batch — the data-driven idempotency check that makes a replayed
+    * foreachBatch re-run skip the appends that survived the crash instead
+    * of duplicating them. */
+  private def appendOnce(table: String, schema: StructType, batchId: Long,
+      delta: DataFrame): Unit = {
+    val committed = state.read(table, schema)
+      .agg(max(coalesce(col("batch_id"), lit(-1L)))).first().get(0)
+    if (committed == null || committed.asInstanceOf[Long] < batchId)
+      state.append(table, delta)
   }
 
   /** Attach to a (doc_id, text) stream. */

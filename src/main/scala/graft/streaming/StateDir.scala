@@ -18,9 +18,21 @@ import org.apache.spark.sql.types.StructType
   * writing into a directory a live plan is reading (self-overwrite is how
   * Spark jobs corrupt state). At cluster scale the same call sites map 1:1
   * onto a transactional table format (Delta/Iceberg MERGE); the versioning
-  * here IS that pattern, including retention: old versions beyond
-  * [[StateDir.KeepVersions]] are deleted after each pointer bump (current
-  * plus a cushion of recent priors — see the companion for the sizing).
+  * here IS that pattern, including retention: version dirs no longer
+  * reachable from the last [[StateDir.KeepVersions]] versions' chains are
+  * deleted after each pointer bump (see the companion for the sizing).
+  *
+  * Two publish modes, mirroring a transactional table format's two commits:
+  *  - [[write]] — a FULL version: the new dir alone is the table (MERGE /
+  *    overwrite). Per-publish I/O is O(table).
+  *  - [[append]] — a DELTA version (`_DELTA` marker in the dir): the table
+  *    is the union of the delta chain back to its full base, resolved at
+  *    read time. Per-publish I/O is O(delta); every
+  *    [[StateDir.CompactEvery]]-th append folds the chain into a fresh full
+  *    version (amortized O(table / CompactEvery) per publish — the
+  *    append-log + compaction shape of Delta/Iceberg, which is what keeps a
+  *    long-running 100 TB ingest's per-batch write I/O O(batch), not
+  *    O(corpus)).
   *
   * Crash safety: the pointer is written to a temp file and published with an
   * ATOMIC_MOVE — a crash mid-publish leaves either the old pointer or the
@@ -30,9 +42,12 @@ import org.apache.spark.sql.types.StructType
   *
   * Exactly-once (T9): writers dedupe on their natural key before publishing,
   * so a replayed micro-batch (foreachBatch may re-run a batch id after
-  * failure) republishes the same content instead of duplicating rows.
+  * failure) republishes the same content instead of duplicating rows;
+  * append-mode writers skip a table whose chain already carries their batch
+  * (see [[DedupStream]]'s batch-id guard).
   */
-final class StateDir(spark: SparkSession, root: String) {
+final class StateDir(spark: SparkSession, root: String,
+    compactEvery: Int = StateDir.CompactEvery) {
 
   new File(root).mkdirs()
 
@@ -94,19 +109,62 @@ final class StateDir(spark: SparkSession, root: String) {
     }
   }
 
+  private def isDelta(dir: File): Boolean = new File(dir, "_DELTA").exists()
+
+  /** The dirs composing version `v`: `v` itself plus, while dirs are
+    * delta-marked, their predecessors down to the full base. */
+  private def chainDirs(name: String, v: Int): Seq[(Int, File)] = {
+    val dirs = versionDirs(name).toMap
+    val out = Seq.newBuilder[(Int, File)]
+    var cur = v
+    var more = true
+    while (more) dirs.get(cur) match {
+      case Some(f) =>
+        out += ((cur, f))
+        if (isDelta(f)) cur -= 1 else more = false
+      case None => more = false // base already GC'd — never for a live version
+    }
+    out.result()
+  }
+
   def read(name: String, schema: StructType): DataFrame =
     latestVersion(name) match {
-      case Some(v) => spark.read.schema(schema).parquet(s"${tableRoot(name)}/v$v")
+      case Some(v) =>
+        val paths = chainDirs(name, v).map(_._2.getPath)
+        spark.read.schema(schema).parquet(paths: _*)
       case None =>
         spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     }
 
-  /** Publish a new version. The write executes the (possibly self-reading)
-    * plan into a fresh directory before the pointer moves — crash between
-    * write and pointer-bump leaves the old version live (atomic swap). */
-  def write(name: String, df: DataFrame): Unit = {
+  /** Publish a new FULL version. The write executes the (possibly
+    * self-reading) plan into a fresh directory before the pointer moves —
+    * crash between write and pointer-bump leaves the old version live
+    * (atomic swap). */
+  def write(name: String, df: DataFrame): Unit =
+    publish(name, df, delta = false)
+
+  /** Publish `df` as a DELTA on the current version: the table becomes
+    * chain ∪ df, but only |df| rows hit disk — per-publish write I/O is
+    * O(delta), the append half of the Delta/Iceberg contract. Every
+    * [[compactEvery]]-th consecutive delta folds the whole chain into a
+    * full version instead (bounding both read fan-in and GC debt).
+    * Requires `df`'s schema to match the table's (union-on-read). */
+  def append(name: String, df: DataFrame): Unit =
+    latestVersion(name) match {
+      case None => write(name, df) // first publish is the chain base
+      case Some(cur) if chainDirs(name, cur).count(c => isDelta(c._2)) + 1 >= compactEvery =>
+        write(name, read(name, df.schema).unionByName(df))
+      case Some(_) => publish(name, df, delta = true)
+    }
+
+  private def publish(name: String, df: DataFrame, delta: Boolean): Unit = {
     val v = latestVersion(name).getOrElse(-1) + 1
-    df.write.mode("overwrite").parquet(s"${tableRoot(name)}/v$v")
+    val dir = s"${tableRoot(name)}/v$v"
+    df.write.mode("overwrite").parquet(dir)
+    if (delta)
+      Files.write(Paths.get(dir, "_DELTA"), Array.empty[Byte],
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
     val tmp = Paths.get(s"$root/$name.latest.tmp")
     Files.write(tmp, v.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
@@ -116,13 +174,17 @@ final class StateDir(spark: SparkSession, root: String) {
     gc(name, v)
   }
 
-  /** Retention: drop version dirs older than current − (KeepVersions − 1).
-    * Without this a long-running ingest leaks a full parquet directory per
-    * table per micro-batch, unbounded. */
-  private def gc(name: String, current: Int): Unit =
+  /** Retention: drop version dirs unreachable from the chains of the last
+    * [[StateDir.KeepVersions]] versions (a delta's base must outlive every
+    * version stacked on it). Without this a long-running ingest leaks a
+    * full parquet directory per table per micro-batch, unbounded. */
+  private def gc(name: String, current: Int): Unit = {
+    val live = (current - StateDir.KeepVersions + 1 to current)
+      .flatMap(v => chainDirs(name, v).map(_._1)).toSet
     versionDirs(name)
-      .filter { case (ver, _) => ver <= current - StateDir.KeepVersions }
+      .filter { case (ver, _) => ver <= current - StateDir.KeepVersions && !live(ver) }
       .foreach { case (_, dir) => deleteRecursively(dir.toPath) }
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
@@ -155,6 +217,13 @@ object StateDir {
     * FileNotFound. A transactional table format's snapshot isolation is
     * the real fix at deployment scale. */
   val KeepVersions = 4
+
+  /** Delta-chain length that triggers compaction in [[StateDir.append]]:
+    * read fan-in stays ≤ CompactEvery dirs and the amortized per-append
+    * write cost is O(delta + table/CompactEvery). Small enough that a
+    * pointer-fallback scan after a crash touches few dirs; large enough
+    * that appends dominate. */
+  val CompactEvery = 8
 
   /** Per-root lock state, shared by every StateDir instance in this JVM. */
   private final class RootLock { var depth = 0 }

@@ -67,6 +67,51 @@ class StateDirSpec extends AnyFunSuite {
     assert(st.read("t", schema).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("append publishes a delta dir; read unions the chain") {
+    val root = Files.createTempDirectory("sd-").toString
+    val st = new StateDir(spark, root)
+    st.append("t", Seq((1L, "a")).toDF("k", "v")) // first publish = full base
+    st.append("t", Seq((2L, "b")).toDF("k", "v"))
+    st.append("t", Seq((3L, "c")).toDF("k", "v"))
+    assert(st.read("t", schema).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // v0 is the base (no marker), v1/v2 are deltas
+    assert(!new java.io.File(s"$root/t/v0/_DELTA").exists())
+    assert(new java.io.File(s"$root/t/v1/_DELTA").exists())
+    assert(new java.io.File(s"$root/t/v2/_DELTA").exists())
+  }
+
+  test("every CompactEvery-th append folds the chain into a full version") {
+    val root = Files.createTempDirectory("sd-").toString
+    val st = new StateDir(spark, root, compactEvery = 3)
+    (0 until 8).foreach(i => st.append("t", Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(st.read("t", schema).collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 8L))
+    // the LIVE chain (walk down from the pointer) never exceeds compactEvery
+    // dirs; superseded chains kept as reader cushion don't count
+    val latest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/t.latest"))).trim.toInt
+    val liveDeltas = Iterator.iterate(latest)(_ - 1)
+      .takeWhile(v => new java.io.File(s"$root/t/v$v/_DELTA").exists()).size
+    assert(liveDeltas < 3, s"live chain too long: $liveDeltas deltas from v$latest")
+  }
+
+  test("gc never deletes the base a live delta chain stands on") {
+    val root = Files.createTempDirectory("sd-").toString
+    val st = new StateDir(spark, root, compactEvery = 1000) // no compaction
+    st.write("t", Seq((0L, "base")).toDF("k", "v"))
+    (1 until 10).foreach(i => st.append("t", Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    // current version is 9; naive retain-last-K would have dropped v0..v5,
+    // but v0 is the base of every live chain
+    assert(new java.io.File(s"$root/t/v0").exists())
+    assert(st.read("t", schema).collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 10L))
+    // a full write supersedes the chain; subsequent publishes GC it away
+    (0 until StateDir.KeepVersions + 1).foreach(i =>
+      st.write("t", Seq((100L + i, "w")).toDF("k", "v")))
+    assert(!new java.io.File(s"$root/t/v0").exists())
+  }
+
   test("locked() is reentrant and serializes concurrent read-modify-writes") {
     val st = new StateDir(spark, Files.createTempDirectory("sd-").toString)
     st.write("t", Seq((0L, "n")).toDF("k", "v"))
