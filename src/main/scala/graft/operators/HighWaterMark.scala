@@ -85,19 +85,23 @@ object HighWaterMark {
 
   /** The two-level contiguous-prefix aggregate over (seq long, size
     * decimal) rows → one (hw double, n_contig long) row, no data-scale
-    * global window, fully lazy. NULL sizes count toward the prefix but add
-    * 0 bytes — the null-skipping `sum` semantics of the window form. */
+    * global window, fully lazy — a pure Dataset mapPartitions keyed by
+    * `spark_partition_id()` (the `.rdd` hop it replaced forced AQE stage
+    * materialization at CONSTRUCTION time: eager jobs before any action).
+    * NULL sizes count toward the prefix but add 0 bytes — the
+    * null-skipping `sum` semantics of the window form. */
   def contiguousPrefixAgg(chunks: DataFrame): DataFrame = {
     val s = chunks.sparkSession
     import s.implicits._
-    val statsRdd = chunks
+    val stats = chunks
       .repartitionByRange(col("seq"))
       .sortWithinPartitions(col("seq"))
-      .as[(Long, java.math.BigDecimal)].rdd
-      .mapPartitionsWithIndex { (pid, it) =>
+      .select(col("seq"), col("size"), spark_partition_id().as("pid"))
+      .as[(Long, java.math.BigDecimal, Int)]
+      .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
-          val (minSeq, firstSz) = it.next()
+          val (minSeq, firstSz, pid) = it.next()
           var prev = minSeq
           var n = 1L                  // distinct seqs in the partition
           var runLen = 1L             // leading contiguous run
@@ -105,7 +109,7 @@ object HighWaterMark {
           if (firstSz != null) runSum = runSum.add(firstSz)
           var running = true
           while (it.hasNext) {
-            val (sq, sz) = it.next()
+            val (sq, sz, _) = it.next()
             if (sq != prev) {         // replayed duplicate seqs no-op (W2)
               n += 1
               if (running && sq == prev + 1) {
@@ -127,7 +131,7 @@ object HighWaterMark {
     val wPrev = Window.partitionBy(lit(1))
       .orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    s.createDataFrame(statsRdd)
+    stats.toDF()
       .withColumn("cumN", coalesce(sum(col("n")).over(wPrev), lit(0L)))
       .withColumn("fullOk",
         col("runLen") === col("n") && col("maxSeq") === col("minSeq") + col("n") - 1)

@@ -74,19 +74,32 @@ object Sessions {
 
   /** Exact median per group — two-phase rank selection, no low-cardinality
     * window (the r2 verdict's scale-killer: `partitionBy(event_type)` over
-    * ~5 types funnels every row of a type into ONE task's sort at scale).
+    * ~5 types funnels every row of a type into ONE task's sort at scale)
+    * and, since round 4, FULLY LAZY: no job runs before the action
+    * (MedianPropertySpec pins it with a listener), and Explain shows the
+    * whole pipeline — the q10 pattern ([[HighWaterMark.contiguousPrefixAgg]])
+    * applied to order statistics.
     *
-    * Phase A: per-group counts (|types| rows) fix the middle ranks
-    * ((n+1) DIV 2 and (n+2) DIV 2 — integer DIV; "/" on integers is double
-    * division in Spark and an even group's k.5 would match nothing).
-    * Phase B: `repartitionByRange(event_type, value, event_id)` lays the
-    * global per-group sort order ACROSS many partitions (a group spans
-    * partitions instead of owning one task); a tiny per-(partition, group)
-    * count aggregate then tells every partition its starting rank, and one
-    * narrow scan picks the middle rows. Driver-side state is
-    * O(partitions × groups), never data-scale. The selected one-or-two rows
-    * per group average to the exact median — no percentile interpolation,
-    * deterministic to the bit on both engines. */
+    * `repartitionByRange(event_type, value, event_id)` lays the global
+    * per-group sort order ACROSS many partitions (a group spans partitions
+    * instead of owning one task); a lazy persist() pins the sampled range
+    * boundaries so both consumers see the identical partitioning,
+    * materialized once at action time as one disk-spillable staging pass
+    * (localCheckpoint/.rdd would force AQE stage materialization at
+    * CONSTRUCTION — 2 eager jobs; persist is the lazy staging primitive).
+    * From it, three small lazy stages:
+    *  - slice counts: groupBy(spark_partition_id, group) — O(P × groups)
+    *    rows after map-side partial agg;
+    *  - per-slice offsets + totals: a window/agg over those stat rows fixes
+    *    each partition's starting rank and the middle target ranks
+    *    ((n+1) DIV 2, (n+2) DIV 2 — integer DIV; "/" on integers is double
+    *    division in Spark and an even group's k.5 would match nothing);
+    *  - selection: one streaming mapPartitions ranks rows within their
+    *    slice (rows arrive sorted), then a BROADCAST join against the tiny
+    *    bounds table filters to the one-or-two middle rows per group —
+    *    the data-scale side is never shuffled again.
+    * The selected rows average to the exact median — no percentile
+    * interpolation, deterministic to the bit on both engines. */
   def q42Median(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // median over NON-NULL values, explicitly (standard median semantics;
@@ -95,64 +108,55 @@ object Sessions {
     val ev = Tables.events(s, d)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"), col("event_id"))
-    // localCheckpoint pins the sampled range boundaries: the offset pass and
-    // the selection pass MUST see the identical partitioning (lazy: the
-    // slice-count job below materializes it — one pass, not two).
     val ranged = ev
       .repartitionByRange(col("event_type"), col("value"), col("event_id"))
       .sortWithinPartitions(col("event_type"), col("value"), col("event_id"))
       .select(col("event_type"), col("value"))
-      .localCheckpoint(eager = false)
-      .as[(String, Double)].rdd
-    // per-(partition, group) counts: a plain RDD pass (rows arrive grouped —
-    // each partition is sorted with event_type leading), tiny driver result
-    val slices: Array[(Int, String, Long)] = ranged
-      .mapPartitionsWithIndex { (pid, it) =>
-        val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
-        it.foreach { case (g, _) => counts(g) = counts.getOrElse(g, 0L) + 1 }
-        counts.iterator.map { case (g, c) => (pid, g, c) }
-      }.collect()
-    // group totals fall out of the slice counts — no separate count job
-    val totals: Map[String, Long] =
-      slices.groupBy(_._2).map { case (g, sl) => g -> sl.map(_._3).sum }
-    val targets: Map[String, Set[Long]] = totals.map { case (g, n) =>
-      g -> Set((n + 1) / 2, (n + 2) / 2)
-    }
-    val offsets: Map[(Int, String), Long] = slices.groupBy(_._2).flatMap {
-      case (g, sl) =>
-        var acc = 0L
-        sl.sortBy(_._1).map { case (pid, _, c) =>
-          val o = acc; acc += c; ((pid, g), o)
+      .persist()
+    // per-(partition, group) slice counts: partial aggregation collapses
+    // each slice map-side, so the shuffle carries O(P × groups) rows
+    val slices = ranged.withColumn("pid", spark_partition_id())
+      .groupBy(col("pid"), col("event_type")).agg(count(lit(1)).as("c"))
+    // starting rank of each slice + per-group totals/targets — windows and
+    // joins over stat rows only, never the data
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe joins throughout the stat chain: a NULL event_type group is
+    // a legal group and must keep its total/offset rows
+    val totals = slices.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      .withColumnRenamed("event_type", "tg")
+    val bounds = slices
+      .withColumn("off", coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .join(totals, col("event_type") <=> col("tg"))
+      .drop("tg")
+      .withColumn("t1", expr("(n + 1) DIV 2"))
+      .withColumn("t2", expr("(n + 2) DIV 2"))
+      .select(col("pid"), col("event_type").as("g"), col("off"),
+        col("n"), col("t1"), col("t2"))
+    // local rank within (partition, group): rows arrive sorted with
+    // event_type leading, so a streaming scan suffices. `started` flag, not
+    // a null sentinel: a NULL event_type group sorts first, and g=null
+    // would skip its reset (null == null), merging it into the next group.
+    val ranked = ranged.withColumn("pid", spark_partition_id())
+      .as[(String, Double, Int)]
+      .mapPartitions { it =>
+        var started = false
+        var g: String = null
+        var rank = 0L
+        it.map { case (et, v, pid) =>
+          if (!started || et != g) { started = true; g = et; rank = 0L }
+          rank += 1
+          (pid, et, rank, v)
         }
-    }
-    val bcTargets = s.sparkContext.broadcast(targets)
-    val bcOffsets = s.sparkContext.broadcast(offsets)
-    val picked = ranged.mapPartitionsWithIndex { (pid, it) =>
-      // `started` flag, not a null sentinel: a NULL event_type group sorts
-      // first, and initializing g=null would skip its offset load (null ==
-      // null), restarting its rank at 1 in every partition — wrong median.
-      var started = false
-      var g: String = null
-      var rank = 0L
-      it.flatMap { case (et, v) =>
-        if (!started || et != g) {
-          started = true; g = et
-          rank = bcOffsets.value.getOrElse((pid, g), 0L)
-        }
-        rank += 1
-        if (bcTargets.value(g).contains(rank)) Iterator((et, v))
-        else Iterator.empty
-      }
-    }
-    // n comes from the already-collected totals — no join back. eqNullSafe:
-    // a NULL event_type group must still find its count.
-    val nCol = totals.foldLeft(lit(null).cast("long")) { case (acc, (g, n)) =>
-      when(col("event_type").eqNullSafe(g), lit(n)).otherwise(acc)
-    }
-    picked.toDF("event_type", "value")
+      }.toDF("pid", "event_type", "r", "value")
+    // null-safe group match: a NULL event_type group must still find its
+    // bounds row. The bounds side is tiny — broadcast, no data shuffle.
+    ranked.join(broadcast(bounds),
+        ranked("pid") === bounds("pid") && ranked("event_type") <=> bounds("g"))
+      .filter(col("off") + col("r") === col("t1")
+        || col("off") + col("r") === col("t2"))
       .groupBy(col("event_type"))
-      .agg((sum(col("value")) / count(lit(1))).as("median"))
-      .withColumn("n", nCol)
+      .agg((sum(col("value")) / count(lit(1))).as("median"), max(col("n")).as("n"))
       .select(col("event_type"), col("median"), col("n"))
       .orderBy(col("event_type"))
   }

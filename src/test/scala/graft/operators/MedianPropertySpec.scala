@@ -36,6 +36,41 @@ class MedianPropertySpec extends AnyFunSuite {
       g -> ((sorted(lo) + sorted(hi)) / 2, n.toLong)
     }
 
+  test("q42 construction triggers no job beyond opening the table") {
+    val rows = (0 until 4).flatMap(g =>
+      (0 until 50).map(i => ((g * 1000 + i).toLong, s"t$g", i.toDouble)))
+    val dir = writeEvents(rows)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    // opening a parquet table costs metadata jobs (footer/schema inference)
+    // for EVERY query; the lazy contract is that q42 construction adds no
+    // DATA job on top — so measure against a trivially-lazy baseline read.
+    def constructionJobs(f: => Unit): Int = {
+      jobs = 0; f
+      // construction-time jobs are driver-synchronous; the wait is only for
+      // the async listener bus to deliver what already happened
+      Thread.sleep(500); jobs
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val base = constructionJobs {
+        graft.Tables.events(spark, dir).select("event_id"); ()
+      }
+      var df: org.apache.spark.sql.DataFrame = null
+      val mine = constructionJobs { df = Sessions.q42Median(spark, dir) }
+      assert(mine <= base,
+        s"q42 construction ran $mine job(s), table-open baseline $base — not lazy")
+      jobs = 0
+      assert(df.collect().nonEmpty)
+      var waited = 0
+      while (jobs == 0 && waited < 50) { Thread.sleep(100); waited += 1 }
+      assert(jobs > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("two-phase median equals driver-side sort on adversarial group shapes") {
     val rnd = new scala.util.Random(13)
     (0 until 7).foreach { round =>
