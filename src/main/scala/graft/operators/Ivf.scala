@@ -10,28 +10,40 @@ import graft.functions.Vectors
   * (the brief asks for "an IVF or LSH-bucketed variant as the scale path";
   * the engine ships both, same plan skeleton, different cell function).
   *
-  * Cells come from a deterministic coarse quantizer: the first K vectors
-  * act as centroids (a production build trains k-means ONCE and broadcasts
-  * the centroid table — identical plan). Every vector is assigned to its
-  * nearest centroid by exact cosine; a probe searches ONLY its own cell.
-  * The assignment is one broadcast join (K rows) + per-vector argmax — the
-  * 100 TB shape: cells are shuffle keys, |cell| ≈ N/K bounds the re-rank.
+  * Cells come from a TRAINED coarse quantizer: k-means seeded from the
+  * first K vectors, refined for [[Iters]] deterministic Lloyd iterations
+  * entirely in DataFrame ops (assign to nearest centroid by exact cosine,
+  * recompute each centroid as the element-wise mean of its cell). Every
+  * vector is assigned to its nearest trained centroid; a probe searches
+  * ONLY its own cell. Training is one broadcast join per iteration (K
+  * centroid rows) + per-vector argmax — the 100 TB shape: cells are
+  * shuffle keys, |cell| ≈ N/K bounds the re-rank, and a production build
+  * trains once, persists the centroid table, and reuses it as an index.
+  *
+  * Bit-exactness contract (same as q21/q28): the per-dimension centroid
+  * mean folds its double sum in vec_id order — Spark sorts the collected
+  * (vec_id, v) pairs and left-folds from 0.0, DuckDB `list(v ORDER BY
+  * vec_id)` + `list_reduce` left-folds from the first element, and IEEE
+  * `0.0 + x == x` makes the sums identical; each mean then rounds to
+  * FLOAT once (both engines round-to-nearest-even), so centroid arrays
+  * stay type-identical to the embeddings. The ordered collect_list per
+  * (cell, dim) is bounded by |cell| and exists to pin the oracle — a
+  * production trainer uses a plain associative sum and tolerates fp
+  * reorder.
   */
 object Ivf {
 
   private val K = 8        // centroids / cells
+  private val Dim = 64     // embedding dimensionality (TESTDATA.md)
+  private val Iters = 2    // deterministic Lloyd iterations
   private val ProbeFrom = 490L
   private val NProbes = 10L // probes: vec_id in [490, 500) at EVERY sf —
                             // an unbounded >= filter would quietly turn
                             // larger fixtures into thousands of probes
 
-  /** Nearest-centroid assignment: (vec_id, embedding, n2, cell). */
-  private def assign(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
-    val centroids = emb.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+  /** Nearest-centroid assignment of every vector: (vec_id, embedding, n2,
+    * cell). One broadcast of the K centroid rows; ties break on cid. */
+  private def assignTo(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     emb.crossJoin(broadcast(centroids))
@@ -42,17 +54,50 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), col("n2"), col("cid").as("cell"))
   }
 
+  /** One Lloyd update: element-wise mean of each cell's vectors (ordered
+    * fold, FLOAT rounding — see the object scaladoc), re-emitted as a
+    * (cid, ce, cn2) centroid table. Cells that captured no vectors drop
+    * out (standard k-means; deterministic on both engines). */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "f")))
+      .withColumn("v", col("f").cast("double"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(expr("CAST(aggregate(array_sort(collect_list(struct(vec_id, v))), " +
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x.v) / count(1) AS FLOAT)").as("cv"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
+        .as("ce"))
+      .select(col("cell").as("cid"), col("ce"),
+        Vectors.dot(col("ce"), col("ce")).as("cn2"))
+
+  /** Trained assignment: seed = first K vectors, [[Iters]] Lloyd rounds,
+    * then the final nearest-centroid pass. */
+  private def assign(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+      .persist() // scanned by every training round + the final assignment
+    val seed = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+    val trained = (0 until Iters).foldLeft(seed) { (c, _) =>
+      centroidsOf(assignTo(emb, c))
+    }
+    assignTo(emb, trained)
+  }
+
   // ---------------------------------------------------------------- q40
 
   /** IVF ANN: 10 probes, candidates only from the probe's cell, exact
     * cosine re-rank, top-3 (vec_id tiebreak). Same bit-exact arithmetic
     * contract as q21/q28. */
   def q40IvfAnn(s: SparkSession, d: String): DataFrame = {
-    // Materialize the assignment once: it feeds BOTH the probe broadcast
-    // and the candidate scan, and the N×K scoring + argmax window is the
-    // expensive stage — without this it executes twice. (At production
-    // scale the cell assignment is a persisted table, like an IVF index.)
-    val tagged = assign(s, d).localCheckpoint()
+    // Stage the assignment once (lazily): it feeds BOTH the probe
+    // broadcast and the candidate scan, and the N×K scoring + argmax
+    // window is the expensive stage — without this it executes twice.
+    // (At production scale the cell assignment is a persisted IVF index.)
+    val tagged = assign(s, d).persist()
     val probes = tagged
       .filter(col("vec_id") >= ProbeFrom && col("vec_id") < ProbeFrom + NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
@@ -71,19 +116,40 @@ object Ivf {
 
   private def duckDot(a: String, b: String): String = Similarity.duckDotSql(a, b)
 
+  /** One unrolled Lloyd iteration in DuckDB SQL: score against c`t`,
+    * argmax-assign, per-(cell, dim) ordered-fold mean, rebuild c`t+1`. */
+  private def iterSql(t: Int): String =
+    s""", s$t AS (
+       |  SELECT e.vec_id, e.embedding, e.n2, c.cid,
+       |    ${duckDot("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn2) AS ccos
+       |  FROM emb e, c$t c
+       |), a$t AS (
+       |  SELECT vec_id, embedding, n2, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |    FROM s$t) t WHERE crn = 1
+       |), d$t AS (
+       |  SELECT cell, dim,
+       |    CAST(list_reduce(list(embedding[dim]::DOUBLE ORDER BY vec_id), (acc, x) -> acc + x) / count(*) AS REAL) AS cv
+       |  FROM a$t, (SELECT unnest(range(1, ${Dim + 1})) AS dim) dims
+       |  GROUP BY cell, dim
+       |), c${t + 1} AS (
+       |  SELECT cid, ce, ${duckDot("ce", "ce")} AS cn2 FROM (
+       |    SELECT cell AS cid, list(cv ORDER BY dim) AS ce FROM d$t GROUP BY cell) t
+       |)""".stripMargin
+
   def q40Sql: String =
     s"""WITH emb AS (
        |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM embeddings
-       |), centroids AS (
+       |), c0 AS (
        |  SELECT vec_id AS cid, embedding AS ce, n2 AS cn2 FROM emb WHERE vec_id < $K
-       |), scored AS (
-       |  SELECT vec_id, embedding, n2, cid,
-       |    ${duckDot("embedding", "ce")} / sqrt(n2 * cn2) AS ccos
-       |  FROM emb, centroids
+       |)${(0 until Iters).map(iterSql).mkString}, sf AS (
+       |  SELECT e.vec_id, e.embedding, e.n2, c.cid,
+       |    ${duckDot("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn2) AS ccos
+       |  FROM emb e, c$Iters c
        |), tagged AS (
        |  SELECT vec_id, embedding, n2, cid AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-       |    FROM scored) t WHERE crn = 1
+       |    FROM sf) t WHERE crn = 1
        |), probes AS (
        |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2, cell
        |  FROM tagged WHERE vec_id >= $ProbeFrom AND vec_id < ${ProbeFrom + NProbes}
