@@ -66,6 +66,8 @@ object SparkEntry {
     "q44_cube" -> (SetsExt.q44Cube _),
     "q45_array_agg" -> (SetsExt.q45ArrayAgg _),
     "q46_cosine_neardup" -> (Similarity.q46CosineNeardup _),
+    "q47_multimodal_meta" -> (Multimodal.q47MultimodalMeta _),
+    "q48_feature_ann" -> (Multimodal.q48FeatureAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,5 +119,7 @@ object SparkEntry {
     "q44_cube" -> SetsExt.q44Sql,
     "q45_array_agg" -> SetsExt.q45Sql,
     "q46_cosine_neardup" -> Similarity.q46Sql,
+    "q47_multimodal_meta" -> Multimodal.q47Sql,
+    "q48_feature_ann" -> Multimodal.q48Sql,
   )
 }

@@ -1,6 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Vectors
 
 /** Multimodal column plumbing (north-star surface): image/audio/video as
   * opaque binary columns with typed metadata, processed in PARTITION-SIZED
@@ -9,20 +13,48 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * its setup (model load, codec init) across the whole batch instead of
   * paying it per row.
   *
-  * The decode itself is a clearly-marked deterministic STUB — the image and
-  * audio libraries are not in this environment, so [[decodeStub]] fakes
-  * width/height from the payload's bytes. Everything around it is real and
-  * tested: the binary schema, the typed Encoder boundary, the batch shape,
-  * and the shuffle-free plan (a pure per-partition projection).
+  * The decode itself goes through the [[MediaDecoders]] trait; the bundled
+  * [[StubDecoders]] is a clearly-marked deterministic STUB — the image and
+  * audio libraries are not in this environment, so it fakes width/height
+  * and features from the payload's bytes. A production build implements
+  * the trait with ImageIO/ffmpeg/a model runtime and swaps ONE object;
+  * everything around it is real and tested: the binary schema, the typed
+  * Encoder boundary, the batch shape, the shuffle-free plan, and (q47/q48)
+  * the downstream aggregation and ANN consumers.
+  *
+  * q47/q48 declare the family in the driver contract: payloads are the
+  * documents' text re-encoded as binary (the q30 fixture convention; the
+  * text is pure ASCII at every sf, so byte k == character k and the DuckDB
+  * oracles reproduce the stub arithmetic with `ascii(substring(...))`).
   */
 object Multimodal {
+
+  /** Decoder surface of the multimodal stages. Implementations must be
+    * serializable (the object ships to executors once per partition — the
+    * init-once-per-batch slot). */
+  trait MediaDecoders extends Serializable {
+    /** payload → (width, height) */
+    def decode(payload: Array[Byte]): (Int, Int)
+    /** payload → re-encoded payload at the target size */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** payload → embedding (the model forward pass) */
+    def features(payload: Array[Byte]): Array[Float]
+  }
+
+  /** STUB decoders — deterministic test doubles for the real codecs. */
+  object StubDecoders extends MediaDecoders {
+    def decode(payload: Array[Byte]): (Int, Int) = decodeStub(payload)
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      resizeStub(payload, w, h)
+    def features(payload: Array[Byte]): Array[Float] = featureStub(payload)
+  }
 
   /** Typed record for decoded media metadata. */
   final case class MediaMeta(docId: Long, nBytes: Long, width: Int, height: Int)
 
   /** STUB decoder — stands in for a real `ImageIO.read`/ffmpeg call.
     * Deterministic: dimensions derive from payload content so tests can
-    * assert exact values. A production build swaps ONLY this function. */
+    * assert exact values. */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     val a = if (payload.length > 0) payload(0) & 0xff else 0
     val b = if (payload.length > 1) payload(1) & 0xff else 0
@@ -32,13 +64,14 @@ object Multimodal {
   /** Batch decode: (doc_id, payload binary) rows → typed [[MediaMeta]].
     * The per-partition setup slot (where a real decoder would init) runs
     * once per batch, then streams the iterator — no materialization. */
-  def extractMeta(rows: DataFrame): Dataset[MediaMeta] = {
+  def extractMeta(rows: DataFrame,
+      dec: MediaDecoders = StubDecoders): Dataset[MediaMeta] = {
     import rows.sparkSession.implicits._
     rows.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-batch decoder init happens HERE (once per partition)
         it.map { case (id, payload) =>
-          val (w, h) = decodeStub(payload)
+          val (w, h) = dec.decode(payload)
           MediaMeta(id, payload.length.toLong, w, h)
         }
       }
@@ -50,7 +83,7 @@ object Multimodal {
 
   /** STUB resize kernel — stands in for a real scaler. Deterministic:
     * output bytes sample the input at a fixed stride so the payload
-    * genuinely shrinks with the target size. Swap ONLY this function. */
+    * genuinely shrinks with the target size. */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     if (payload.isEmpty) return payload // zero-byte blob: nothing to sample
     val outLen = math.max(1, math.min(payload.length, w * h / 64))
@@ -61,11 +94,12 @@ object Multimodal {
   /** Batch resize: the transform-shaped multimodal stage (binary in →
     * binary out, same row count). Like [[extractMeta]], a per-partition
     * batch so a real scaler inits once per batch. */
-  def resize(rows: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+  def resize(rows: DataFrame, w: Int, h: Int,
+      dec: MediaDecoders = StubDecoders): Dataset[ResizedMedia] = {
     import rows.sparkSession.implicits._
     rows.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, payload) =>
-        ResizedMedia(id, w, h, resizeStub(payload, w, h))
+        ResizedMedia(id, w, h, dec.resize(payload, w, h))
       })
   }
 
@@ -96,24 +130,129 @@ object Multimodal {
   /** STUB feature extractor — stands in for an embedding model forward
     * pass: a 16-bin byte histogram, L1-normalized. Deterministic, and the
     * output column type (`array<float>`) matches the `embeddings` table, so
-    * downstream ANN/near-dup (q21/q28/q40/q46) consume it unchanged. */
+    * downstream ANN/near-dup (q21/q28/q40/q46/q48) consume it unchanged.
+    * The normalization divides in DOUBLE and rounds to FLOAT once — the
+    * single-rounding contract the oracle reproduces with
+    * `CAST(c::DOUBLE / n::DOUBLE AS REAL)` (a float÷float here would pit
+    * engine-specific float arithmetic against double-then-round). */
   def featureStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     payload.foreach(b => hist((b & 0xff) / 16) += 1.0f)
-    val n = math.max(1, payload.length).toFloat
-    hist.map(_ / n)
+    val n = math.max(1, payload.length)
+    hist.map(h => (h.toDouble / n.toDouble).toFloat)
   }
 
   /** Batch feature extraction: binary → embedding vector. The per-batch
     * init slot is where a real model loads ONCE per partition (the whole
     * point of the mapInPandas/mapPartitions batch shape — never per row). */
-  def extractFeatures(rows: DataFrame): DataFrame = {
+  def extractFeatures(rows: DataFrame,
+      dec: MediaDecoders = StubDecoders): DataFrame = {
     import rows.sparkSession.implicits._
     rows.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // model load happens HERE (once per partition)
-        it.map { case (id, payload) => (id, featureStub(payload)) }
+        it.map { case (id, payload) => (id, dec.features(payload)) }
       }
       .toDF("doc_id", "embedding")
+  }
+
+  /** The binary fixture both declared queries read: documents' text cast
+    * to an opaque payload (q30 convention). */
+  private def binaryDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  // ---------------------------------------------------------------- q47
+
+  /** Multimodal metadata aggregation: the batch-decode stage
+    * ([[extractMeta]] — a REAL mapPartitions over binary payloads, stub
+    * kernel inside) followed by a metadata rollup per width bucket. The
+    * plan is scan → deserialize → mapPartitions → partial agg → exchange
+    * on the tiny bucket key — the decode never shuffles. */
+  def q47MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    extractMeta(binaryDocs(s, d)).toDF()
+      .groupBy(expr("CAST(width DIV 128 AS INT)").as("wbucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nBytes")).as("total_bytes"),
+        min(col("height")).as("min_h"),
+        max(col("height")).as("max_h"))
+      .orderBy(col("wbucket"))
+
+  def q47Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, len(text) AS n,
+      |    CASE WHEN len(text) >= 1 THEN ascii(substring(text, 1, 1)) ELSE 0 END AS ba,
+      |    CASE WHEN len(text) >= 2 THEN ascii(substring(text, 2, 1)) ELSE 0 END AS bb
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, n AS n_bytes,
+      |    256 + (ba * 7 + bb) % 1024 AS width,
+      |    256 + (bb * 7 + ba) % 768 AS height
+      |  FROM b
+      |)
+      |SELECT CAST(width // 128 AS INT) AS wbucket, count(*) AS n_docs,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(min(height) AS INT) AS min_h, CAST(max(height) AS INT) AS max_h
+      |FROM m GROUP BY 1 ORDER BY wbucket""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+
+  /** Feature-extract → ANN: [[extractFeatures]] (the model-forward-shaped
+    * mapPartitions stage) feeding the q21 brute-force cosine top-k skeleton
+    * unchanged — the promise of the `array<float>` output type made good in
+    * a declared query. Probes = doc_id < 10, top-3 (doc_id tiebreak; the
+    * 16-bin histograms tie often, the tiebreak keeps both engines exact). */
+  def q48FeatureAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = extractFeatures(binaryDocs(s, d))
+      .select(col("doc_id"), col("embedding"),
+        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+    val probes = emb.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        Vectors.dot(col("pe"), col("embedding")) / sqrt(col("pn2") * col("n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("doc_id"), col("cosine"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  def q48Sql: String = {
+    val dot = Similarity.duckDotSql _
+    s"""WITH b AS (
+       |  SELECT doc_id, text, len(text) AS n FROM documents
+       |), bytes AS (
+       |  SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i FROM b
+       |), cnt AS (
+       |  SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) // 16 AS bin,
+       |    count(*) AS c
+       |  FROM bytes GROUP BY 1, 2
+       |), bins AS (
+       |  SELECT doc_id, n, unnest(range(0, 16)) AS bin FROM b
+       |), hist AS (
+       |  SELECT doc_id, bin,
+       |    CAST(CAST(coalesce(c, 0) AS DOUBLE)
+       |      / CAST(CASE WHEN n < 1 THEN 1 ELSE n END AS DOUBLE) AS REAL) AS hv
+       |  FROM bins LEFT JOIN cnt USING (doc_id, bin)
+       |), emb AS (
+       |  SELECT doc_id, embedding, ${dot("embedding", "embedding")} AS n2 FROM (
+       |    SELECT doc_id, list(hv ORDER BY bin) AS embedding FROM hist GROUP BY doc_id) t
+       |), probes AS (
+       |  SELECT doc_id AS probe_id, embedding AS pe, n2 AS pn2 FROM emb WHERE doc_id < 10
+       |), scored AS (
+       |  SELECT probe_id, e.doc_id,
+       |    ${dot("pe", "e.embedding")} / sqrt(pn2 * e.n2) AS cosine
+       |  FROM emb e, probes WHERE e.doc_id <> probe_id
+       |), ranked AS (
+       |  SELECT probe_id, doc_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, doc_id) AS INT) AS rn
+       |  FROM scored
+       |)
+       |SELECT probe_id, doc_id, cosine, rn FROM ranked
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
   }
 }
