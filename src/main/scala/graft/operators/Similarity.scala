@@ -34,6 +34,16 @@ object Similarity {
   private val NProbes = 10
   private val Planes = 4  // LSH hyperplanes → 16 buckets (q28)
   private val Dim = 64
+  /** q28 multi-probe radius: a probe searches every bucket within this
+    * Hamming distance of its own sign pattern — the standard multi-probe
+    * LSH recall dial. Radius 2 over 4 planes probes 11 of 16 buckets;
+    * AnnRecallSpec measures the resulting recall@3 against brute force
+    * (BASELINE.md §recall) and pins the floor. At warehouse scale more
+    * planes + the same radius keeps the probed fraction small; the plan
+    * (bucket equi-join, never a cross join) is unchanged by the dial. */
+  private val ProbeRadius = 2
+  private[graft] def probeMasks: Seq[Int] =
+    (0 until (1 << Planes)).filter(Integer.bitCount(_) <= ProbeRadius)
 
   /** Deterministic ±1 hyperplane weights from md5 — reproducible anywhere,
     * no RNG. w(j,i) = +1 iff the 48-bit md5 int of "plane_j_i" is even.
@@ -103,10 +113,14 @@ object Similarity {
   // ---------------------------------------------------------------- q28
 
   /** LSH-bucketed ANN: bucket = sign bits of 4 fixed random hyperplanes;
-    * probes meet candidates ONLY inside their bucket (equi-join on the
+    * probes meet candidates ONLY inside probed buckets (equi-join on the
     * bucket key — no cross join in the plan), exact cosine re-rank, top-3.
-    * Fewer than 3 in-bucket neighbors ⇒ fewer rows — the recall/cost trade
-    * LSH makes by design.
+    * Multi-probe: each probe fans out to the buckets within
+    * [[ProbeRadius]] sign flips of its own (probe rows × masks — the
+    * candidate side never duplicates, each candidate bucket matches
+    * exactly one mask). Fewer than 3 neighbors in the probed buckets ⇒
+    * fewer rows — the recall/cost trade LSH makes by design, now measured
+    * (AnnRecallSpec) instead of implied.
     *
     * The dots here go through the native codegen expression
     * [[graft.functions.Vectors.dot]] (bit-identical to q21's higher-order
@@ -124,9 +138,13 @@ object Similarity {
           expr("shiftleft(1, plane_id)")).otherwise(0))
       .groupBy(col("vec_id")).agg(sum(col("bit")).cast("int").as("bucket"))
     val tagged = emb.join(buckets, Seq("vec_id"))
+    val masks = s.createDataFrame(probeMasks.map(Tuple1(_))).toDF("mask")
     val probes = tagged.filter(col("vec_id") < NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        col("n2").as("pn2"), col("bucket"))
+        col("n2").as("pn2"), col("bucket").as("pbucket"))
+      .crossJoin(broadcast(masks))
+      .withColumn("bucket", expr("int(pbucket ^ mask)"))
+      .drop("pbucket", "mask")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     tagged.join(broadcast(probes), Seq("bucket"))
@@ -143,8 +161,10 @@ object Similarity {
     val planeRows = planeWeights(Planes).map { case (j, ws) =>
       s"($j, [${ws.mkString(", ")}])"
     }.mkString(",\n    ")
+    val maskRows = probeMasks.map(m => s"($m)").mkString(", ")
     s"""WITH planes(plane_id, w) AS (VALUES
        |    $planeRows
+       |), masks(m) AS (VALUES $maskRows
        |), emb AS (
        |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM embeddings
        |), bits AS (
@@ -156,7 +176,8 @@ object Similarity {
        |), tagged AS (
        |  SELECT emb.vec_id, embedding, n2, bucket FROM emb JOIN buckets ON emb.vec_id = buckets.vec_id
        |), probes AS (
-       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2, bucket FROM tagged WHERE vec_id < $NProbes
+       |  SELECT vec_id AS probe_id, pe, pn2, CAST(xor(bucket, m) AS INT) AS bucket FROM (
+       |    SELECT vec_id, embedding AS pe, n2 AS pn2, bucket FROM tagged WHERE vec_id < $NProbes) t, masks
        |), scored AS (
        |  SELECT probe_id, t.bucket, t.vec_id,
        |    ${duckDot("pe", "embedding")} / sqrt(pn2 * n2) AS cosine
@@ -172,8 +193,12 @@ object Similarity {
 
   // ---------------------------------------------------------------- q46
 
-  private val NdPlanes = 16   // 4 bands × 4 sign bits
-  private val NdBands = 4
+  private val NdPlanes = 32   // 8 bands × 4 sign bits
+  private val NdBands = 8     // more bands = higher recall at the same
+                              // band width: a pair is a candidate if ANY
+                              // band's 4 sign bits agree. 4 bands measured
+                              // 0.49 pair recall at threshold cosine 0.4
+                              // (AnnRecallSpec); 8 bands clear the floor.
   private val NdThreshold = 0.4
 
   /** Embedding-cosine near-dup PAIRS (the dedup-family member the ANN
