@@ -209,19 +209,34 @@ object Similarity {
     * never all-pairs); exact cosine verifies ≥ 0.4. Banding trades recall
     * for never scanning N² — the oracle runs the SAME banding, so the
     * contract is algorithm-exactness, not retrieval recall. */
-  def q46CosineNeardup(s: SparkSession, d: String): DataFrame = {
+  /** Banded sign-LSH keys over a (doc_id, embedding) set: [[NdBands]] rows
+    * per doc, key = the band's sign-bit slice of the [[NdPlanes]] fixed
+    * hyperplanes, as a string (uniform with the minhash band-key state so
+    * [[graft.streaming.DedupStream]] runs either method through one state
+    * machine). */
+  private[graft] def signBands(emb: DataFrame): DataFrame = {
     import graft.functions.Vectors
-    val planes = s.createDataFrame(planeWeights(NdPlanes)).toDF("plane_id", "w")
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
-    val bands = emb.crossJoin(broadcast(planes))
+    val planes = emb.sparkSession
+      .createDataFrame(planeWeights(NdPlanes)).toDF("plane_id", "w")
+    emb.crossJoin(broadcast(planes))
       .withColumn("bit",
         when(Vectors.dot(col("w"), col("embedding")) > 0,
           expr(s"shiftleft(1, plane_id % ${NdPlanes / NdBands})")).otherwise(0))
-      .groupBy(col("vec_id").as("doc_id"),
-        expr(s"plane_id DIV ${NdPlanes / NdBands}").as("band"))
-      .agg(sum(col("bit")).cast("int").as("key"))
+      .groupBy(col("doc_id"),
+        expr(s"plane_id DIV ${NdPlanes / NdBands}").cast("int").as("band"))
+      .agg(sum(col("bit")).cast("int").cast("string").as("key"))
+  }
+
+  /** The exact-cosine score the banded candidates verify against — shared
+    * by q46 and the incremental stream so both paths are bit-identical. */
+  private[graft] val CosineThreshold: Double = NdThreshold
+
+  def q46CosineNeardup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Vectors
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+    val bands = signBands(emb.select(col("vec_id").as("doc_id"), col("embedding")))
     val pairs = Dedup.guardedBandPairs(bands)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     pairs

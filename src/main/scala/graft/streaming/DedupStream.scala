@@ -1,11 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Incremental MinHash near-dup — dedup at INGEST time, the shape a
   * training-data pipeline actually runs at 100 TB: documents stream in,
@@ -49,11 +49,16 @@ final class DedupStream(
     spark: SparkSession,
     state: StateDir,
     threshold: Double = 0.5,
-    cap: Int = Dedup.HotBucketCap) extends Serializable {
+    cap: Int = Dedup.HotBucketCap,
+    method: DedupStream.Method = DedupStream.Minhash) extends Serializable {
 
   import DedupStream._
 
-  def sigSnapshot: DataFrame = state.read(SigTable, SigSchema)
+  /** The signature state schema of THIS stream's method, plus batch_id. */
+  private val sigStateSchema: StructType =
+    StructType(method.sigSchema.fields :+ StructField("batch_id", LongType))
+
+  def sigSnapshot: DataFrame = state.read(SigTable, sigStateSchema)
   def pairsSnapshot: DataFrame = state.read(PairsTable, PairsSchema)
 
   /** Per-batch body (public: batch tests drive it directly). `docs` needs
@@ -78,13 +83,13 @@ final class DedupStream(
     def tagged(table: String, schema: StructType): DataFrame =
       state.read(table, schema)
         .withColumn("batch_id", coalesce(col("batch_id"), lit(-1L)))
-    val sigPrev = tagged(SigTable, SigSchema)
+    val sigPrev = tagged(SigTable, sigStateSchema)
       .filter(col("batch_id") < batchId)
     // idempotent re-delivery: docs signed by EARLIER batches are dropped
-    val newSig = Dedup.signature(docs)
+    val newSig = method.signature(docs)
       .join(sigPrev.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint() // feeds bands, scoring (twice), and the state append
-    val newBands = Dedup.bandKeys(newSig).localCheckpoint()
+    val newBands = method.bandKeys(newSig).localCheckpoint()
 
     val bandsPrev = tagged(BandsTable, BandsSchema)
       .filter(col("batch_id") < batchId)
@@ -132,15 +137,12 @@ final class DedupStream(
       .select(least(col("other"), col("doc_id")).as("doc_a"),
         greatest(col("other"), col("doc_id")).as("doc_b"))
     val allSig = sigPrev.select(newSig.columns.map(col): _*).unionByName(newSig)
-    val matches = (0 until Dedup.R)
-      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
-      .reduce(_ + _)
     val scored = candSmall.unionByName(candHot).distinct()
       .join(allSig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(allSig.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("est_jaccard", matches / lit(Dedup.R.toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .withColumn("score", method.score)
+      .filter(col("score") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("score"))
 
     // each data table APPENDS only this batch's delta rows, tagged with the
     // batch id (write I/O O(batch)); a table whose chain already carries
@@ -152,7 +154,7 @@ final class DedupStream(
     appendOnce(PairsTable, PairsSchema, batchId,
       scored.join(pairsPrev.select("doc_a", "doc_b"),
         Seq("doc_a", "doc_b"), "left_anti").select(col("*"), tag))
-    appendOnce(SigTable, SigSchema, batchId, newSig.select(col("*"), tag))
+    appendOnce(SigTable, sigStateSchema, batchId, newSig.select(col("*"), tag))
     appendOnce(BandsTable, BandsSchema, batchId, newBands.select(col("*"), tag))
     appendOnce(StatsTable, StatsSchema, batchId, statsDelta.select(col("*"), tag))
     state.write(MetaTable,
@@ -190,12 +192,57 @@ object DedupStream {
   val PairsTable = "neardup_pairs"
   val MetaTable = "dedup_meta"
 
+  /** What varies between dedup families, factored out of the state
+    * machine: how a doc becomes a narrow signature row, how signatures
+    * become (doc_id, band, key) rows, and how a candidate pair is scored
+    * from the two signature aliases `sa`/`sb`. Everything else — banding
+    * state, hot-bucket guard, batch-id replay, append-mode publish — is
+    * method-independent. */
+  trait Method extends Serializable {
+    /** signature columns, doc_id first (batch_id is appended by the stream) */
+    def sigSchema: StructType
+    /** input rows → one signature row per doc_id */
+    def signature(docs: DataFrame): DataFrame
+    /** signature rows → (doc_id, band, key string) rows */
+    def bandKeys(sig: DataFrame): DataFrame
+    /** pair score over the joined signature aliases sa/sb */
+    def score: Column
+  }
+
+  /** MinHash over (doc_id, text) — the q20 semantics. */
+  object Minhash extends Method {
+    val sigSchema: StructType = StructType(
+      StructField("doc_id", LongType) +:
+        (0 until Dedup.R).map(j => StructField(s"m$j", LongType)))
+    def signature(docs: DataFrame): DataFrame = Dedup.signature(docs)
+    def bandKeys(sig: DataFrame): DataFrame = Dedup.bandKeys(sig)
+    def score: Column = (0 until Dedup.R)
+      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+      .reduce(_ + _) / lit(Dedup.R.toDouble)
+  }
+
+  /** Embedding cosine over (doc_id, embedding array<float>) — the q46
+    * semantics: banded sign-LSH candidates, exact-cosine scoring. Pair
+    * with `threshold = Similarity.CosineThreshold` for q46 equivalence. */
+  object Cosine extends Method {
+    val sigSchema: StructType = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("n2", DoubleType)))
+    def signature(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), col("embedding"),
+        graft.functions.Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+    def bandKeys(sig: DataFrame): DataFrame =
+      Similarity.signBands(sig.select("doc_id", "embedding"))
+    def score: Column =
+      graft.functions.Vectors.dot(col("sa.embedding"), col("sb.embedding")) /
+        sqrt(col("sa.n2") * col("sb.n2"))
+  }
+
   // every state table carries the batch_id that wrote each row — the
   // replay-exactness anchor (see the class scaladoc)
   val SigSchema: StructType = StructType(
-    (StructField("doc_id", LongType) +:
-      (0 until Dedup.R).map(j => StructField(s"m$j", LongType))) :+
-      StructField("batch_id", LongType))
+    Minhash.sigSchema.fields :+ StructField("batch_id", LongType))
 
   val BandsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("band", IntegerType),
@@ -208,7 +255,7 @@ object DedupStream {
 
   val PairsSchema: StructType = StructType(Seq(
     StructField("doc_a", LongType), StructField("doc_b", LongType),
-    StructField("est_jaccard", DoubleType), StructField("batch_id", LongType)))
+    StructField("score", DoubleType), StructField("batch_id", LongType)))
 
   val MetaSchema: StructType = StructType(Seq(StructField("last_batch", LongType)))
 }
