@@ -22,10 +22,17 @@ final case class ImageSpec(imageSize: Long, files: DataFrame, layout: DataFrame,
   * thresholds, and completion all run per image, independently.
   *
   * Chunks for undeclared images are counted in the per-batch `unrouted`
-  * metric rather than silently dropped. Scale: the per-batch driver loop is
-  * O(|declared images|); each machine's chunk-metadata work is distributed,
-  * and its HW window partitions by image name ([[graft.operators
-  * .HighWaterMark.contiguousPrefixPerKey]]) — no global-sort stage anywhere.
+  * metric rather than silently dropped.
+  *
+  * Routing is SINGLE-PASS: each micro-batch is tagged with its image key
+  * and written once, partitioned by that key, into a staging dir — one job
+  * scans the raw batch however many images are declared. Every machine
+  * then reads ONLY its own `img=` subdirectory (true partition pruning, no
+  * per-image filter pass over the whole batch), so a thousand-image fleet
+  * costs one routing job plus each machine's own work over its own slice.
+  * Each machine's chunk-metadata work is distributed, and its HW window
+  * partitions by image name ([[graft.operators.HighWaterMark
+  * .contiguousPrefixPerKey]]) — no global-sort stage anywhere.
   */
 final class MultiImageIngest(
     spark: SparkSession,
@@ -53,30 +60,47 @@ final class MultiImageIngest(
 
   def doneFor(img: String): Boolean = machines(img).isDone
 
-  /** Route one micro-batch: each machine sees only its image's chunks.
-    * Returns the count of chunks whose image nobody declared. */
+  /** Route one micro-batch: ONE job writes the batch partitioned by image
+    * key into the staging dir; each machine reads only its own partition.
+    * Returns the count of chunks whose image nobody declared. Replay-safe:
+    * staging is overwritten per batch and every machine carries its own
+    * batch-id guard. */
   def processBatch(rawBlocks: Dataset[ImageBlock], batchId: Long): Long = {
-    import rawBlocks.sparkSession.implicits._
-    val blocks = rawBlocks.persist()
-    try {
-      val present = blocks.map(b => imageOf(b.filename)).distinct()
-        .collect().toSet
-      machines.foreach { case (img, m) =>
-        if (present(img))
-          m.processBatch(blocks.filter(b => imageOf(b.filename) == img), batchId)
+    val s = rawBlocks.sparkSession
+    import s.implicits._
+    val staging = s"$stateRoot/_staging"
+    // the single pass over the raw batch: tag + partitioned write
+    rawBlocks.toDF()
+      .withColumn("img",
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col("filename"), "\\.[0-9]+$", ""))
+      .write.mode("overwrite").partitionBy("img").parquet(staging)
+    // present images = directory listing (no job); partition values are
+    // URL-escaped by the writer, so decode for the declared-name match
+    val dirs = Option(new java.io.File(staging).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("img="))
+      .map(f => java.net.URLDecoder.decode(f.getName.drop(4), "UTF-8") -> f.getPath)
+      .toMap
+    val blockSchema = implicitly[org.apache.spark.sql.Encoder[ImageBlock]].schema
+    machines.foreach { case (img, m) =>
+      dirs.get(img).foreach { path =>
+        m.processBatch(
+          s.read.schema(blockSchema).parquet(path).as[ImageBlock], batchId)
       }
-      val unknown = present.diff(images.keySet)
-      val unrouted =
-        if (unknown.isEmpty) 0L
-        else blocks.filter(b => unknown(imageOf(b.filename))).count()
-      if (unrouted > 0 && batchId > lastUnroutedBatch) {
-        lastUnroutedBatch = batchId
-        unroutedTotal += unrouted
-        Console.err.println(s"MultiImageIngest: batch $batchId dropped " +
-          s"$unrouted chunk(s) for undeclared image(s) ${unknown.mkString(", ")}")
-      }
-      unrouted
-    } finally blocks.unpersist()
+    }
+    val unknown = dirs.view.filterKeys(!images.keySet.contains(_)).toMap
+    val unrouted =
+      if (unknown.isEmpty) 0L
+      else s.read.schema(blockSchema)
+        .parquet(unknown.values.toSeq: _*).count()
+    if (unrouted > 0 && batchId > lastUnroutedBatch) {
+      lastUnroutedBatch = batchId
+      unroutedTotal += unrouted
+      Console.err.println(s"MultiImageIngest: batch $batchId dropped " +
+        s"$unrouted chunk(s) for undeclared image(s) ${unknown.keys.mkString(", ")}")
+    }
+    unrouted
   }
 
   /** One streaming query for the whole fleet. */

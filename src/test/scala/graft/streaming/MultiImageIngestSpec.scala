@@ -99,6 +99,29 @@ class MultiImageIngestSpec extends AnyFunSuite {
     assert(m1.hwLogSnapshot.count() == 3 && m2.hwLogSnapshot.count() == 2)
   }
 
+  test("fleet routing is single-pass: 50 images, raw batch scanned once") {
+    val n = 50
+    val fleet = new MultiImageIngest(spark,
+      Files.createTempDirectory("graft-fleet50-").toString,
+      (0 until n).map(i =>
+        s"img$i.dd" -> ImageSpec(10, filesDf, layoutDf, fsInfoDf)).toMap)
+    // the accumulator counts row visits of the RAW batch: a per-image
+    // filter pass would visit each row once per present image (~50x)
+    val evals = spark.sparkContext.longAccumulator("raw-evals")
+    val ds = (0 until n).map { i =>
+      val data = Array.fill(10)(0.toByte)
+      ImageBlock(s"img$i.dd.0", md5hex(data), data)
+    }.toDS().map { b => evals.add(1); b }
+    val unrouted = fleet.processBatch(ds, 0L)
+    assert(unrouted == 0L)
+    assert(evals.value == n,
+      s"raw batch visited ${evals.value} rows for $n inputs — routing is not single-pass")
+    (0 until n).foreach { i =>
+      assert(fleet.machine(s"img$i.dd").chunksSnapshot.count() == 1,
+        s"img$i.dd got no chunk")
+    }
+  }
+
   test("chunks for undeclared images are counted, not silently dropped") {
     val fleet = newFleet()
     val ghost = ImageBlockCodec.decode(chunk("ghost.dd", Seq(5), 0))
