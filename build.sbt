@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify emit machine-parsed JSON lines on stdout; the forked run's
+// default output strategy pipes them through the sbt logger, which adds
+// the "[info] " prefix that broke the driver's JSON parse in past rounds.
+// StdoutOutput inherits raw stdio instead — the JSON reaches stdout bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
