@@ -26,10 +26,16 @@ import graft.functions.Vectors
   * vec_id)` + `list_reduce` left-folds from the first element, and IEEE
   * `0.0 + x == x` makes the sums identical; each mean then rounds to
   * FLOAT once (both engines round-to-nearest-even), so centroid arrays
-  * stay type-identical to the embeddings. The ordered collect_list per
-  * (cell, dim) is bounded by |cell| and exists to pin the oracle — a
+  * stay type-identical to the embeddings. The per-cell ordered
+  * collect_list is bounded by |cell| and exists to pin the oracle — a
   * production trainer uses a plain associative sum and tolerates fp
   * reorder.
+  *
+  * Cost shape: training inline makes q40 a build-the-index-AND-serve
+  * query — the cold run pays ~6 extra broadcast/aggregate stages of
+  * scheduling + codegen latency (dominant at bench scale, where the data
+  * itself is tiny); warm steady-state is ~2.5 s at sf0.1 and a production
+  * deployment trains once and persists the centroid table.
   */
 object Ivf {
 
@@ -48,10 +54,27 @@ object Ivf {
     * ~3N/K vectors, not N. */
   private val NProbeCells = 3
 
-  /** Per-vector centroid ranking, `keep` nearest kept: (vec_id, embedding,
-    * n2, cell, crn). One broadcast of the K centroid rows; ties break on
-    * cid. keep=1 is plain nearest-centroid assignment. */
-  private def assignTo(emb: DataFrame, centroids: DataFrame,
+  /** Nearest-centroid assignment: (vec_id, embedding, n2, cell). A
+    * `max_by` aggregate, not a window — partial aggregation collapses the
+    * K scored rows per vector MAP-SIDE (the scored rows are co-located:
+    * broadcast join preserves the scan partitioning), so no N×K window
+    * sort/shuffle ever materializes. Ties break on the smaller cid
+    * (lexicographic struct order on (ccos, -cid)), identical to the
+    * oracle's `row_number() ... ORDER BY ccos DESC, cid`. */
+  private def assignTo(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        Vectors.dot(col("embedding"), col("ce")) / sqrt(col("n2") * col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("n2"), col("cid").as("cell")),
+        struct(col("ccos"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.n2").as("n2"), col("best.cell").as("cell"))
+
+  /** Per-vector centroid ranking, `keep` nearest kept — the window form,
+    * used only over the tiny probe subset (nprobe cells per probe). */
+  private def rankCells(emb: DataFrame, centroids: DataFrame,
       keep: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
@@ -60,27 +83,28 @@ object Ivf {
         Vectors.dot(col("embedding"), col("ce")) / sqrt(col("n2") * col("cn2")))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") <= keep)
-      .select(col("vec_id"), col("embedding"), col("n2"),
-        col("cid").as("cell"), col("crn"))
+      .select(col("vec_id"), col("cid").as("cell"), col("crn"))
   }
 
   /** One Lloyd update: element-wise mean of each cell's vectors (ordered
     * fold, FLOAT rounding — see the object scaladoc), re-emitted as a
-    * (cid, ce, cn2) centroid table. Cells that captured no vectors drop
-    * out (standard k-means; deterministic on both engines). */
+    * (cid, ce, cn2) centroid table. One groupBy per update: the vectors of
+    * a cell fold element-wise in vec_id order via zip_with — the per-
+    * dimension addition sequence is identical to a per-dim ordered fold,
+    * so the unrolled per-dimension oracle reproduces it bit-for-bit.
+    * Cells that captured no vectors drop out (standard k-means;
+    * deterministic on both engines). */
   private def centroidsOf(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("cell"), col("vec_id"),
-        posexplode(col("embedding")).as(Seq("dim", "f")))
-      .withColumn("v", col("f").cast("double"))
-      .groupBy(col("cell"), col("dim"))
-      .agg(expr("CAST(aggregate(array_sort(collect_list(struct(vec_id, v))), " +
-        "CAST(0 AS DOUBLE), (acc, x) -> acc + x.v) / count(1) AS FLOAT)").as("cv"))
       .groupBy(col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
-        .as("ce"))
-      .select(col("cell").as("cid"), col("ce"),
-        Vectors.dot(col("ce"), col("ce")).as("cn2"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("aggregate(array_sort(collect_list(struct(vec_id, embedding))), " +
+          s"array_repeat(CAST(0 AS DOUBLE), $Dim), " +
+          "(acc, x) -> zip_with(acc, x.embedding, (a, e) -> a + double(e)))")
+          .as("sums"))
+      .select(col("cell").as("cid"),
+        expr("transform(sums, s -> CAST(s / cnt AS FLOAT))").as("ce"))
+      .withColumn("cn2", Vectors.dot(col("ce"), col("ce")))
 
   /** Training: seed = first K vectors, [[Iters]] Lloyd rounds. Returns the
     * (persisted) embedding base and the trained centroid table. */
@@ -92,7 +116,7 @@ object Ivf {
     val seed = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
     val trained = (0 until Iters).foldLeft(seed) { (c, _) =>
-      centroidsOf(assignTo(emb, c, 1).drop("crn"))
+      centroidsOf(assignTo(emb, c))
     }
     (emb, trained)
   }
@@ -108,14 +132,14 @@ object Ivf {
     // broadcast and the candidate scan, and the N×K scoring + argmax
     // window is the expensive stage — without this it executes twice.
     // (At production scale the cell assignment is a persisted IVF index.)
-    val tagged = assignTo(emb, trained, 1).drop("crn").persist()
+    val tagged = assignTo(emb, trained).persist()
     val probeRange = col("vec_id") >= ProbeFrom && col("vec_id") < ProbeFrom + NProbes
     val probes = tagged.filter(probeRange)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("n2").as("pn2"))
     // each probe's nprobe nearest cells — ranked against the SAME trained
     // centroids, over the 10-probe subset only (tiny)
-    val pcells = assignTo(emb.filter(probeRange), trained, NProbeCells)
+    val pcells = rankCells(emb.filter(probeRange), trained, NProbeCells)
       .select(col("vec_id").as("probe_id"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))

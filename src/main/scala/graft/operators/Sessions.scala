@@ -89,15 +89,19 @@ object Sessions {
     * CONSTRUCTION — 2 eager jobs; persist is the lazy staging primitive).
     * From it, three small lazy stages:
     *  - slice counts: groupBy(spark_partition_id, group) — O(P × groups)
-    *    rows after map-side partial agg;
+    *    rows after map-side partial agg — carrying min(mid) per slice,
+    *    where mid = monotonically_increasing_id() (partition-local row
+    *    counter in its low bits, so over the pinned sorted partitions
+    *    `mid − min(mid of the slice)` IS the 0-based rank of a row within
+    *    its (partition, group) slice — no second sort, no window, no
+    *    row-by-row pass);
     *  - per-slice offsets + totals: a window/agg over those stat rows fixes
     *    each partition's starting rank and the middle target ranks
     *    ((n+1) DIV 2, (n+2) DIV 2 — integer DIV; "/" on integers is double
     *    division in Spark and an even group's k.5 would match nothing);
-    *  - selection: one streaming mapPartitions ranks rows within their
-    *    slice (rows arrive sorted), then a BROADCAST join against the tiny
-    *    bounds table filters to the one-or-two middle rows per group —
-    *    the data-scale side is never shuffled again.
+    *  - selection: a BROADCAST join of the data against the tiny bounds
+    *    table filters to the one-or-two middle rows per group — fully
+    *    codegen, the data-scale side is never shuffled again.
     * The selected rows average to the exact median — no percentile
     * interpolation, deterministic to the bit on both engines. */
   def q42Median(s: SparkSession, d: String): DataFrame = {
@@ -112,11 +116,15 @@ object Sessions {
       .repartitionByRange(col("event_type"), col("value"), col("event_id"))
       .sortWithinPartitions(col("event_type"), col("value"), col("event_id"))
       .select(col("event_type"), col("value"))
-      .persist()
-    // per-(partition, group) slice counts: partial aggregation collapses
-    // each slice map-side, so the shuffle carries O(P × groups) rows
-    val slices = ranged.withColumn("pid", spark_partition_id())
-      .groupBy(col("pid"), col("event_type")).agg(count(lit(1)).as("c"))
+      .persist() // pins partition layout AND row order for the mid ranks
+      .withColumn("pid", spark_partition_id())
+      .withColumn("mid", monotonically_increasing_id())
+    // per-(partition, group) slice counts + the slice's first mid: partial
+    // aggregation collapses each slice map-side, so the shuffle carries
+    // O(P × groups) rows
+    val slices = ranged
+      .groupBy(col("pid"), col("event_type"))
+      .agg(count(lit(1)).as("c"), min(col("mid")).as("mid0"))
     // starting rank of each slice + per-group totals/targets — windows and
     // joins over stat rows only, never the data
     val wPrev = Window.partitionBy(col("event_type")).orderBy(col("pid"))
@@ -131,30 +139,16 @@ object Sessions {
       .drop("tg")
       .withColumn("t1", expr("(n + 1) DIV 2"))
       .withColumn("t2", expr("(n + 2) DIV 2"))
-      .select(col("pid"), col("event_type").as("g"), col("off"),
+      .select(col("pid"), col("event_type").as("g"), col("mid0"), col("off"),
         col("n"), col("t1"), col("t2"))
-    // local rank within (partition, group): rows arrive sorted with
-    // event_type leading, so a streaming scan suffices. `started` flag, not
-    // a null sentinel: a NULL event_type group sorts first, and g=null
-    // would skip its reset (null == null), merging it into the next group.
-    val ranked = ranged.withColumn("pid", spark_partition_id())
-      .as[(String, Double, Int)]
-      .mapPartitions { it =>
-        var started = false
-        var g: String = null
-        var rank = 0L
-        it.map { case (et, v, pid) =>
-          if (!started || et != g) { started = true; g = et; rank = 0L }
-          rank += 1
-          (pid, et, rank, v)
-        }
-      }.toDF("pid", "event_type", "r", "value")
-    // null-safe group match: a NULL event_type group must still find its
-    // bounds row. The bounds side is tiny — broadcast, no data shuffle.
-    ranked.join(broadcast(bounds),
-        ranked("pid") === bounds("pid") && ranked("event_type") <=> bounds("g"))
-      .filter(col("off") + col("r") === col("t1")
-        || col("off") + col("r") === col("t2"))
+    // global rank of a row = its slice's starting rank + its position in
+    // the slice (mid − mid0 + 1). Null-safe group match: a NULL event_type
+    // group must still find its bounds row. The bounds side is tiny —
+    // broadcast, no data shuffle, and the whole selection is codegen.
+    val rk = col("off") + (col("mid") - col("mid0")) + 1
+    ranged.join(broadcast(bounds),
+        ranged("pid") === bounds("pid") && ranged("event_type") <=> bounds("g"))
+      .filter(rk === col("t1") || rk === col("t2"))
       .groupBy(col("event_type"))
       .agg((sum(col("value")) / count(lit(1))).as("median"), max(col("n")).as("n"))
       .select(col("event_type"), col("median"), col("n"))
