@@ -145,18 +145,29 @@ final class ChunkIngest(
     // StreamingApp.scala:322-324): chunks whose md5 mismatches the
     // producer hash are quarantined, not ingested — a corrupt chunk reads
     // as MISSING, so the HW holds at the gap and the image cannot be
-    // declared complete until a good copy arrives (re-delivery replaces it
-    // because the chunks dedup keeps the verified row).
-    val bad = state.read(BadChunksTable, ChunksSchema)
-      .unionByName(meta.filter(!col("hash_ok")))
-      .dropDuplicates("name", "sequence")
-    state.write(BadChunksTable, bad)
+    // declared complete until a good copy arrives (re-delivery still lands
+    // because the anti-join checks the VERIFIED table only).
+    //
+    // Both chunk tables GROW with the corpus, so they publish via
+    // StateDir.append — per-batch write I/O is O(batch): only the rows not
+    // already in state (natural-key anti-join, which also makes replay a
+    // no-op delta) hit disk. The queue table below stays on full write —
+    // it is UPDATED in place (status transitions), the MERGE shape, not
+    // the append shape.
+    val existingBad = state.read(BadChunksTable, ChunksSchema)
+    state.append(BadChunksTable,
+      meta.filter(!col("hash_ok"))
+        .dropDuplicates("name", "sequence")
+        .join(existingBad.select("name", "sequence"),
+          Seq("name", "sequence"), "left_anti"))
 
     // S4: append verified chunk metadata, idempotent on (name, sequence).
-    val chunks = state.read(ChunksTable, ChunksSchema)
-      .unionByName(meta.filter(col("hash_ok")))
-      .dropDuplicates("name", "sequence")
-    state.write(ChunksTable, chunks)
+    val existingChunks = state.read(ChunksTable, ChunksSchema)
+    state.append(ChunksTable,
+      meta.filter(col("hash_ok"))
+        .dropDuplicates("name", "sequence")
+        .join(existingChunks.select("name", "sequence"),
+          Seq("name", "sequence"), "left_anti"))
 
     // (3) candidate HW over the full chunk set: contiguous-prefix sum plus
     // the seq/name of the last contiguous chunk. The window partitions by
@@ -195,9 +206,11 @@ final class ChunkIngest(
           (prev.current, candidate, candSeq, candName)))
           .toDF("previous", "current", "current_seq", "current_name")
         val existing = state.read(HwLogTable, HwLogSchema)
-        state.write(HwLogTable, existing.unionByName(
+        // audit log: grows per advance → append-mode (anti-join keeps a
+        // crash-replayed advance single in the trail)
+        state.append(HwLogTable,
           logRow.join(existing.select("previous", "current"),
-            Seq("previous", "current"), "left_anti")))
+            Seq("previous", "current"), "left_anti"))
         writeHw(HwState(prev.current, candidate, candSeq, candName, prev.status))
         (prev.current, candidate)
       } else (prev.previous, prev.current)

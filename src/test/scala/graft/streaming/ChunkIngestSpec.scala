@@ -200,6 +200,21 @@ class ChunkIngestSpec extends AnyFunSuite {
     assert(stamps == 0, "lifecycle timestamps all stamped (F6)")
   }
 
+  test("chunks state appends deltas: newest version holds only the batch's new rows") {
+    val (ingest, st) = newIngest()
+    ingest.processBatch(Seq(chunk(0), chunk(1), chunk(2)).toDS(), 0L)
+    ingest.processBatch(Seq(chunk(3), chunk(4), chunk(2)).toDS(), 1L) // one replayed chunk
+    val root = st.path(ChunkIngest.ChunksTable)
+    val latest = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      root.stripSuffix("/" + ChunkIngest.ChunksTable) +
+        s"/${ChunkIngest.ChunksTable}.latest"))).trim.toInt
+    // write I/O O(batch): the newest version dir carries ONLY batch 1's
+    // two genuinely-new chunks, not the accumulated five
+    assert(spark.read.parquet(s"$root/v$latest").count() == 2)
+    assert(ingest.chunksSnapshot.count() == 5)
+    assert(new java.io.File(s"$root/v$latest/_DELTA").exists())
+  }
+
   test("error reset (T6): errored resident rows return to status 0 on the next trigger") {
     val (ingest, st) = newIngest()
     // drive past the quarter threshold so the resident row (8) is enqueued.
