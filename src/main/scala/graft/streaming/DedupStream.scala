@@ -7,15 +7,19 @@ import org.apache.spark.sql.types._
 
 import graft.operators.{Dedup, Similarity}
 
-/** Incremental MinHash near-dup — dedup at INGEST time, the shape a
-  * training-data pipeline actually runs at 100 TB: documents stream in,
-  * each micro-batch signs only its NEW docs, probes its band keys against
-  * the persisted signature state (one narrow row per doc ever seen), emits
-  * the near-dup pairs the batch introduced, and appends its signatures.
-  * Per-batch work is O(batch × matching buckets), never O(corpus²); the
-  * union of per-batch pairs over any arrival order equals the one-shot
-  * batch pipeline ([[Dedup.q20MinhashNeardup]]) on the same corpus —
-  * pinned by DedupStreamSpec.
+/** Incremental near-dup — dedup at INGEST time, the shape a training-data
+  * pipeline actually runs at 100 TB: records stream in, each micro-batch
+  * signs only its NEW docs, probes its band keys against the persisted
+  * signature state (one narrow row per doc ever seen), emits the near-dup
+  * pairs the batch introduced, and appends its signatures. The dedup
+  * family plugs in via [[DedupStream.Method]]: [[DedupStream.Minhash]]
+  * (q20 semantics over (doc_id, text)) and [[DedupStream.Cosine]] (q46
+  * banded sign-LSH + exact cosine over (doc_id, embedding)) run through
+  * the SAME state machine. Per-batch work is O(batch × matching buckets),
+  * never O(corpus²); the union of per-batch pairs over any arrival order
+  * equals the one-shot batch pipeline ([[Dedup.q20MinhashNeardup]] /
+  * [[Similarity.q46CosineNeardup]]) on the same corpus — pinned by
+  * DedupStreamSpec and CosineStreamSpec.
   *
   * The hot-bucket guard carries over: STATE buckets over `cap` pair a new
   * doc only with the bucket's hub (the same linear bound as
@@ -62,7 +66,8 @@ final class DedupStream(
   def pairsSnapshot: DataFrame = state.read(PairsTable, PairsSchema)
 
   /** Per-batch body (public: batch tests drive it directly). `docs` needs
-    * (doc_id long, text string).
+    * whatever the method signs: (doc_id long, text string) for Minhash,
+    * (doc_id long, embedding array<float>) for Cosine.
     *
     * Incremental invariant: NOTHING here recomputes over the corpus — the
     * band table and per-bucket stats are persisted state, appended/merged
