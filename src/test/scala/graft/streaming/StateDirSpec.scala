@@ -112,6 +112,27 @@ class StateDirSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/t/v0").exists())
   }
 
+  test("append after a crash-orphaned delta dir overwrites it cleanly") {
+    val root = Files.createTempDirectory("sd-").toString
+    val st = new StateDir(spark, root)
+    st.append("t", Seq((1L, "a")).toDF("k", "v"))
+    st.append("t", Seq((2L, "b")).toDF("k", "v"))
+    // simulate a crash AFTER the parquet write of v2 but BEFORE the pointer
+    // bump: a complete-looking orphan delta dir the pointer never adopted
+    val orphan = new java.io.File(s"$root/t/v2")
+    orphan.mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$root/t/v2/_SUCCESS"), Array.empty[Byte])
+    Files.write(java.nio.file.Paths.get(s"$root/t/v2/_DELTA"), Array.empty[Byte])
+    Files.write(java.nio.file.Paths.get(s"$root/t/v2/junk.parquet"), "junk".getBytes)
+    // reads resolve via the pointer (v1) and never see the orphan
+    assert(st.read("t", schema).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // the replayed append claims version 2 again, replacing the orphan
+    st.append("t", Seq((3L, "c")).toDF("k", "v"))
+    assert(st.read("t", schema).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    assert(!new java.io.File(s"$root/t/v2/junk.parquet").exists())
+  }
+
   test("locked() is reentrant and serializes concurrent read-modify-writes") {
     val st = new StateDir(spark, Files.createTempDirectory("sd-").toString)
     st.write("t", Seq((0L, "n")).toDF("k", "v"))
