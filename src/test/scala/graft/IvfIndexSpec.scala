@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ivf, IvfIndex}
+import graft.streaming.StateDir
+
+/** Train-once / serve-many IVF: build publishes the index to StateDir;
+  * queries serve purely from the persisted tables — bit-identical to the
+  * inline q40, surviving a fresh handle on the same state, with no
+  * training stage in the serving plan. */
+class IvfIndexSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq
+
+  test("persisted index serves q40 bit-identically, without retraining") {
+    val root = Files.createTempDirectory("ivf-index-").toString
+    val idx = new IvfIndex(spark, new StateDir(spark, root))
+    assert(!idx.isBuilt)
+    idx.build(sf)
+    assert(idx.isBuilt)
+    val expected = rows(Ivf.q40IvfAnn(spark, sf))
+    assert(rows(idx.query(490L, 10L)) == expected)
+    // a FRESH handle on the same state dir serves without ever building —
+    // the index is genuinely on disk, not in this session's cache
+    val reopened = new IvfIndex(spark, new StateDir(spark, root))
+    assert(reopened.isBuilt)
+    val served = reopened.query(490L, 10L)
+    assert(rows(served) == expected)
+    // and the serving plan contains no training stage: the Lloyd update's
+    // distinctive ordered-fold aggregate never appears
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("zip_with"),
+      "serving plan retrains the quantizer")
+    assert(expected.nonEmpty)
+  }
+}
