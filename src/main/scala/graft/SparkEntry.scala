@@ -68,6 +68,8 @@ object SparkEntry {
     "q46_cosine_neardup" -> (Similarity.q46CosineNeardup _),
     "q47_multimodal_meta" -> (Multimodal.q47MultimodalMeta _),
     "q48_feature_ann" -> (Multimodal.q48FeatureAnn _),
+    "q49_stratified_sample" -> (Sampling.q49StratifiedSample _),
+    "q50_hash_split" -> (Sampling.q50HashSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,5 +123,7 @@ object SparkEntry {
     "q46_cosine_neardup" -> Similarity.q46Sql,
     "q47_multimodal_meta" -> Multimodal.q47Sql,
     "q48_feature_ann" -> Multimodal.q48Sql,
+    "q49_stratified_sample" -> Sampling.q49Sql,
+    "q50_hash_split" -> Sampling.q50Sql,
   )
 }
