@@ -70,6 +70,7 @@ object SparkEntry {
     "q48_feature_ann" -> (Multimodal.q48FeatureAnn _),
     "q49_stratified_sample" -> (Sampling.q49StratifiedSample _),
     "q50_hash_split" -> (Sampling.q50HashSplit _),
+    "q51_asof_join" -> (AsOf.q51AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,5 +126,6 @@ object SparkEntry {
     "q48_feature_ann" -> Multimodal.q48Sql,
     "q49_stratified_sample" -> Sampling.q49Sql,
     "q50_hash_split" -> Sampling.q50Sql,
+    "q51_asof_join" -> AsOf.q51Sql,
   )
 }
