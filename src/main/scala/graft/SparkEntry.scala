@@ -71,6 +71,7 @@ object SparkEntry {
     "q49_stratified_sample" -> (Sampling.q49StratifiedSample _),
     "q50_hash_split" -> (Sampling.q50HashSplit _),
     "q51_asof_join" -> (AsOf.q51AsofJoin _),
+    "q52_percentiles" -> (Sessions.q52Percentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,5 +128,6 @@ object SparkEntry {
     "q49_stratified_sample" -> Sampling.q49Sql,
     "q50_hash_split" -> Sampling.q50Sql,
     "q51_asof_join" -> AsOf.q51Sql,
+    "q52_percentiles" -> Sessions.q52Sql,
   )
 }

@@ -104,11 +104,13 @@ object Sessions {
     *    codegen, the data-scale side is never shuffled again.
     * The selected rows average to the exact median — no percentile
     * interpolation, deterministic to the bit on both engines. */
-  def q42Median(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // median over NON-NULL values, explicitly (standard median semantics;
-    // also: a null value would crash the (String, Double) tuple encoder,
-    // and null ordering differs between engines anyway)
+  /** The shared rank-selection base over events(event_type, value):
+    * (ranged rows with (pid, mid), bounds rows (pid, g, mid0, off, n)).
+    * See the q42 scaladoc for the mechanics; q52's exact percentiles ride
+    * the same two structures with different target ranks. */
+  private def rankBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // NON-NULL values, explicitly (standard order-statistic semantics, and
+    // null ordering differs between engines anyway)
     val ev = Tables.events(s, d)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"), col("event_id"))
@@ -125,8 +127,8 @@ object Sessions {
     val slices = ranged
       .groupBy(col("pid"), col("event_type"))
       .agg(count(lit(1)).as("c"), min(col("mid")).as("mid0"))
-    // starting rank of each slice + per-group totals/targets — windows and
-    // joins over stat rows only, never the data
+    // starting rank of each slice + per-group totals — windows and joins
+    // over stat rows only, never the data
     val wPrev = Window.partitionBy(col("event_type")).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // null-safe joins throughout the stat chain: a NULL event_type group is
@@ -137,15 +139,23 @@ object Sessions {
       .withColumn("off", coalesce(sum(col("c")).over(wPrev), lit(0L)))
       .join(totals, col("event_type") <=> col("tg"))
       .drop("tg")
+      .select(col("pid"), col("event_type").as("g"), col("mid0"), col("off"),
+        col("n"))
+    (ranged, bounds)
+  }
+
+  /** Global rank of a ranged row = its slice's starting rank + its
+    * position in the slice (mid − mid0 + 1). */
+  private def rk = col("off") + (col("mid") - col("mid0")) + 1
+
+  def q42Median(s: SparkSession, d: String): DataFrame = {
+    val (ranged, base) = rankBase(s, d)
+    val bounds = base
       .withColumn("t1", expr("(n + 1) DIV 2"))
       .withColumn("t2", expr("(n + 2) DIV 2"))
-      .select(col("pid"), col("event_type").as("g"), col("mid0"), col("off"),
-        col("n"), col("t1"), col("t2"))
-    // global rank of a row = its slice's starting rank + its position in
-    // the slice (mid − mid0 + 1). Null-safe group match: a NULL event_type
-    // group must still find its bounds row. The bounds side is tiny —
-    // broadcast, no data shuffle, and the whole selection is codegen.
-    val rk = col("off") + (col("mid") - col("mid0")) + 1
+    // Null-safe group match: a NULL event_type group must still find its
+    // bounds row. The bounds side is tiny — broadcast, no data shuffle,
+    // and the whole selection is codegen.
     ranged.join(broadcast(bounds),
         ranged("pid") === bounds("pid") && ranged("event_type") <=> bounds("g"))
       .filter(rk === col("t1") || rk === col("t2"))
@@ -165,4 +175,37 @@ object Sessions {
       |SELECT event_type, sum(value) / count(*) AS median, max(cnt) AS n
       |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+
+  private val Percentiles = Seq(25, 50, 75, 90, 99)
+
+  /** Exact nearest-rank percentiles per group, one pass: the q42 machinery
+    * with a small percentile table crossed into the bounds — target rank
+    * for p = ceil(p·n/100) = (p·n + 99) DIV 100, exactly one row per
+    * (group, p), integer arithmetic on both engines (no interpolation, no
+    * fp percentile semantics to reconcile). The data-scale side is still
+    * touched once: one broadcast join serves ALL percentiles. */
+  def q52Percentiles(s: SparkSession, d: String): DataFrame = {
+    val (ranged, base) = rankBase(s, d)
+    val pcts = s.createDataFrame(Percentiles.map(Tuple1(_))).toDF("p")
+    val bounds = base.crossJoin(broadcast(pcts))
+      .withColumn("target", expr("(p * n + 99) DIV 100"))
+    ranged.join(broadcast(bounds),
+        ranged("pid") === bounds("pid") && ranged("event_type") <=> bounds("g"))
+      .filter(rk === col("target"))
+      .select(col("event_type"), col("p"), col("value").as("pvalue"), col("n"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  def q52Sql: String =
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS cnt
+       |  FROM events WHERE value IS NOT NULL
+       |), p(p) AS (VALUES ${Percentiles.map(p => s"($p)").mkString(", ")})
+       |SELECT event_type, p, value AS pvalue, cnt AS n
+       |FROM r, p WHERE rn = (p * cnt + 99) // 100
+       |ORDER BY event_type, p""".stripMargin
 }
