@@ -3,11 +3,12 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shims
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the embedding hot path (SURVEY.md §7.4:
   * "custom Catalyst Expression only as a perf optimization" — this is it).
@@ -85,12 +86,63 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_md5_48(s)`: the first 48 bits of md5(s) as a long — the dedup
+  * family's shared string-hash primitive, natively. Bit-identical to the
+  * built-in chain `conv(substring(md5(s), 1, 12), 16, 10)` (the first 12
+  * hex chars ARE the first 6 digest bytes big-endian, < 2^48 so the long
+  * is always positive), but skips materializing the 32-char hex string and
+  * re-parsing it per row — the hot op under every MinHash shingle, SimHash
+  * token, and hash-sampling row. The DuckDB oracles keep the hex-parse
+  * form; equality of the two forms is pinned by VectorExpressionsSpec and
+  * every q19/q20/q26/q27/q49/q50 oracle hash. */
+case class Md5Prefix48(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_48 expects a string arg, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_48"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix48.hash48(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix48.hash48($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix48 =
+    copy(child = newChild)
+}
+
+object Md5Prefix48 {
+  // MessageDigest is stateful and not thread-safe; one per executor thread,
+  // reset per row — no per-row allocation, no hex-string round trip
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 6 md5 bytes of the UTF-8 string, big-endian, as a long. */
+  def hash48(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+}
+
 /** Column-API and SQL-registry front doors for the vector expressions. */
 object Vectors {
 
   /** Column API — no registration needed, usable in any plan. */
   def dot(a: Column, b: Column): Column =
     shims.column(DotProductFloat(shims.expression(a), shims.expression(b)))
+
+  /** 48-bit md5 prefix of a string column (see [[Md5Prefix48]]). */
+  def md5Prefix48(c: Column): Column =
+    shims.column(Md5Prefix48(shims.expression(c)))
 
   /** Session-scoped SQL registration: `SELECT graft_dot(a, b)`. */
   def register(spark: SparkSession): Unit =
@@ -102,9 +154,14 @@ object Vectors {
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the documented
   * deploy-time path (SparkSessionExtensions.injectFunction). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_48"),
+      new ExpressionInfo(classOf[Md5Prefix48].getName, "graft_md5_48"),
+      (exprs: Seq[Expression]) => Md5Prefix48(exprs.head)))
+  }
 }

@@ -28,8 +28,12 @@ object Dedup {
   private[graft] val R = 12          // minhash signature length
   private val Bands = 4       // bands of R/Bands rows each
 
-  /** 48-bit deterministic string hash: md5 hex prefix as integer. */
-  def hex12(c: Column): Column = conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  /** 48-bit deterministic string hash: md5 prefix as integer. Since round
+    * 4 the native codegen expression ([[graft.functions.Md5Prefix48]] —
+    * no hex-string round trip); bit-identical to the built-in
+    * `conv(substring(md5(c),1,12),16,10)` chain the DuckDB oracles mirror,
+    * pinned by VectorExpressionsSpec. */
+  def hex12(c: Column): Column = graft.functions.Vectors.md5Prefix48(c)
 
   private def toksCol: Column = split(col("text"), " ")
 

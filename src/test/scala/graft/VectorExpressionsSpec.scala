@@ -75,4 +75,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
     assert(e.eval(null) == (4.0 + 10.0 + 18.0))
   }
+  test("graft_md5_48 == conv(substring(md5)) built-in chain, incl. unicode/empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val strs = Seq("", "a", "hello world", "caf\u00e9 \u00fc\u00f1\u00ee",
+      "\u65e5\u672c\u8a9e", "sp ace  s", "0123456789" * 30) ++
+      (0 until 200).map(i => s"tok_$i suffix")
+    val df = strs.toDF("s")
+      .withColumn("native", graft.functions.Vectors.md5Prefix48(col("s")))
+      .withColumn("builtin", conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long"))
+    assert(df.filter(col("native") =!= col("builtin")).count() == 0)
+    assert(df.filter(col("native") < 0).count() == 0) // 48 bits: always positive
+    // null in, null out
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(graft.functions.Vectors.md5Prefix48(col("s"))).first()
+    assert(n.isNullAt(0))
+  }
+
 }
