@@ -72,6 +72,7 @@ object SparkEntry {
     "q50_hash_split" -> (Sampling.q50HashSplit _),
     "q51_asof_join" -> (AsOf.q51AsofJoin _),
     "q52_percentiles" -> (Sessions.q52Percentiles _),
+    "q53_simhash_neardup" -> (Dedup.q53SimhashNeardup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,5 +130,6 @@ object SparkEntry {
     "q50_hash_split" -> Sampling.q50Sql,
     "q51_asof_join" -> AsOf.q51Sql,
     "q52_percentiles" -> Sessions.q52Sql,
+    "q53_simhash_neardup" -> Dedup.q53Sql,
   )
 }

@@ -234,12 +234,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- q26
 
-  /** SimHash (32-bit, term-frequency weighted): per bit j, sum ±1 over
-    * token occurrences by bit j of the token's 48-bit hash; fingerprint
-    * sets bit j iff the sum is positive. Identical fingerprint ⇒ near-dup
-    * group. One explode + one groupBy — 32 partial sums combine map-side. */
-  def q26Simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  /** The 32-bit TF-weighted SimHash fingerprint per doc: per bit j, sum ±1
+    * over token occurrences by bit j of the token's 48-bit hash; the
+    * fingerprint sets bit j iff the sum is positive. One explode + one
+    * groupBy — 32 partial sums combine map-side. Shared by q26 (identical-
+    * fingerprint groups) and q53 (banded Hamming near-dup pairs). */
+  private def simhashFp(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("x", hex12(col("tok")))
     val bitSums = (0 until 32).map(j =>
@@ -249,13 +250,18 @@ object Dedup {
       .reduce(_ + _)
     tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash identical-fingerprint near-dup groups. */
+  def q26Simhash(s: SparkSession, d: String): DataFrame =
+    simhashFp(Tables.documents(s, d))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
       .orderBy(col("simhash"))
-  }
 
-  def q26Sql: String = {
+  /** Shared oracle CTE chain for the SimHash fingerprint (q26 and q53). */
+  private def simhashCtes: String = {
     val bitSums = (0 until 32)
       .map(j => s"sum(CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n    ")
@@ -272,10 +278,77 @@ object Dedup {
        |  FROM hx GROUP BY doc_id
        |), fp AS (
        |  SELECT doc_id, $fp AS simhash FROM sums
-       |)
+       |)""".stripMargin
+  }
+
+  def q26Sql: String =
+    s"""$simhashCtes
        |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
        |FROM fp GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+
+  /** Hamming tolerance of the banded SimHash near-dup: with 4 bands of 8
+    * bits, any pair within distance [[SimhashHammingMax]] = 3 differs in at
+    * most 3 bands, so AT LEAST ONE band is identical — unlike MinHash
+    * banding, this candidate generation is recall-COMPLETE for the
+    * threshold (pigeonhole), not probabilistic. */
+  private val SimhashBands = 4
+  private val SimhashHammingMax = SimhashBands - 1
+
+  /** SimHash near-dup PAIRS within Hamming distance 3: fingerprint → 4×8-bit
+    * bands → [[guardedBandPairs]] (the third consumer of the shared banded
+    * candidate operator, after MinHash and sign-LSH) → exact popcount
+    * verify. Completes the SimHash family from identical-group (q26) to
+    * tolerance near-dup. */
+  def q53SimhashNeardup(s: SparkSession, d: String): DataFrame = {
+    // fp feeds the band pipeline and both verify arms — stage it once
+    // (persist: the lazy staging primitive; see Sessions.rankBase)
+    val fp = simhashFp(Tables.documents(s, d)).persist()
+    val bandStructs = (0 until SimhashBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(255).cast("string").as("key")))
+    val bands = fp.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    guardedBandPairs(bands)
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), Seq("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
+      .filter(col("hamming") <= SimhashHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def q53Sql: String =
+    s"""$simhashCtes, bands AS (
+       |  SELECT doc_id, b.b AS band,
+       |    CAST((simhash >> (8 * b.b)) & 255 AS VARCHAR) AS key
+       |  FROM fp, (SELECT unnest(range(0, $SimhashBands)) AS b) b
+       |), sized AS (
+       |  SELECT band, key, count(*) AS bsize, min(doc_id) AS hub
+       |  FROM bands GROUP BY band, key
+       |), tagged AS (
+       |  SELECT b.doc_id, b.band, b.key, s.bsize, s.hub
+       |  FROM bands b JOIN sized s USING (band, key)
+       |), cand AS (
+       |  -- same guard as guardedBandPairs
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM tagged a JOIN tagged b
+       |      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |    WHERE a.bsize <= $HotBucketCap
+       |    UNION ALL
+       |    SELECT hub AS doc_a, doc_id AS doc_b
+       |    FROM tagged WHERE bsize > $HotBucketCap AND doc_id <> hub
+       |  ) u
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+       |FROM cand
+       |JOIN fp fa ON fa.doc_id = doc_a
+       |JOIN fp fb ON fb.doc_id = doc_b
+       |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= $SimhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q27
 
