@@ -155,11 +155,9 @@ object Dedup {
 
   // ---------------------------------------------------------------- q20
 
-  /** MinHash near-dup: shingle → 12-perm signature → 4×3 banded buckets →
-    * candidate pairs only within buckets → estimated Jaccard = matching
-    * signature fraction, threshold 0.5. est is k/12.0 (exact in IEEE double
-    * for integer k) so the oracle hash-matches bit-for-bit. */
-  def q20MinhashNeardup(s: SparkSession, d: String): DataFrame = {
+  /** The q20 near-dup pair GRAPH (estimated Jaccard ≥ 0.5), unordered —
+    * q20 sorts it for presentation; q54 clusters it. */
+  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // The signature subtree feeds the band pipeline and both pair sides —
     // materialize it once (one narrow row per doc; at real scale this is
     // the persisted signature table an LSH index maintains).
@@ -173,13 +171,19 @@ object Dedup {
       .withColumn("est_jaccard", matches / lit(12.0))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** MinHash near-dup: shingle → 12-perm signature → 4×3 banded buckets →
+    * candidate pairs only within buckets → estimated Jaccard = matching
+    * signature fraction, threshold 0.5. est is k/12.0 (exact in IEEE double
+    * for integer k) so the oracle hash-matches bit-for-bit. */
+  def q20MinhashNeardup(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
 
   /** Shared oracle CTE chain (toks → shingles → hash → signature → bands →
     * candidates) — q20 and q27 diverge only after `cand`, so the
     * load-bearing arithmetic lives in exactly one place. */
-  private def lshCtes: String = {
+  private[operators] def lshCtes: String = {
     val sigCols = (0 until R)
       .map(j => s"min((${2 * j + 1}*x + ${17 * j + 3}) % $P) AS m$j").mkString(",\n    ")
     val bandCase = (0 until Bands).map { b =>
@@ -349,6 +353,116 @@ object Dedup {
        |JOIN fp fb ON fb.doc_id = doc_b
        |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= $SimhashHammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+
+  /** Connected components over an undirected (doc_a, doc_b) edge list:
+    * min-label propagation plus pointer jumping, iterated to fixpoint.
+    *
+    * Near-dup PAIRS are not yet a dedup decision — "a~b, b~c" must collapse
+    * to ONE keep-document even though (a,c) was never emitted as a pair.
+    * That closure is a connected-components problem over the pair graph;
+    * the component minimum is the canonical keep id (the same keep-min rule
+    * as q19/q26).
+    *
+    * Scale design (the 100 TB contract): each iteration is two hash-shuffle
+    * joins keyed by node id — no global structure, no driver-side graph.
+    * Labels only decrease and every label is a node id inside its own
+    * component, so the fixpoint is exactly the component min. Min-label
+    * propagation alone needs O(diameter) rounds; the pointer-jump step
+    * (l ← l(l), path halving) cuts chains geometrically, giving O(log n)
+    * rounds on worst-case paths — the alternating-star bound of Kiveris et
+    * al. ("Connected Components in MapReduce and Beyond", SoCC'14) with a
+    * simpler per-round plan. The driver holds one Long (the changed-row
+    * count) per round; labels/edges stay distributed and persisted, with
+    * the previous round's cache released each step.
+    *
+    * Iterative fixpoints are inherently action-driven (GraphX and
+    * GraphFrames do the same): construction runs the loop eagerly; the
+    * returned frame is the final, materialized label table's plan. */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    // l₀(v) = min(v, min neighbor) — one groupBy over the symmetric edges.
+    // Each round's label table is localCheckpoint'ed EAGERLY: `stepped`
+    // references `labels` twice and `jumped` references `stepped` twice, so
+    // without lineage truncation the logical plan doubles per round —
+    // exponential tree size by round ~8 (persist() caches data, not the
+    // plan). The checkpoint pins each round to a constant-size LogicalRDD;
+    // superseded round RDDs are unreferenced and reclaimed by the
+    // ContextCleaner.
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) { // 64 = safety rail ≫ log₂(any n)
+      // propagate: candidate label = min over in-neighbors' labels
+      val prop = edges
+        .join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy(col("v")).agg(min(col("lbl")).as("nlbl"))
+      val stepped = labels.join(prop, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: follow the label one hop (labels ARE node ids, and
+      // l(m) ≤ m, so this only ever lowers — path halving)
+      val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
+      val jumped = stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
+        .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = jumped
+        .join(labels.select(col("v"), col("lbl").as("old")), "v")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = jumped
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup CLUSTERS: the q20 pair graph closed into connected
+    * components. One row per cluster — cluster_id is the component minimum
+    * (the keep-min canonical document), n_docs the cluster size, max_doc
+    * the largest member. Every clustered doc except cluster_id is a
+    * deletion candidate. */
+  def q54DedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
+      .orderBy(col("cluster_id"))
+
+  /** Oracle CTE suffix turning `cand`+`sig` (from [[lshCtes]]) into
+    * `comp(v, lbl)` — the q20 pair graph transitively closed via a
+    * recursive CTE: reach(v, lbl) enumerates every label that can reach v,
+    * the component is min(lbl). Exponentially-sized only in cluster
+    * diameter × size, bounded on the fixture (largest cluster ~30 docs).
+    * Shared by q54 (cluster stats) and q56 (curation drop list); callers
+    * must RECURSIVE-prefix the WITH. */
+  private[operators] def ccCtes: String = {
+    val matchSum = (0 until R).map(j => s"CAST(sa.m$j = sb.m$j AS INT)").mkString(" + ")
+    s""", pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |  WHERE (($matchSum) / 12.0) >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs
+       |), reach(v, lbl) AS (
+       |  SELECT DISTINCT u AS v, u AS lbl FROM edges
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.v
+       |), comp AS (
+       |  SELECT v, min(lbl) AS lbl FROM reach GROUP BY v
+       |)""".stripMargin
+  }
+
+  def q54Sql: String =
+    s"""${lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}$ccCtes
+       |SELECT lbl AS cluster_id, count(*) AS n_docs, max(v) AS max_doc
+       |FROM comp GROUP BY lbl ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------------------------- q27
 

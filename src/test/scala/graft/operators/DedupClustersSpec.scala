@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+/** q54: near-dup clusters = connected components of the q20 pair graph.
+  *
+  * Ground truth is an in-test union-find over the SAME pair list the public
+  * q20 query emits — so the spec pins the distributed min-label/pointer-jump
+  * fixpoint against a sequential oracle, independent of the DuckDB twin.
+  * A synthetic chain graph additionally pins multi-hop closure (label must
+  * travel the whole path, not one hop).
+  */
+class DedupClustersSpec extends AnyFunSuite {
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("q54 clusters == sequential union-find over the q20 pair graph") {
+    val s = TestSession.spark
+    val d = "/root/testdata/sf0.001"
+    val pairs = Dedup.q20MinhashNeardup(s, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    val roots = unionFind(pairs)
+    val expected = roots.groupBy(_._2).map { case (root, members) =>
+      (root, members.size.toLong, members.keys.max)
+    }.toSet
+    val got = Dedup.q54DedupClusters(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // canonical id is the component min: no member below its cluster_id
+    assert(got.forall { case (cid, _, mx) => cid <= mx })
+  }
+
+  test("connectedComponents closes a 64-node chain to one component") {
+    val s = TestSession.spark
+    import s.implicits._
+    // path 0-1-2-...-63: worst case for one-hop propagation; pointer
+    // jumping must still converge inside the round cap
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 64)
+    assert(labels.forall(_._2 == 0L), s"all labels must be 0, got ${labels.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("two disjoint cliques stay two clusters") {
+    val s = TestSession.spark
+    import s.implicits._
+    val edges = Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp(10L) == 10L && comp(11L) == 10L && comp(12L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+  }
+}
