@@ -73,6 +73,9 @@ object SparkEntry {
     "q51_asof_join" -> (AsOf.q51AsofJoin _),
     "q52_percentiles" -> (Sessions.q52Percentiles _),
     "q53_simhash_neardup" -> (Dedup.q53SimhashNeardup _),
+    "q54_dedup_clusters" -> (Dedup.q54DedupClusters _),
+    "q55_tfidf" -> (TextAnalysis.q55Tfidf _),
+    "q56_curation" -> (Curation.q56Curation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +134,8 @@ object SparkEntry {
     "q51_asof_join" -> AsOf.q51Sql,
     "q52_percentiles" -> Sessions.q52Sql,
     "q53_simhash_neardup" -> Dedup.q53Sql,
+    "q54_dedup_clusters" -> Dedup.q54Sql,
+    "q55_tfidf" -> TextAnalysis.q55Sql,
+    "q56_curation" -> Curation.q56Sql,
   )
 }

@@ -99,6 +99,64 @@ object TextAnalysis {
         col("n_words"), col("avg_token_len"), col("stop_ratio"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q55
+
+  /** TF-IDF top terms per document — the classic rarity-weighted term
+    * importance, completing the text family (q22 raw TF → q55 corpus-
+    * weighted). IDF is QUANTIZED to exact integers: idf = 1 + ⌊log₂(N DIV
+    * df)⌋, computed as length(bin(q))−1 — floating ln/log2 are not
+    * correctly-rounded and differ across libm implementations, so the
+    * standard smooth IDF cannot hash-match bit-for-bit across engines;
+    * the log₂ floor preserves the rarity ordering at integer exactness.
+    *
+    * Scale shape: explode → (doc, term) partial counts combine map-side;
+    * df is a second agg over the (already narrow) tf table; N arrives as a
+    * broadcast single-row cross join (no window, no collect); the top-3
+    * window partitions by doc_id. The tf table feeds df AND the join, so
+    * it is staged once. */
+  def q55Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("weight",
+        col("tf") * (lit(1) + (length(bin(expr("n_total DIV df"))) - 1)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("weight"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  def q55Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents) t
+      |  GROUP BY doc_id, term
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), tot AS (
+      |  SELECT count(*) AS n_total FROM documents
+      |), w AS (
+      |  SELECT doc_id, term, tf, df,
+      |    tf * (1 + (length(bin(n_total // df)) - 1)) AS weight
+      |  FROM tf JOIN dfreq USING (term), tot
+      |), ranked AS (
+      |  SELECT doc_id, term, tf, df, weight,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS INT) AS rn
+      |  FROM w
+      |)
+      |SELECT doc_id, term, tf, df, weight, rn FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   def q29Sql: String =
     s"""WITH m AS (
        |  SELECT doc_id, lang, string_split(text,' ') AS toks,
