@@ -380,7 +380,7 @@ object Dedup {
     * Iterative fixpoints are inherently action-driven (GraphX and
     * GraphFrames do the same): construction runs the loop eagerly; the
     * returned frame is the final, materialized label table's plan. */
-  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))

@@ -48,13 +48,21 @@ import graft.operators.{Dedup, Similarity}
   * representation is exact. Only the one-row meta table is a full write.
   * DedupStreamDeltaSpec pins bytes-written-per-batch ~flat as the corpus
   * grows across batches.
+  *
+  * With `trackClusters` the stream ALSO maintains the q54 closure
+  * incrementally: per batch, the connected-components fixpoint re-solves
+  * only the components touched by the batch's new pairs (prior components
+  * enter as label-star edges, diameter ≤ 2), and the label table appends
+  * min-merge-on-read deltas — see the block in [[processBatch]].
+  * ClusterStreamSpec pins stream ≡ one-shot q54 over arrival orders.
   */
 final class DedupStream(
     spark: SparkSession,
     state: StateDir,
     threshold: Double = 0.5,
     cap: Int = Dedup.HotBucketCap,
-    method: DedupStream.Method = DedupStream.Minhash) extends Serializable {
+    method: DedupStream.Method = DedupStream.Minhash,
+    trackClusters: Boolean = false) extends Serializable {
 
   import DedupStream._
 
@@ -64,6 +72,20 @@ final class DedupStream(
 
   def sigSnapshot: DataFrame = state.read(SigTable, sigStateSchema)
   def pairsSnapshot: DataFrame = state.read(PairsTable, PairsSchema)
+
+  /** Current near-dup cluster labels (requires `trackClusters`): one
+    * (v, lbl) row per clustered doc, lbl = component minimum. The state
+    * table holds per-batch label DELTAS; labels only ever DECREASE as
+    * components merge, so min-on-read is the exact merge — the same
+    * associative-merge contract as the bucket-stats deltas. */
+  def clustersSnapshot: DataFrame =
+    state.read(ClustersTable, ClustersSchema)
+      .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+
+  /** [[clustersSnapshot]] rolled up to the q54 output shape. */
+  def clusterStats: DataFrame =
+    clustersSnapshot.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
 
   /** Per-batch body (public: batch tests drive it directly). `docs` needs
     * whatever the method signs: (doc_id long, text string) for Minhash,
@@ -156,9 +178,39 @@ final class DedupStream(
     val tag = lit(batchId).as("batch_id")
     val pairsPrev = tagged(PairsTable, PairsSchema)
       .filter(col("batch_id") < batchId)
-    appendOnce(PairsTable, PairsSchema, batchId,
-      scored.join(pairsPrev.select("doc_a", "doc_b"),
-        Seq("doc_a", "doc_b"), "left_anti").select(col("*"), tag))
+    val newPairs = scored.join(pairsPrev.select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_anti").localCheckpoint()
+    appendOnce(PairsTable, PairsSchema, batchId, newPairs.select(col("*"), tag))
+
+    if (trackClusters) {
+      // Incremental connected components (the q54 closure, at ingest).
+      // Only components TOUCHED by this batch's pairs can change, so the
+      // CC re-solve is restricted to them: endpoints → their current
+      // roots → those roots' members. Prior components enter the graph as
+      // (v → label) star edges — diameter ≤ 2, so the fixpoint loop
+      // converges in a couple of rounds regardless of corpus size. Labels
+      // only decrease (components only grow and the min of a growing set
+      // is non-increasing), so the appended delta rows merge on read with
+      // min() — exact, associative, O(changed labels) write I/O per batch.
+      val prevLbl = tagged(ClustersTable, ClustersSchema)
+        .filter(col("batch_id") < batchId)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val eps = newPairs.select(col("doc_a").as("v"))
+        .unionByName(newPairs.select(col("doc_b").as("v"))).distinct()
+      val epRoots = eps.join(prevLbl, Seq("v"), "left")
+        .select(coalesce(col("lbl"), col("v")).as("root")).distinct()
+      val members = prevLbl
+        .join(broadcast(epRoots), prevLbl("lbl") === epRoots("root"))
+        .select(col("v"), col("lbl"))
+      val graph = newPairs.select(col("doc_a"), col("doc_b"))
+        .unionByName(members.select(col("v").as("doc_a"), col("lbl").as("doc_b")))
+      val delta = Dedup.connectedComponents(graph)
+        .join(prevLbl.withColumnRenamed("lbl", "old"), Seq("v"), "left")
+        .filter(col("old").isNull || col("lbl") < col("old"))
+        .select(col("v"), col("lbl"))
+      appendOnce(ClustersTable, ClustersSchema, batchId, delta.select(col("*"), tag))
+    }
     appendOnce(SigTable, sigStateSchema, batchId, newSig.select(col("*"), tag))
     appendOnce(BandsTable, BandsSchema, batchId, newBands.select(col("*"), tag))
     appendOnce(StatsTable, StatsSchema, batchId, statsDelta.select(col("*"), tag))
@@ -196,6 +248,7 @@ object DedupStream {
   val StatsTable = "bucket_stats"
   val PairsTable = "neardup_pairs"
   val MetaTable = "dedup_meta"
+  val ClustersTable = "cc_labels"
 
   /** What varies between dedup families, factored out of the state
     * machine: how a doc becomes a narrow signature row, how signatures
@@ -263,4 +316,8 @@ object DedupStream {
     StructField("score", DoubleType), StructField("batch_id", LongType)))
 
   val MetaSchema: StructType = StructType(Seq(StructField("last_batch", LongType)))
+
+  val ClustersSchema: StructType = StructType(Seq(
+    StructField("v", LongType), StructField("lbl", LongType),
+    StructField("batch_id", LongType)))
 }
