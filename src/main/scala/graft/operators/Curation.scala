@@ -28,9 +28,10 @@ object Curation {
 
   /** Surviving documents with the metrics that admitted them. */
   def q56Curation(s: SparkSession, d: String): DataFrame = {
-    // non-canonical members of near-dup clusters — the deletion list
-    val drop = Dedup.connectedComponents(
-        Dedup.minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    // non-canonical members of near-dup clusters — the deletion list,
+    // served from the shared memoized label table (one CC solve per
+    // session+corpus across q54/q56)
+    val drop = Dedup.clusterLabels(s, d)
       .filter(col("v") =!= col("lbl"))
       .select(col("v").as("doc_id"))
     Tables.documents(s, d)
