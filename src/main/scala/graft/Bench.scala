@@ -8,7 +8,9 @@ object Bench {
     // (min-of-5): the min discards transient machine contention (the r2 and
     // r4 driver runs both caught 2-8x environment artifacts on a box shared
     // with the judge/driver) and reports steady-state, which is what scales.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // The per-query SPREAD (max - min over the successful attempts) is
+    // reported alongside so a reader can see contention without a re-run.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,24 +24,39 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Failures are recorded per query (never swallowed as a fake timing)
     // and fail the run: a broken query must not inflate the bench signal.
+    // A failed attempt's elapsed time is NOT folded into the min — an
+    // errored query reports NaN, never a shorter-than-real duration.
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       var best = Double.MaxValue
+      var worst = 0.0
       var attempt = 0
       while (attempt < runs && !errs.contains(name)) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          best = math.min(best, sec)
+          worst = math.max(worst, sec)
+        } catch {
           case e: Throwable =>
             errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
         attempt += 1
       }
-      name -> best
+      // one query's retained cache/persist must not tax the next query's
+      // timing (or survive the whole bench as unaccounted executor memory)
+      spark.catalog.clearCache()
+      if (errs.contains(name)) name -> None
+      else name -> Some((best, worst - best))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def numJson(pick: ((Double, Double)) => Double): String =
+      results.map { case (k, v) =>
+        s"\"" + k + "\":" + v.map(pick).fold("null")(_.toString)
+      }.mkString("{", ",", "}")
+    val qs = numJson(_._1)
+    val spreads = numJson(_._2)
+    val total = results.values.flatten.map(_._1).sum
     // truncate BEFORE escaping — cutting after could split an escape pair
     // and emit invalid JSON exactly when the driver needs the error list.
     // Also drop a trailing lone high surrogate the char-based take() can
@@ -53,7 +70,7 @@ object Bench {
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver machine-parses this line, but sbt prefixes stdout with
     // "[info] " (both prior rounds' BENCH files carry "parsed": null). Emit
     // on every channel a parser might read: stdout, UNPREFIXED stderr, and

@@ -15,11 +15,14 @@ import graft.Tables
   *      q54 operator).
   *
   * Scale shape: the quality side is a single shuffle-free scan of
-  * `documents` (all metrics are array lambdas inside whole-stage codegen);
-  * the drop list is |cluster members − clusters| rows — a tiny fraction of
-  * the corpus — so the anti-join broadcasts. The expensive part (banded
-  * LSH + connected components) touches only signature/band/pair tables,
-  * never the full text again.
+  * `documents` (all metrics are array lambdas inside whole-stage codegen).
+  * The drop list is |cluster members − clusters| rows — small on this
+  * fixture, but corpus-PROPORTIONAL at real dup rates (web-scale dedup
+  * routinely deletes 30-80% of a corpus), so the anti-join carries no
+  * broadcast hint: AQE picks broadcast when the list is actually small and
+  * a shuffled left_anti on doc_id (one well-partitioned exchange) when it
+  * isn't. The expensive part (banded LSH + connected components) touches
+  * only signature/band/pair tables, never the full text again.
   */
 object Curation {
 
@@ -41,7 +44,7 @@ object Curation {
         "filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
       .filter(col("n_tokens") >= MinTokens && col("stop_ratio") >= MinStopRatio)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
       .orderBy(col("doc_id"))
   }

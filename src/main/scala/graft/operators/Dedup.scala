@@ -423,6 +423,12 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // The rail is unreachable for real inputs (pointer jumping converges in
+    // O(log n) rounds), but if it ever fires the labels are NOT components —
+    // fail loudly rather than silently emit wrong clusters.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $rounds rounds ($changed labels still changing)")
     labels
   }
 
@@ -432,14 +438,57 @@ object Dedup {
     * ([[graft.streaming.DedupStream]] `trackClusters`) and every consumer
     * (q54 cluster stats, q56 curation drop list) serves from it rather
     * than re-solving the fixpoint. The memoized frame is lineage-free
-    * (the CC loop checkpoints each round), so holding it is O(labels). */
-  private val ccMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * (the CC loop checkpoints each round), so holding it is O(labels).
+    *
+    * Memo hygiene: keyed by `spark.sessionUUID` (stable, never reused —
+    * unlike identityHashCode, which the GC can recycle into a live key for
+    * a dead session's frame); each entry carries a STAMP of the corpus
+    * directory (file names + sizes + mtimes), checked on every serve, so a
+    * corpus mutated under a served path re-solves instead of silently
+    * serving stale labels; the map is a bounded LRU, so entries of stopped
+    * sessions age out instead of pinning checkpoint blocks forever. */
+  private val CcMemoMax = 8
+  private val ccMemo =
+    new java.util.LinkedHashMap[String, (String, DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, DataFrame)]): Boolean =
+        size() > CcMemoMax
+    }
   private def ccKey(s: SparkSession, d: String): String =
-    System.identityHashCode(s) + ":" + d
+    org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
+  /** Cheap driver-side fingerprint of the corpus files backing a solve. */
+  private def corpusStamp(d: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Paths.get(d, "documents.parquet")
+    val target = if (Files.isDirectory(dir)) dir else Paths.get(d)
+    if (!Files.exists(target)) return "absent"
+    val s = Files.list(target)
+    try {
+      val entries = new scala.collection.mutable.ArrayBuffer[String]()
+      s.forEach { (p: Path) =>
+        entries += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      }
+      entries.sorted.mkString(",")
+    } finally s.close()
+  }
+  /** Drop every memoized solve for a corpus path (all sessions) — the
+    * explicit invalidation hook for callers that mutate data in place. */
+  def invalidateClusterMemo(d: String): Unit = ccMemo.synchronized {
+    ccMemo.keySet().removeIf(_.endsWith(":" + d))
+  }
   private def solveLabels(s: SparkSession, d: String): DataFrame =
     connectedComponents(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
-  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
-    ccMemo.computeIfAbsent(ccKey(s, d), _ => solveLabels(s, d))
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val key = ccKey(s, d)
+    val stamp = corpusStamp(d)
+    ccMemo.synchronized {
+      Option(ccMemo.get(key)).filter(_._1 == stamp).map(_._2).getOrElse {
+        val labels = solveLabels(s, d)
+        ccMemo.put(key, (stamp, labels))
+        labels
+      }
+    }
+  }
 
   /** Near-dup CLUSTERS: the q20 pair graph closed into connected
     * components. One row per cluster — cluster_id is the component minimum
@@ -453,7 +502,7 @@ object Dedup {
     * train-once/serve-many split, priced on the trainer. */
   def q54DedupClusters(s: SparkSession, d: String): DataFrame = {
     val labels = solveLabels(s, d)
-    ccMemo.put(ccKey(s, d), labels)
+    ccMemo.synchronized { ccMemo.put(ccKey(s, d), (corpusStamp(d), labels)) }
     labels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
       .orderBy(col("cluster_id"))

@@ -79,10 +79,13 @@ object Relational {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Inner equi-join J1 (orders ⋈ customer) + grouped agg. Customer is the
-    * small side → broadcast hint: no shuffle of the orders fact at scale. */
+    * smaller side but SF-PROPORTIONAL (it grows with the corpus, unlike
+    * nation/region), so no forced broadcast: AQE broadcasts it while it
+    * fits and falls back to a shuffled hash join on custkey when it
+    * doesn't — a forced hint would OOM at 100 TB. */
   def q03JoinAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
@@ -95,13 +98,16 @@ object Relational {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** 4-way star join J2 generalization: fact lineitem ⋈ orders, then the
-    * dimension chain customer → nation → region all broadcast. At 100 TB
-    * the only shuffle is lineitem⋈orders on the (clustered) order key —
-    * with both sides bucketed by orderkey even that disappears. */
+    * dimension chain customer → nation → region. Nation (25 rows) and
+    * region (5) are genuinely bounded → broadcast hints; customer is
+    * SF-proportional → no hint (AQE broadcasts while it fits, shuffles on
+    * custkey when it doesn't — see q03). At 100 TB the shuffles are
+    * lineitem⋈orders on the (clustered) order key — gone if both sides are
+    * bucketed by orderkey — and the customer join. */
   def q04StarJoin(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -13,4 +14,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Stable per-session id (`private[sql]` on classic SparkSession) — a
+    * memo key that, unlike `System.identityHashCode`, is never reused
+    * after the session is collected. */
+  def sessionUUID(s: SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }
