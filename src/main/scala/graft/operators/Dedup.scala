@@ -432,6 +432,37 @@ object Dedup {
     labels
   }
 
+  /** Resolve a POINTER FOREST to terminal labels: `oneHop` holds (v, lbl)
+    * rows where lbl is v's current parent pointer (lbl ≤ v, self-row or
+    * absent row = root); the result maps every v to the end of its chain.
+    * This is the read side of root-indirected incremental clustering
+    * ([[graft.streaming.DedupStream]] `trackClusters`): merges append one
+    * root→root row instead of relabeling whole components, and readers
+    * collapse the chains here — pointer HALVING over the evolving table
+    * (l ← l(l)), so a chain of length m resolves in O(log m) rounds of
+    * keyed joins, each emitting O(|oneHop|) rows. Same lineage/checkpoint
+    * discipline as [[connectedComponents]]. */
+  private[graft] def resolveChains(oneHop: DataFrame): DataFrame = {
+    var labels = oneHop.select(col("v"), col("lbl")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val ptr = labels.select(col("v").as("p"), col("lbl").as("plbl"))
+      val jumped = labels.join(ptr, labels("lbl") === ptr("p"), "left")
+        .select(labels("v"), coalesce(col("plbl"), labels("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = jumped
+        .join(labels.select(col("v"), col("lbl").as("old")), "v")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = jumped
+      rounds += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"resolveChains did not converge in $rounds rounds (pointer cycle?)")
+    labels
+  }
+
   /** One CC solve per (session, corpus): the label table is
     * train-once/serve-many state exactly like [[Ivf.IvfIndex]]'s centroid
     * table — an ingest pipeline maintains it incrementally

@@ -50,11 +50,15 @@ import graft.operators.{Dedup, Similarity}
   * grows across batches.
   *
   * With `trackClusters` the stream ALSO maintains the q54 closure
-  * incrementally: per batch, the connected-components fixpoint re-solves
-  * only the components touched by the batch's new pairs (prior components
-  * enter as label-star edges, diameter ≤ 2), and the label table appends
-  * min-merge-on-read deltas — see the block in [[processBatch]].
-  * ClusterStreamSpec pins stream ≡ one-shot q54 over arrival orders.
+  * incrementally, ROOT-INDIRECTED: each batch contracts its new pairs to
+  * edges between component ROOTS ([[contractPairs]]) and solves the
+  * fixpoint over those O(batch) edges alone — a merge appends one
+  * root→root pointer row, untouched members keep their old pointers, and
+  * reads collapse the chains ([[clustersSnapshot]] via
+  * [[Dedup.resolveChains]]). One new member of a giant cluster therefore
+  * costs O(1) solve input rows, not O(|component|) — pinned by
+  * ClusterScaleSpec; ClusterStreamSpec pins stream ≡ one-shot q54 over
+  * arrival orders.
   */
 final class DedupStream(
     spark: SparkSession,
@@ -75,12 +79,18 @@ final class DedupStream(
 
   /** Current near-dup cluster labels (requires `trackClusters`): one
     * (v, lbl) row per clustered doc, lbl = component minimum. The state
-    * table holds per-batch label DELTAS; labels only ever DECREASE as
-    * components merge, so min-on-read is the exact merge — the same
-    * associative-merge contract as the bucket-stats deltas. */
+    * table holds per-batch POINTER deltas forming a root-indirected
+    * forest: a member row points at the root its component had when the
+    * member was last touched, and a root that later merges appends ONE
+    * root→root row instead of relabeling its members. Reads min-merge the
+    * appended pointers per v (pointers only ever DECREASE, so min-on-read
+    * is the exact latest — the same associative-merge contract as the
+    * bucket-stats deltas) and then collapse the pointer chains
+    * ([[Dedup.resolveChains]], O(log chain) rounds). */
   def clustersSnapshot: DataFrame =
-    state.read(ClustersTable, ClustersSchema)
-      .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+    Dedup.resolveChains(
+      state.read(ClustersTable, ClustersSchema)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
 
   /** [[clustersSnapshot]] rolled up to the q54 output shape. */
   def clusterStats: DataFrame =
@@ -183,32 +193,47 @@ final class DedupStream(
     appendOnce(PairsTable, PairsSchema, batchId, newPairs.select(col("*"), tag))
 
     if (trackClusters) {
-      // Incremental connected components (the q54 closure, at ingest).
-      // Only components TOUCHED by this batch's pairs can change, so the
-      // CC re-solve is restricted to them: endpoints → their current
-      // roots → those roots' members. Prior components enter the graph as
-      // (v → label) star edges — diameter ≤ 2, so the fixpoint loop
-      // converges in a couple of rounds regardless of corpus size. Labels
-      // only decrease (components only grow and the min of a growing set
-      // is non-increasing), so the appended delta rows merge on read with
-      // min() — exact, associative, O(changed labels) write I/O per batch.
-      val prevLbl = tagged(ClustersTable, ClustersSchema)
+      // Incremental connected components (the q54 closure, at ingest),
+      // ROOT-INDIRECTED: the solve input is the batch's pairs CONTRACTED
+      // to their components' roots — O(batch) edges regardless of how big
+      // the touched components are (one new member of a 10⁸-doc cluster
+      // costs one contracted edge, never 10⁸ member rows; pinned by
+      // ClusterScaleSpec). A merge appends one root→root pointer row; the
+      // untouched members keep their old pointers and reads resolve the
+      // chains ([[clustersSnapshot]]). Pointers only decrease, so the
+      // appended deltas merge on read with min() — exact, associative,
+      // O(batch) write I/O per batch.
+      val oneHop = tagged(ClustersTable, ClustersSchema)
         .filter(col("batch_id") < batchId)
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      val eps = newPairs.select(col("doc_a").as("v"))
-        .unionByName(newPairs.select(col("doc_b").as("v"))).distinct()
-      val epRoots = eps.join(prevLbl, Seq("v"), "left")
-        .select(coalesce(col("lbl"), col("v")).as("root")).distinct()
-      val members = prevLbl
-        .join(broadcast(epRoots), prevLbl("lbl") === epRoots("root"))
-        .select(col("v"), col("lbl"))
-      val graph = newPairs.select(col("doc_a"), col("doc_b"))
-        .unionByName(members.select(col("v").as("doc_a"), col("lbl").as("doc_b")))
-      val delta = Dedup.connectedComponents(graph)
-        .join(prevLbl.withColumnRenamed("lbl", "old"), Seq("v"), "left")
-        .filter(col("old").isNull || col("lbl") < col("old"))
-        .select(col("v"), col("lbl"))
+      val (resolved, trail, rootEdges) = contractPairs(newPairs, oneHop)
+      // fixpoint over contracted roots + brand-new vertices only
+      val solved = Dedup.connectedComponents(rootEdges)
+        .localCheckpoint(true)
+      // f(v) = post-merge final root of each endpoint
+      val fr = resolved.join(
+          solved.select(col("v").as("node"), col("lbl").as("slbl")),
+          resolved("root") === col("node"), "left")
+        .select(resolved("v"), col("known"), col("first"),
+          coalesce(col("slbl"), col("root")).as("f"))
+        .localCheckpoint(true)
+      val delta =
+        // merged roots and new non-minimum vertices: (node → component min)
+        solved.filter(col("lbl") < col("v")).select(col("v"), col("lbl"))
+          // a brand-new vertex that IS its component's minimum anchors the
+          // component with a self-row (existing roots already have theirs)
+          .unionByName(fr.filter(!col("known") && col("f") === col("v"))
+            .select(col("v"), col("f").as("lbl")))
+          // path compression: endpoints whose stored pointer was stale
+          // point directly at the final root from now on
+          .unionByName(fr.filter(col("known") && col("f") < col("first"))
+            .select(col("v"), col("f").as("lbl")))
+          // ...and so do the intermediate roots walked on their chains
+          .unionByName(trail.join(fr.select(col("v"), col("f")), Seq("v"))
+            .filter(col("f") < col("node"))
+            .select(col("node").as("v"), col("f").as("lbl")))
+          .distinct()
       appendOnce(ClustersTable, ClustersSchema, batchId, delta.select(col("*"), tag))
     }
     appendOnce(SigTable, sigStateSchema, batchId, newSig.select(col("*"), tag))
@@ -216,6 +241,65 @@ final class DedupStream(
     appendOnce(StatsTable, StatsSchema, batchId, statsDelta.select(col("*"), tag))
     state.write(MetaTable,
       spark.createDataFrame(Seq(Tuple1(batchId))).toDF("last_batch"))
+  }
+
+  /** Contract a batch's pairs to ROOT edges against the stored pointer
+    * forest. Walks each distinct endpoint's pointer chain to its current
+    * root (a loop of keyed joins over the SMALL endpoint frontier — the
+    * corpus-sized pointer table is only ever the build side of a lookup,
+    * never solve input), then rewrites each pair as an edge between the
+    * two roots, dropping pairs that land inside one component.
+    *
+    * Chain walks are short by amortization: every walk appends compression
+    * rows for the endpoint AND each intermediate root it stepped through
+    * (the `trail`), so a chain is paid once and collapsed — the classic
+    * union-find path-compression argument.
+    *
+    * Returns (resolved endpoints (v, known, first, root), trail rows
+    * (v, node) of intermediate chain nodes, contracted root edges). */
+  private[streaming] def contractPairs(newPairs: DataFrame,
+      oneHop: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val eps = newPairs.select(col("doc_a").as("v"))
+      .unionByName(newPairs.select(col("doc_b").as("v"))).distinct()
+    var resolved = eps.join(oneHop, Seq("v"), "left")
+      .select(col("v"), col("lbl").isNotNull.as("known"),
+        coalesce(col("lbl"), col("v")).as("first"),
+        coalesce(col("lbl"), col("v")).as("root"))
+      .localCheckpoint(true)
+    val spark = newPairs.sparkSession
+    var trails = List.empty[DataFrame]
+    var moved = 1L
+    var hops = 0
+    while (moved > 0 && hops < 1024) { // rail: pointers strictly decrease, so a
+      val step = resolved.join(        // long walk is a bug, not a big corpus
+          oneHop.select(col("v").as("p"), col("lbl").as("plbl")),
+          resolved("root") === col("p"), "left")
+        .select(resolved("v"), col("known"), col("first"),
+          resolved("root").as("prev"),
+          coalesce(col("plbl"), resolved("root")).as("root"))
+        .localCheckpoint(true)
+      moved = step.filter(col("root") =!= col("prev")).count()
+      if (moved > 0)
+        trails ::= step.filter(col("root") =!= col("prev"))
+          .select(col("v"), col("prev").as("node"))
+      resolved = step.select(col("v"), col("known"), col("first"), col("root"))
+      hops += 1
+    }
+    if (moved > 0)
+      throw new IllegalStateException(
+        s"pointer chain walk did not terminate in $hops hops (cycle in cc_labels?)")
+    val trail = trails.reduceOption(_ unionByName _).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("v", "node")
+    }
+    val roots = resolved.select(col("v"), col("root"))
+    val rootEdges = newPairs.select(col("doc_a"), col("doc_b"))
+      .join(roots.select(col("v").as("doc_a"), col("root").as("ra")), Seq("doc_a"))
+      .join(roots.select(col("v").as("doc_b"), col("root").as("rb")), Seq("doc_b"))
+      .filter(col("ra") =!= col("rb"))
+      .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
+      .distinct()
+    (resolved, trail, rootEdges)
   }
 
   /** Append `delta` unless the table already holds rows of this (or a
