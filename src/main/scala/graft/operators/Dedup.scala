@@ -381,25 +381,26 @@ object Dedup {
     * GraphFrames do the same): construction runs the loop eagerly; the
     * returned frame is the final, materialized label table's plan. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val pin = roundPinner(pairs)
     // materialize the pair pipeline ONCE before symmetrizing: the union
     // below references `pairs` twice, and without the checkpoint both
     // branches would re-run the whole upstream (LSH) plan
-    val p = pairs.localCheckpoint(true)
+    val p = pin(pairs)
     val edges = p
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
     // l₀(v) = min(v, min neighbor) — one groupBy over the symmetric edges.
-    // Each round's label table is localCheckpoint'ed EAGERLY: `stepped`
+    // Each round's label table is pinned EAGERLY (localCheckpoint, or a
+    // reliable checkpoint under ReliableCcConf — see roundPinner): `stepped`
     // references `labels` twice and `jumped` references `stepped` twice, so
     // without lineage truncation the logical plan doubles per round —
     // exponential tree size by round ~8 (persist() caches data, not the
     // plan). The checkpoint pins each round to a constant-size LogicalRDD;
     // superseded round RDDs are unreferenced and reclaimed by the
     // ContextCleaner.
-    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl"))
-      .localCheckpoint(true)
+    var labels = pin(edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) { // 64 = safety rail ≫ log₂(any n)
@@ -413,9 +414,8 @@ object Dedup {
       // pointer jump: follow the label one hop (labels ARE node ids, and
       // l(m) ≤ m, so this only ever lowers — path halving)
       val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
-      val jumped = stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
-        .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      val jumped = pin(stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
+        .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl")))
       changed = jumped
         .join(labels.select(col("v"), col("lbl").as("old")), "v")
         .filter(col("lbl") =!= col("old")).count()
@@ -432,6 +432,28 @@ object Dedup {
     labels
   }
 
+  /** Session conf switching the iterative solvers' per-round lineage
+    * truncation from `localCheckpoint` (executor-local blocks — fast, but
+    * one lost executor mid-fixpoint kills the query) to RELIABLE
+    * `checkpoint` into `sc.setCheckpointDir`'s fault-tolerant store
+    * (HDFS/S3 at cluster scale). Opt-in: the right default on a transient
+    * local run is speed; a long cluster solve over 100 TB of pairs flips
+    * this on and survives executor loss. */
+  val ReliableCcConf = "spark.graft.cc.reliable"
+
+  /** Per-round pin for the iterative solvers: eager localCheckpoint by
+    * default, eager reliable checkpoint when [[ReliableCcConf]] is true.
+    * Both truncate lineage (the fixpoint's exponential-plan trap) and
+    * materialize eagerly (the loops are action-driven either way). */
+  private def roundPinner(df: DataFrame): DataFrame => DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get(ReliableCcConf, "false").toBoolean) {
+      require(s.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableCcConf=true needs sparkContext.setCheckpointDir(...)")
+      d => d.checkpoint(eager = true)
+    } else d => d.localCheckpoint(eager = true)
+  }
+
   /** Resolve a POINTER FOREST to terminal labels: `oneHop` holds (v, lbl)
     * rows where lbl is v's current parent pointer (lbl ≤ v, self-row or
     * absent row = root); the result maps every v to the end of its chain.
@@ -443,14 +465,14 @@ object Dedup {
     * keyed joins, each emitting O(|oneHop|) rows. Same lineage/checkpoint
     * discipline as [[connectedComponents]]. */
   private[graft] def resolveChains(oneHop: DataFrame): DataFrame = {
-    var labels = oneHop.select(col("v"), col("lbl")).localCheckpoint(true)
+    val pin = roundPinner(oneHop)
+    var labels = pin(oneHop.select(col("v"), col("lbl")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
       val ptr = labels.select(col("v").as("p"), col("lbl").as("plbl"))
-      val jumped = labels.join(ptr, labels("lbl") === ptr("p"), "left")
-        .select(labels("v"), coalesce(col("plbl"), labels("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      val jumped = pin(labels.join(ptr, labels("lbl") === ptr("p"), "left")
+        .select(labels("v"), coalesce(col("plbl"), labels("lbl")).as("lbl")))
       changed = jumped
         .join(labels.select(col("v"), col("lbl").as("old")), "v")
         .filter(col("lbl") =!= col("old")).count()

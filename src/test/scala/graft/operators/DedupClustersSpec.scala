@@ -57,6 +57,35 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(labels.forall(_._2 == 0L), s"all labels must be 0, got ${labels.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("reliable-checkpoint mode yields identical labels (and q54 hash input)") {
+    val s = TestSession.spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.001"
+    val default = Dedup.q54DedupClusters(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("cc-reliable-").toString
+    val hadDir = s.sparkContext.getCheckpointDir
+    s.sparkContext.setCheckpointDir(ckpt)
+    s.conf.set(Dedup.ReliableCcConf, "true")
+    try {
+      // the solver rounds now persist into the checkpoint dir: an executor
+      // lost mid-fixpoint recomputes from the last round's reliable files
+      // instead of failing the query
+      val reliable = Dedup.q54DedupClusters(s, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(reliable == default)
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, "reliable mode must write round files to the checkpoint dir")
+      // the raw solver honors the conf too
+      val chain = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+      assert(Dedup.connectedComponents(chain).count() == 2L)
+    } finally {
+      s.conf.set(Dedup.ReliableCcConf, "false")
+      hadDir.foreach(s.sparkContext.setCheckpointDir)
+    }
+  }
+
   test("two disjoint cliques stay two clusters") {
     val s = TestSession.spark
     import s.implicits._
