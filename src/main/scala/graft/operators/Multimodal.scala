@@ -13,14 +13,20 @@ import graft.functions.Vectors
   * its setup (model load, codec init) across the whole batch instead of
   * paying it per row.
   *
-  * The decode itself goes through the [[MediaDecoders]] trait; the bundled
-  * [[StubDecoders]] is a clearly-marked deterministic STUB — the image and
-  * audio libraries are not in this environment, so it fakes width/height
-  * and features from the payload's bytes. A production build implements
-  * the trait with ImageIO/ffmpeg/a model runtime and swaps ONE object;
-  * everything around it is real and tested: the binary schema, the typed
-  * Encoder boundary, the batch shape, the shuffle-free plan, and (q47/q48)
-  * the downstream aggregation and ANN consumers.
+  * The decode itself goes through the [[MediaDecoders]] trait, with two
+  * bundled implementations: [[JdkImageDecoders]] — a REAL image codec over
+  * the JDK's ImageIO (PNG/JPEG decode, bilinear resize, pixel-statistic
+  * features; no external dependency) — and [[StubDecoders]], a
+  * clearly-marked deterministic test double that fakes width/height and
+  * features from the payload's bytes. The declared queries q47/q48 run the
+  * stub ON PURPOSE: their fixture payloads are text bytes (not images),
+  * and the stub's byte arithmetic is what the DuckDB oracles can
+  * reproduce in SQL; MultimodalSpec runs the SAME stages over real PNGs
+  * with [[JdkImageDecoders]]. Audio/video (ffmpeg) and model-forward
+  * features remain stubs. Everything around the trait is identical either
+  * way: the binary schema, the typed Encoder boundary, the batch shape,
+  * the shuffle-free plan, and (q47/q48) the downstream aggregation and ANN
+  * consumers.
   *
   * q47/q48 declare the family in the driver contract: payloads are the
   * documents' text re-encoded as binary (the q30 fixture convention; the
@@ -47,6 +53,88 @@ object Multimodal {
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       resizeStub(payload, w, h)
     def features(payload: Array[Byte]): Array[Float] = featureStub(payload)
+  }
+
+  /** PRODUCTION decoders over the JDK's ImageIO (PNG/JPEG/GIF/BMP — no
+    * external dependency, headless-safe): true pixel decode for
+    * dimensions, a bilinear re-render for resize, and a 16-dim pixel
+    * statistic vector for features. Swapping this object for
+    * [[StubDecoders]] is the ONE-line production switch the trait exists
+    * for; every mapPartitions stage, schema, and downstream consumer is
+    * unchanged (q47/q48 keep the stub so their DuckDB oracles stay
+    * reproducible over the text fixture — real image bytes have no SQL
+    * twin). ImageIO readers are fetched per call from the static registry;
+    * the per-partition batch shape still amortizes JVM/class init. */
+  object JdkImageDecoders extends MediaDecoders {
+    import java.awt.image.BufferedImage
+
+    private def read(payload: Array[Byte]): BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    def decode(payload: Array[Byte]): (Int, Int) = {
+      val i = read(payload)
+      (i.getWidth, i.getHeight)
+    }
+
+    /** Bilinear scale, re-encoded as PNG (lossless: resize twice is
+      * deterministic, and the output feeds [[decode]]/[[features]]). */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"target ${w}x$h")
+      val src = read(payload)
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+
+    /** 16-dim image statistics standing where a model embedding would:
+      * [mean R, G, B; stddev R, G, B; 10-bin luminance histogram,
+      * L1-normalized]. Accumulated in double, rounded to float ONCE (the
+      * q48 single-rounding contract), so the vector is deterministic and
+      * plugs into every `array<float>` ANN/near-dup consumer. */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val img = read(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val n = w.toLong * h
+      val sum = new Array[Double](3)
+      val sumSq = new Array[Double](3)
+      val hist = new Array[Long](10)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sum(0) += r; sum(1) += gg; sum(2) += b
+          sumSq(0) += r.toDouble * r; sumSq(1) += gg.toDouble * gg; sumSq(2) += b.toDouble * b
+          // ITU-R BT.601 luma, binned 0..9
+          val luma = 0.299 * r + 0.587 * gg + 0.114 * b
+          hist(math.min(9, (luma / 25.6).toInt)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](16)
+      var c = 0
+      while (c < 3) {
+        val mean = sum(c) / n
+        out(c) = mean.toFloat
+        out(3 + c) = math.sqrt(math.max(0.0, sumSq(c) / n - mean * mean)).toFloat
+        c += 1
+      }
+      var b = 0
+      while (b < 10) { out(6 + b) = (hist(b).toDouble / n).toFloat; b += 1 }
+      out
+    }
   }
 
   /** Typed record for decoded media metadata. */

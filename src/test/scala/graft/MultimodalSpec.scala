@@ -55,6 +55,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(1).payload.toSeq == (30 until 40).map(_.toByte).toSeq)
   }
 
+  /** Render a deterministic PNG (horizontal red→blue gradient) in-test —
+    * a REAL image payload for the production codec path. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / math.max(1, w - 1)
+      img.setRGB(x, y, (r << 16) | (255 - r))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("JdkImageDecoders runs the production stages over real PNG payloads") {
+    import TestSession.spark.implicits._
+    val imgs = Seq((1L, pngBytes(64, 48)), (2L, pngBytes(128, 32)))
+      .toDF("doc_id", "payload")
+    // true dimensions through the SAME extractMeta stage q47 uses
+    val metas = Multimodal.extractMeta(imgs, Multimodal.JdkImageDecoders)
+      .collect().map(m => m.docId -> m).toMap
+    assert(metas(1L).width == 64 && metas(1L).height == 48)
+    assert(metas(2L).width == 128 && metas(2L).height == 32)
+    assert(metas(1L).nBytes == pngBytes(64, 48).length.toLong)
+
+    // resize re-encodes a real raster: decoding the output yields the
+    // target dimensions (stub payloads can't do that — they aren't images)
+    val resized = Multimodal.resize(imgs, 32, 24, Multimodal.JdkImageDecoders)
+      .collect().map(r => r.docId -> r.payload).toMap
+    assert(Multimodal.JdkImageDecoders.decode(resized(1L)) == (32, 24))
+    assert(Multimodal.JdkImageDecoders.decode(resized(2L)) == (32, 24))
+
+    // features: 16-dim, deterministic, ANN-compatible
+    val feats = Multimodal.extractFeatures(imgs, Multimodal.JdkImageDecoders)
+    assert(feats.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    val v = feats.filter(col("doc_id") === 1L).collect()
+      .head.getAs[scala.collection.Seq[Float]](1)
+    assert(v.length == 16)
+    // gradient: B = 255 - R per pixel, G identically 0, luma hist sums to 1
+    assert(math.abs(v(0) + v(2) - 255.0) < 0.01 && v(1) == 0.0f)
+    assert(math.abs(v.drop(6).map(_.toDouble).sum - 1.0) < 1e-3)
+    // distributed and driver-side kernels agree bit-exactly
+    val local = Multimodal.JdkImageDecoders.features(pngBytes(64, 48))
+    assert(v.toSeq == local.toSeq)
+    // a non-image payload fails loudly, not silently
+    intercept[Exception] {
+      Multimodal.JdkImageDecoders.decode("not an image".getBytes)
+    }
+  }
+
   test("extractFeatures emits array<float> embeddings compatible with the ANN ops") {
     val feats = Multimodal.extractFeatures(payloads)
     assert(feats.schema("embedding").dataType ==
