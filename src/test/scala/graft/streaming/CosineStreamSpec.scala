@@ -56,6 +56,48 @@ class CosineStreamSpec extends AnyFunSuite {
     assert(stream(shuffled.grouped((vs.size + 3) / 4).toSeq) == want)
   }
 
+  test("trackClusters with the Cosine method equals one-shot q46 pairs + CC") {
+    // expected clusters: sequential union-find over the one-shot q46 pair
+    // graph — the same oracle shape as DedupClustersSpec, method-shifted
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    expected.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toList.groupBy(_._2)
+      .map { case (root, ms) => (root, ms.size.toLong, ms.map(_._1).max) }.toSet
+    assert(want.nonEmpty)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true))))
+    val rnd = new scala.util.Random(31)
+    (0 until 2).foreach { round =>
+      val st = new StateDir(spark,
+        Files.createTempDirectory(s"cos-cluster-$round-").toString)
+      val ds = new DedupStream(spark, st,
+        threshold = Similarity.CosineThreshold, method = DedupStream.Cosine,
+        trackClusters = true)
+      val shuffled = rnd.shuffle(vectors.toVector)
+      val k = 3 + round
+      import scala.jdk.CollectionConverters._
+      shuffled.grouped((shuffled.size + k - 1) / k).zipWithIndex.foreach {
+        case (rows, i) =>
+          ds.processBatch(spark.createDataFrame(rows.asJava, schema), i.toLong)
+      }
+      val got = ds.clusterStats.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"round $round k=$k")
+    }
+  }
+
   test("replay of a committed batch id is a no-op for the cosine method") {
     val st = new StateDir(spark, Files.createTempDirectory("cos-replay-").toString)
     val ds = new DedupStream(spark, st,
