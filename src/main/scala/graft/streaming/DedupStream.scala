@@ -97,6 +97,17 @@ final class DedupStream(
     clustersSnapshot.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
 
+  /** Publish this stream's incrementally-maintained labels as the serving
+    * source for batch consumers of `corpusDir`: [[Dedup.clusterLabels]]
+    * (the q56 drop list) reads [[clustersSnapshot]] instead of re-solving
+    * the fixpoint — ingest maintains, batch serves. Call
+    * [[Dedup.stopServingClusters]] when the stream stops owning the
+    * corpus. */
+  def publishClusters(corpusDir: String): Unit = {
+    require(trackClusters, "publishClusters requires trackClusters = true")
+    Dedup.serveClustersFrom(spark, corpusDir)(() => clustersSnapshot)
+  }
+
   /** Per-batch body (public: batch tests drive it directly). `docs` needs
     * whatever the method signs: (doc_id long, text string) for Minhash,
     * (doc_id long, embedding array<float>) for Cosine.
