@@ -306,9 +306,12 @@ object Dedup {
     * verify. Completes the SimHash family from identical-group (q26) to
     * tolerance near-dup. */
   def q53SimhashNeardup(s: SparkSession, d: String): DataFrame = {
-    // fp feeds the band pipeline and both verify arms — stage it once
-    // (persist: the lazy staging primitive; see Sessions.rankBase)
-    val fp = simhashFp(Tables.documents(s, d)).persist()
+    // fp feeds the band pipeline and both verify arms — stage it once.
+    // localCheckpoint (not persist): its blocks are reclaimed by the
+    // ContextCleaner as soon as the returned plan is dropped, where a
+    // CacheManager persist() would pin the table until an explicit
+    // unpersist no caller is positioned to issue (the plan is lazy).
+    val fp = simhashFp(Tables.documents(s, d)).localCheckpoint(eager = false)
     val bandStructs = (0 until SimhashBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(255).cast("string").as("key")))
