@@ -76,6 +76,9 @@ object SparkEntry {
     "q54_dedup_clusters" -> (Dedup.q54DedupClusters _),
     "q55_tfidf" -> (TextAnalysis.q55Tfidf _),
     "q56_curation" -> (Curation.q56Curation _),
+    "q57_decontaminate" -> (Decontamination.q57Decontaminate _),
+    "q58_sequence_packing" -> (Packing.q58SequencePacking _),
+    "q59_repetition_ratio" -> (TextAnalysis.q59RepetitionRatio _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +140,8 @@ object SparkEntry {
     "q54_dedup_clusters" -> Dedup.q54Sql,
     "q55_tfidf" -> TextAnalysis.q55Sql,
     "q56_curation" -> Curation.q56Sql,
+    "q57_decontaminate" -> Decontamination.q57Sql,
+    "q58_sequence_packing" -> Packing.q58Sql,
+    "q59_repetition_ratio" -> TextAnalysis.q59Sql,
   )
 }

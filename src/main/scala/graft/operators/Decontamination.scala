@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Benchmark decontamination — the training-data gate every serious
+  * pipeline runs before the curation decision: documents sharing an
+  * n-gram with an evaluation benchmark must be flagged (and usually
+  * dropped), or the benchmark is contaminated and its scores are fiction.
+  *
+  * The operator is the canonical n-gram collision join: shingle the
+  * corpus, shingle the benchmark, equi-join on the shingle, count
+  * distinct collisions per document. The fixture stand-in for the
+  * benchmark is `doc_id < BenchDocs` (a bounded probe set, the q21/q48
+  * convention); production swaps in the real benchmark table.
+  *
+  * Scale shape (100 TB): the corpus side is a shuffle-FREE scan —
+  * per-document shingling and deduplication happen inside codegen
+  * (`transform` + `array_distinct` BEFORE the explode, so no corpus-wide
+  * distinct), and the benchmark side is bounded by construction (a
+  * benchmark suite is thousands of documents, not corpus-proportional) →
+  * `broadcast` is justified, the join never shuffles the corpus
+  * shingles. The only exchange carries the collision HITS (tiny) into
+  * the per-doc count. 4-token shingles are the standard
+  * contamination granularity (long enough to beat chance on real text,
+  * short enough to catch paraphrase-adjacent reuse).
+  */
+object Decontamination {
+
+  private[operators] val ShingleK = 4
+  private[operators] val BenchDocs = 50
+
+  /** Distinct benchmark-shingle collisions per corpus document. */
+  def q57Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= ShingleK) // sequence(1, 0) DESCENDS — guard
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(t) - ${ShingleK - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $ShingleK)))"))).as("s"))
+    val bench = sh.filter(col("doc_id") < BenchDocs).select(col("s")).distinct()
+    sh.filter(col("doc_id") >= BenchDocs)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_collisions"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q57Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |  WHERE len(string_split(text,' ')) >= $ShingleK
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(t) - ${ShingleK - 2}),
+       |    i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + ${ShingleK - 1}), ' ')))) AS s
+       |  FROM toks
+       |), bench AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id < $BenchDocs
+       |)
+       |SELECT doc_id, count(*) AS n_collisions
+       |FROM sh JOIN bench USING (s)
+       |WHERE doc_id >= $BenchDocs
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

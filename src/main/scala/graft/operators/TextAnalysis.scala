@@ -157,6 +157,42 @@ object TextAnalysis {
       |SELECT doc_id, term, tf, df, weight, rn FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+
+  /** Within-document repetition ratio — the quality signal the q29 floors
+    * miss: boilerplate and degenerate generations repeat n-grams INSIDE a
+    * document (the across-document case is the dedup family's job).
+    * rep_ratio = (n_grams − n_distinct) / n_grams over 3-grams; 0 = no
+    * internal repetition. Like q29, a single shuffle-free scan: the
+    * 3-grams are built and deduplicated per document inside array lambdas
+    * (`transform` + `array_distinct`), never exploded, so this reads
+    * 100 TB of documents with zero exchanges. */
+  def q59RepetitionRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3) // sequence(1, 0) DESCENDS — guard
+      .withColumn("n_grams", size(col("t")) - 2)
+      .withColumn("n_distinct", size(array_distinct(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))))
+      .withColumn("rep_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("n_distinct"),
+        col("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  def q59Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(t) - 2 AS INT) AS n_grams,
+      |    CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' ')))) AS INT) AS n_distinct
+      |  FROM (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents) s
+      |  WHERE len(t) >= 3
+      |)
+      |SELECT doc_id, lang, n_grams, n_distinct,
+      |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
   def q29Sql: String =
     s"""WITH m AS (
        |  SELECT doc_id, lang, string_split(text,' ') AS toks,
