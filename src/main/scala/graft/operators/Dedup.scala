@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Deduplication family over the `documents` table (north-star surface:
@@ -376,9 +377,10 @@ object Dedup {
     * (l ← l(l), path halving) cuts chains geometrically, giving O(log n)
     * rounds on worst-case paths — the alternating-star bound of Kiveris et
     * al. ("Connected Components in MapReduce and Beyond", SoCC'14) with a
-    * simpler per-round plan. The driver holds one Long (the changed-row
-    * count) per round; labels/edges stay distributed and persisted, with
-    * the previous round's cache released each step.
+    * simpler per-round plan. The driver holds one decimal (Σ lbl — the
+    * fixpoint test, since labels are per-vertex non-increasing) per round;
+    * labels/edges stay distributed and persisted, with the previous
+    * round's cache released each step.
     *
     * Iterative fixpoints are inherently action-driven (GraphX and
     * GraphFrames do the same): construction runs the loop eagerly; the
@@ -404,9 +406,16 @@ object Dedup {
     // ContextCleaner.
     var labels = pin(edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl")))
-    var changed = 1L
+    // Fixpoint detection: labels are per-vertex NON-INCREASING (least/min
+    // everywhere) over a fixed vertex set, so the round changed something
+    // iff Σ lbl strictly dropped — one shuffle-free partial aggregation
+    // over the freshly-pinned table, instead of a corpus-sized self-join
+    // per round. DECIMAL(38,0): exact, no Long-overflow wraparound at any
+    // n × max(id).
+    var prevSum = labelSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 64) { // 64 = safety rail ≫ log₂(any n)
+    while (!converged && rounds < 64) { // 64 = safety rail ≫ log₂(any n)
       // propagate: candidate label = min over in-neighbors' labels
       val prop = edges
         .join(labels.select(col("v").as("u"), col("lbl")), "u")
@@ -419,9 +428,9 @@ object Dedup {
       val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
       val jumped = pin(stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
         .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl")))
-      changed = jumped
-        .join(labels.select(col("v"), col("lbl").as("old")), "v")
-        .filter(col("lbl") =!= col("old")).count()
+      val newSum = labelSum(jumped)
+      converged = sumsEqual(newSum, prevSum)
+      prevSum = newSum
       labels = jumped
       rounds += 1
     }
@@ -429,11 +438,18 @@ object Dedup {
     // The rail is unreachable for real inputs (pointer jumping converges in
     // O(log n) rounds), but if it ever fires the labels are NOT components —
     // fail loudly rather than silently emit wrong clusters.
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $rounds rounds ($changed labels still changing)")
+        s"connectedComponents did not converge in $rounds rounds")
     labels
   }
+
+  /** Exact Σ lbl of a label table (null for an empty table — compares
+    * equal across empty rounds, which is correct: empty is a fixpoint). */
+  private def labelSum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("lbl").cast(DecimalType(38, 0)))).first().getDecimal(0)
+  private def sumsEqual(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
+    (a == null && b == null) || (a != null && b != null && a.compareTo(b) == 0)
 
   /** Session conf switching the iterative solvers' per-round lineage
     * truncation from `localCheckpoint` (executor-local blocks — fast, but
@@ -470,19 +486,23 @@ object Dedup {
   private[graft] def resolveChains(oneHop: DataFrame): DataFrame = {
     val pin = roundPinner(oneHop)
     var labels = pin(oneHop.select(col("v"), col("lbl")))
-    var changed = 1L
+    // same Σ lbl fixpoint test as connectedComponents: pointers only ever
+    // decrease, so "sum unchanged" ⟺ "no pointer moved" — one shuffle-free
+    // aggregation per round instead of a self-join
+    var prevSum = labelSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    while (!converged && rounds < 64) {
       val ptr = labels.select(col("v").as("p"), col("lbl").as("plbl"))
       val jumped = pin(labels.join(ptr, labels("lbl") === ptr("p"), "left")
         .select(labels("v"), coalesce(col("plbl"), labels("lbl")).as("lbl")))
-      changed = jumped
-        .join(labels.select(col("v"), col("lbl").as("old")), "v")
-        .filter(col("lbl") =!= col("old")).count()
+      val newSum = labelSum(jumped)
+      converged = sumsEqual(newSum, prevSum)
+      prevSum = newSum
       labels = jumped
       rounds += 1
     }
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"resolveChains did not converge in $rounds rounds (pointer cycle?)")
     labels
