@@ -81,6 +81,44 @@ class ClusterStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("partial-crash replay heals the clusters table bit-identically") {
+    import DedupStream._
+    val stClean = new StateDir(spark, Files.createTempDirectory("cluster-clean-").toString)
+    val dsClean = new DedupStream(spark, stClean, trackClusters = true)
+    val stCrash = new StateDir(spark, Files.createTempDirectory("cluster-crash-").toString)
+    val dsCrash = new DedupStream(spark, stCrash, trackClusters = true)
+    val (b0, b1) = corpus.splitAt(50)
+
+    dsClean.processBatch(b0.toDF("doc_id", "text"), 0L)
+    dsClean.processBatch(b1.toDF("doc_id", "text"), 1L)
+
+    dsCrash.processBatch(b0.toDF("doc_id", "text"), 0L)
+    // crash mid-batch-1: pairs + CLUSTERS landed (the cluster append is the
+    // write right after pairs), sig/bands/stats/meta did not — the replay
+    // must regenerate the missing appends and SKIP the cluster rows that
+    // survived (root-indirection deltas recompute bit-identically because
+    // every read-base excludes this batch's rows)
+    stCrash.write(PairsTable, stClean.read(PairsTable, PairsSchema))
+    stCrash.write(ClustersTable, stClean.read(ClustersTable, ClustersSchema))
+    dsCrash.processBatch(b1.toDF("doc_id", "text"), 1L)
+
+    def rows(st: StateDir) =
+      st.read(ClustersTable, ClustersSchema).collect().map(_.toString).toSet
+    assert(rows(stCrash) == rows(stClean), "clusters table diverged after replay")
+    assert(statsSet(dsCrash) == statsSet(dsClean))
+
+    // and the mirror-image crash: clusters did NOT land but everything else
+    // did — replay regenerates only the cluster delta
+    val stCrash2 = new StateDir(spark, Files.createTempDirectory("cluster-crash2-").toString)
+    val dsCrash2 = new DedupStream(spark, stCrash2, trackClusters = true)
+    dsCrash2.processBatch(b0.toDF("doc_id", "text"), 0L)
+    for ((t, s) <- Seq((PairsTable, PairsSchema), (SigTable, SigSchema),
+        (BandsTable, BandsSchema), (StatsTable, StatsSchema)))
+      stCrash2.write(t, stClean.read(t, s))
+    dsCrash2.processBatch(b1.toDF("doc_id", "text"), 1L)
+    assert(rows(stCrash2) == rows(stClean), "clusters-only replay diverged")
+  }
+
   test("labels only decrease across batches (min-merge-on-read is exact)") {
     val st = new StateDir(spark, Files.createTempDirectory("cluster-mono-").toString)
     val ds = new DedupStream(spark, st, trackClusters = true)
