@@ -79,6 +79,7 @@ object SparkEntry {
     "q57_decontaminate" -> (Decontamination.q57Decontaminate _),
     "q58_sequence_packing" -> (Packing.q58SequencePacking _),
     "q59_repetition_ratio" -> (TextAnalysis.q59RepetitionRatio _),
+    "q60_quota_sample" -> (Sampling.q60QuotaSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -143,5 +144,6 @@ object SparkEntry {
     "q57_decontaminate" -> Decontamination.q57Sql,
     "q58_sequence_packing" -> Packing.q58Sql,
     "q59_repetition_ratio" -> TextAnalysis.q59Sql,
+    "q60_quota_sample" -> Sampling.q60Sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -82,4 +83,66 @@ object Sampling {
       |  count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS n_chars
       |FROM b
       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+
+  private[operators] val QuotaN = 60
+  private val BucketShift = 36L // 48-bit hash → 4096 prefix buckets
+
+  /** Language-BALANCED quota sampling: exactly [[QuotaN]] documents per
+    * language (or every document of a smaller stratum), selected by hash
+    * rank — the rebalancing step that keeps a dominant language from
+    * swamping the mixture, deterministic like q49/q50.
+    *
+    * "Exactly K per group by hash order" is a per-group TOP-K — which the
+    * naive plan writes as `row_number() OVER (PARTITION BY lang ORDER BY
+    * hash)`: every language's ENTIRE corpus through one window task, the
+    * q58 anti-pattern again. This operator computes the SAME exact
+    * selection in three bounded steps:
+    *
+    *   1. histogram — per (lang, 12-bit hash prefix) counts: one
+    *      map-side-combined groupBy, ≤ 4096 rows per language;
+    *   2. candidate buckets — running count over the histogram (tiny
+    *      window) keeps only prefix buckets whose cumulative start is
+    *      below the quota: every possible selectee lives in one of them;
+    *   3. bounded rank — global rank = bucket's cumulative start + local
+    *      `row_number` inside the (lang, bucket) partition (≈ corpus/4096
+    *      rows each), filter rank ≤ quota.
+    *
+    * Bit-identical to the single-window formulation (the prefix bucket
+    * order IS the hash order), which is exactly what the DuckDB oracle
+    * runs. */
+  def q60QuotaSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("hv", Dedup.hex12(concat(lit("bal_"), col("doc_id").cast("string"))))
+      .withColumn("hb", shiftright(col("hv"), BucketShift.toInt))
+    val hist = docs.groupBy(col("lang"), col("hb"))
+      .agg(count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy(col("lang")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cand = hist
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wB), lit(0L)))
+      .filter(col("cum_before") < QuotaN)
+      .select(col("lang"), col("hb"), col("cum_before"))
+    val wL = Window.partitionBy(col("lang"), col("hb"))
+      .orderBy(col("hv"), col("doc_id"))
+    docs.join(broadcast(cand), Seq("lang", "hb"))
+      .withColumn("rn", (col("cum_before") + row_number().over(wL)).cast("int"))
+      .filter(col("rn") <= QuotaN)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  def q60Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('bal_' || doc_id), 1, 12))::BIGINT AS hv
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS INT) AS rn
+       |  FROM h
+       |)
+       |SELECT doc_id, lang, rn FROM r WHERE rn <= $QuotaN
+       |ORDER BY lang, rn""".stripMargin
 }

@@ -41,4 +41,27 @@ class SamplingSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_docs")).first().getLong(0)
     assert(total == corpus.size)
   }
+
+  test("q60 quota selection is exact, balanced, and layout-independent") {
+    val a = writeDocs(1)
+    val b = writeDocs(13)
+    val selA = rows(Sampling.q60QuotaSample(spark, a))
+    assert(selA == rows(Sampling.q60QuotaSample(spark, b)))
+    // exactly quota per language where the stratum is big enough, the whole
+    // stratum where it is not (corpus: en≈134+l3-stratum overlap, l1/l2/l4≈67+)
+    val perLang = Sampling.q60QuotaSample(spark, a)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = corpus.groupBy(_._3).view.mapValues(_.size).toMap
+    strata.foreach { case (lang, n) =>
+      assert(perLang(lang) == math.min(n, Sampling.QuotaN).toLong,
+        s"lang $lang: ${perLang.get(lang)} of $n")
+    }
+    // ranks are 1..K dense per language
+    val ranks = Sampling.q60QuotaSample(spark, a).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getInt(2)).sorted.toSeq)
+    ranks.foreach { case (lang, rs) =>
+      assert(rs == (1 to rs.size), s"lang $lang ranks not dense: $rs")
+    }
+  }
 }
