@@ -108,6 +108,33 @@ final class DedupStream(
     Dedup.serveClustersFrom(spark, corpusDir)(() => clustersSnapshot)
   }
 
+  /** Compact the cluster state: resolve every stored pointer chain ONCE
+    * and rewrite `cc_labels` as the flat (v → component min) table — the
+    * lazy member-rewrite deferred from the per-batch path to the
+    * compaction cadence (run it with [[StateDir]] compaction). Afterwards
+    * reads are a min-merge plus a single no-op resolve round, and the
+    * root chains reset to length ≤ 1 for every doc seen so far.
+    *
+    * Crash-safe: only rows of COMMITTED batches (batch_id ≤ meta) are
+    * folded; rows a mid-flight batch appended before a crash are carried
+    * through untouched, so its replay still sees exactly the pre-crash
+    * state and self-heals as usual. The rewrite publishes via the
+    * StateDir's atomic versioned swap. */
+  def compactClusters(): Unit = {
+    require(trackClusters, "compactClusters requires trackClusters = true")
+    val lastBatch = if (state.exists(MetaTable))
+      state.read(MetaTable, MetaSchema).first().getLong(0) else -1L
+    val all = state.read(ClustersTable, ClustersSchema)
+      .withColumn("batch_id", coalesce(col("batch_id"), lit(-1L)))
+    val resolved = Dedup.resolveChains(
+        all.filter(col("batch_id") <= lastBatch)
+          .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
+      .withColumn("batch_id", lit(lastBatch))
+    state.write(ClustersTable, resolved
+      .unionByName(all.filter(col("batch_id") > lastBatch))
+      .select(col("v"), col("lbl"), col("batch_id")))
+  }
+
   /** Per-batch body (public: batch tests drive it directly). `docs` needs
     * whatever the method signs: (doc_id long, text string) for Minhash,
     * (doc_id long, embedding array<float>) for Cosine.

@@ -81,6 +81,38 @@ class ClusterStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("compactClusters flattens chains without changing the clusters") {
+    val expected = oneShotClusters(corpus)
+    val st = new StateDir(spark, Files.createTempDirectory("cluster-compact-").toString)
+    val ds = new DedupStream(spark, st, trackClusters = true)
+    // reverse order maximizes merges (new minima arrive late) → real chains
+    val batches = corpus.reverse.grouped(20).toSeq
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      ds.processBatch(rows.toDF("doc_id", "text"), i.toLong)
+    }
+    assert(statsSet(ds) == expected)
+    val snapBefore = ds.clustersSnapshot.collect().map(_.toString).toSet
+    val rowsBefore = st.read(DedupStream.ClustersTable, DedupStream.ClustersSchema).count()
+    ds.compactClusters()
+    // same resolved labels, but the stored table is now flat: one row per
+    // doc, every pointer terminal
+    assert(ds.clustersSnapshot.collect().map(_.toString).toSet == snapBefore)
+    val stored = st.read(DedupStream.ClustersTable, DedupStream.ClustersSchema)
+    assert(stored.count() == snapBefore.size.toLong, "compaction must leave one row per doc")
+    assert(stored.count() <= rowsBefore)
+    assert(stored.select("v", "lbl").collect().map(_.toString).toSet
+      == snapBefore, "stored pointers must be terminal after compaction")
+    // the stream keeps working on the compacted base: a clone of
+    // corpus.head joins its cluster (same canonical ids, one larger)
+    ds.processBatch(Seq((9000L, corpus.head._2)).toDF("doc_id", "text"),
+      batches.size.toLong)
+    val stats = ds.clusterStats.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats.map(_._1) == expected.map(_._1), "cluster ids unchanged")
+    assert(stats.exists(_._3 == 9000L), "post-compaction batch joined a cluster")
+    assert(stats.toSeq.map(_._2).sum == expected.toSeq.map(_._2).sum + 1)
+  }
+
   test("partial-crash replay heals the clusters table bit-identically") {
     import DedupStream._
     val stClean = new StateDir(spark, Files.createTempDirectory("cluster-clean-").toString)
