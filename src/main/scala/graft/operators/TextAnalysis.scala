@@ -193,6 +193,71 @@ object TextAnalysis {
       |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS rep_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+
+  /** Keep docs at or below this mean surprisal (centibits/token). */
+  val LmKeepCentibits = 405L
+
+  /** Corpus-LM quality score — the perplexity filter of the standard
+    * curation pipeline (CCNet-style): fit a unigram LM on the corpus
+    * itself, score every document by its mean per-token surprisal, and
+    * flag the high-surprisal tail for drop. Degenerate/rare-token soup
+    * scores high; ordinary prose scores low. Surprisal is QUANTIZED to
+    * exact integers the way q55's IDF is — bits(tok) = ⌊log₂(T DIV
+    * cnt(tok))⌋ via length(bin(q))−1 — so the score hash-matches across
+    * engines where floating ln cannot, and the mean is served as integer
+    * centibits ((100·Σbits) DIV n).
+    *
+    * Scale shape: the corpus-sized token stream collapses to the narrow
+    * (doc, term, tf) table ONCE (map-side combine) and is staged for both
+    * consumers; the vocab (distinct terms — sublinear in corpus size) and
+    * its one-row total are the only other inputs, joined back with AQE
+    * free to broadcast the vocab side. No window at all — the per-doc
+    * score is a second map-side-combinable aggregation. Two shuffles
+    * total at any scale (tf groupBy, per-doc groupBy) plus the vocab agg
+    * over the already-narrow tf table. */
+  def q62LmQuality(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("t_total"))
+    tf.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("bits", length(bin(expr("t_total DIV cnt"))) - 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .withColumn("mean_centibits", expr("(100 * sum_bits) DIV n_tokens"))
+      .withColumn("keep",
+        (col("mean_centibits") <= LmKeepCentibits).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        col("mean_centibits"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q62Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents) t
+       |  GROUP BY doc_id, token
+       |), vocab AS (
+       |  SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY token
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM vocab
+       |), d AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(sum(tf * (length(bin(t_total // cnt)) - 1)) AS BIGINT) AS sum_bits
+       |  FROM tf JOIN vocab USING (token), tot
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, sum_bits,
+       |  (100 * sum_bits) // n_tokens AS mean_centibits,
+       |  CAST((100 * sum_bits) // n_tokens <= $LmKeepCentibits AS INT) AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
   def q29Sql: String =
     s"""WITH m AS (
        |  SELECT doc_id, lang, string_split(text,' ') AS toks,
