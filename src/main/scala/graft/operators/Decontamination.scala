@@ -47,6 +47,80 @@ object Decontamination {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q64
+
+  /** Flag a (doc, benchmark-item) pair when the doc contains ≥ this
+    * percentage of the item's distinct shingles. */
+  private[operators] val MinContainmentPct = 50L
+
+  /** Containment-ratio decontamination — the per-ITEM refinement of q57:
+    * instead of pooling the benchmark's shingles and counting collisions,
+    * score each (corpus doc, benchmark item) pair by how much of THAT
+    * item the doc contains (|shared shingles| / |item shingles|) and
+    * report the pairs over the containment threshold. This is the
+    * published contamination rule (an eval item is burned when some
+    * training doc contains most of it — a handful of incidental shingle
+    * collisions is noise), and it names WHICH items to retire, which the
+    * pooled count cannot.
+    *
+    * Containment is served as exact integer percent ((100·shared) DIV
+    * |item|) — shingle sets are per-doc distinct by construction, so the
+    * join-group count IS the set intersection, and everything stays
+    * hash-exact across engines.
+    *
+    * Scale shape: identical to q57 — corpus shingles never shuffle (the
+    * per-doc dedup happens in codegen before the explode), the benchmark
+    * side is bounded → broadcast on both the shingle join and the
+    * per-item-size join; the only exchange carries collision hits into
+    * the (doc, item) count. */
+  def q64ContainmentDecon(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= ShingleK) // sequence(1, 0) DESCENDS — guard
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(t) - ${ShingleK - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $ShingleK)))"))).as("s"))
+    val bench = sh.filter(col("doc_id") < BenchDocs)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val bsize = bench.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench"))
+    sh.filter(col("doc_id") >= BenchDocs)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(bsize), Seq("bench_id"))
+      .withColumn("containment_pct", expr("(100 * n_shared) DIV n_bench"))
+      .filter(col("containment_pct") >= MinContainmentPct)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        col("n_bench"), col("containment_pct"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  def q64Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |  WHERE len(string_split(text,' ')) >= $ShingleK
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(t) - ${ShingleK - 2}),
+       |    i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + ${ShingleK - 1}), ' ')))) AS s
+       |  FROM toks
+       |), bench AS (
+       |  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < $BenchDocs
+       |), bsize AS (
+       |  SELECT bench_id, count(*) AS n_bench FROM bench GROUP BY bench_id
+       |), hits AS (
+       |  SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+       |  FROM sh c JOIN bench b USING (s)
+       |  WHERE c.doc_id >= $BenchDocs
+       |  GROUP BY c.doc_id, b.bench_id
+       |)
+       |SELECT doc_id, bench_id, n_shared, n_bench,
+       |  (100 * n_shared) // n_bench AS containment_pct
+       |FROM hits JOIN bsize USING (bench_id)
+       |WHERE (100 * n_shared) // n_bench >= $MinContainmentPct
+       |ORDER BY doc_id, bench_id""".stripMargin
+
   def q57Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
