@@ -66,9 +66,13 @@ final class DedupStream(
     threshold: Double = 0.5,
     cap: Int = Dedup.HotBucketCap,
     method: DedupStream.Method = DedupStream.Minhash,
-    trackClusters: Boolean = false) extends Serializable {
+    trackClusters: Boolean = false,
+    compactEvery: Int = 0) extends Serializable {
 
   import DedupStream._
+
+  require(compactEvery == 0 || trackClusters,
+    "compactEvery requires trackClusters = true")
 
   /** The signature state schema of THIS stream's method, plus batch_id. */
   private val sigStateSchema: StructType =
@@ -279,6 +283,12 @@ final class DedupStream(
     appendOnce(StatsTable, StatsSchema, batchId, statsDelta.select(col("*"), tag))
     state.write(MetaTable,
       spark.createDataFrame(Seq(Tuple1(batchId))).toDF("last_batch"))
+    // self-compacting cadence: after every Nth committed batch, fold the
+    // pointer chains flat (runs AFTER the meta write, so a crash inside
+    // the compaction leaves a fully-committed batch + the old chains —
+    // replay-safe by construction)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactClusters()
   }
 
   /** Contract a batch's pairs to ROOT edges against the stored pointer

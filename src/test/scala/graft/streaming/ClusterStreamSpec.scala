@@ -113,6 +113,21 @@ class ClusterStreamSpec extends AnyFunSuite {
     assert(stats.toSeq.map(_._2).sum == expected.toSeq.map(_._2).sum + 1)
   }
 
+  test("compactEvery cadence: stream self-compacts and still equals one-shot") {
+    val expected = oneShotClusters(corpus)
+    val st = new StateDir(spark, Files.createTempDirectory("cluster-cad-").toString)
+    val ds = new DedupStream(spark, st, trackClusters = true, compactEvery = 2)
+    val batches = corpus.reverse.grouped(10).toSeq
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      ds.processBatch(rows.toDF("doc_id", "text"), i.toLong)
+    }
+    assert(statsSet(ds) == expected)
+    // last batch id 3 → cadence fired after batch 3: stored table is flat
+    val stored = st.read(DedupStream.ClustersTable, DedupStream.ClustersSchema)
+    assert(stored.count() == ds.clustersSnapshot.count(),
+      "cadence compaction must leave one terminal row per doc")
+  }
+
   test("partial-crash replay heals the clusters table bit-identically") {
     import DedupStream._
     val stClean = new StateDir(spark, Files.createTempDirectory("cluster-clean-").toString)
