@@ -39,6 +39,9 @@ object Mixing {
         size(split(col("text"), " ")).as("n"))
       .groupBy(col("lang"), col("source"))
       .agg(sum(col("n")).as("n_tokens"))
+      // feeds the total AND the apportionment: staged once so the one-row
+      // total is an agg over |groups| rows, not a second corpus scan
+      .localCheckpoint(false)
     val tot = g.agg(sum(col("n_tokens")).as("c_total"))
     val wRank = Window.orderBy(col("rem").desc, col("lang"), col("source"))
     val wAll = Window.partitionBy()
