@@ -26,8 +26,8 @@ import graft.Tables
   */
 object Curation {
 
-  private val MinTokens = 30
-  private val MinStopRatio = 0.05
+  private[operators] val MinTokens = 30
+  private[operators] val MinStopRatio = 0.05
 
   /** Surviving documents with the metrics that admitted them. */
   def q56Curation(s: SparkSession, d: String): DataFrame = {
