@@ -32,7 +32,7 @@ import graft.Tables
 object Export {
 
   /** tokens per training shard (chunks never split across shards) */
-  private val ShardBudget = 256L
+  private[operators] val ShardBudget = 256L
 
   // ---------------------------------------------------------------- q65
 
