@@ -49,6 +49,50 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q67
+
+  /** Dup-rate by source — the dedup ANALYTICS rollup: for every source,
+    * how many docs it contributed and what fraction the near-dup gate
+    * deletes (cluster members other than the keep-min canonical). This is
+    * the report that catches a spammy feed before it trains: a source
+    * whose dup_pct spikes is mirroring content the corpus already has.
+    *
+    * Integer percent ((100·dupes) DIV docs — both non-negative, so
+    * truncating and flooring division agree across engines). The label
+    * table is served from the shared memoized CC solve (one solve per
+    * session+corpus across q54/q56/q67, or from ingest state when a
+    * `trackClusters` stream owns the corpus).
+    *
+    * Scale shape: the drop list joins LEFT (no broadcast hint — same
+    * corpus-proportionality argument as q56's anti-join, AQE decides)
+    * and collapses immediately into a per-source count — the exchange
+    * after the join carries |sources| partial rows. */
+  def q67DupRateBySource(s: SparkSession, d: String): DataFrame = {
+    val drop = Dedup.clusterLabels(s, d)
+      .filter(col("v") =!= col("lbl"))
+      .select(col("v").as("doc_id"), lit(1L).as("dropped"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .join(drop, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dupes"))
+      .withColumn("dup_pct", expr("(100 * n_dupes) DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  def q67Sql: String =
+    s"""${Dedup.lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}${Dedup.ccCtes}, dropids AS (
+       |  SELECT v AS doc_id FROM comp WHERE v <> lbl
+       |), m AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes
+       |  FROM documents d LEFT JOIN dropids dr USING (doc_id)
+       |  GROUP BY d.source
+       |)
+       |SELECT source, n_docs, n_dupes, (100 * n_dupes) // n_docs AS dup_pct
+       |FROM m ORDER BY source""".stripMargin
+
   def q56Sql: String =
     s"""${Dedup.lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}${Dedup.ccCtes}, dropids AS (
        |  SELECT v AS doc_id FROM comp WHERE v <> lbl
