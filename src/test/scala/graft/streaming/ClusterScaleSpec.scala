@@ -67,6 +67,26 @@ class ClusterScaleSpec extends AnyFunSuite {
       s"all members must carry the new minimum ${curMin - 1}, got ${lbls.toSeq}")
   }
 
+  test("after compactClusters every stored pointer is terminal: walks end in one hop") {
+    val st = new StateDir(spark, Files.createTempDirectory("cluster-scale-cp-").toString)
+    val ds = new DedupStream(spark, st, cap = 8, trackClusters = true)
+    val next = counter(1000L)
+    // descending ids: every batch's min is new → each merge extends the chain
+    (0 until 6).foreach(i => grow(ds, next, 10, i.toLong))
+    ds.compactClusters()
+    val oneHop = st.read(DedupStream.ClustersTable, DedupStream.ClustersSchema)
+      .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint()
+    // every pointer's target is a root (lbl(lbl) = lbl): a probe of ANY
+    // two members contracts with an empty trail — nothing left to walk
+    val curMin = 1000L - 60L
+    val probe = Seq((curMin, 999L, 1.0)).toDF("doc_a", "doc_b", "score")
+    val (_, trail, rootEdges) = ds.contractPairs(probe, oneHop)
+    assert(trail.count() == 0L,
+      "compaction must leave zero-hop chains (no compression rows on a fresh walk)")
+    assert(rootEdges.count() == 0L, "both endpoints already share the root")
+  }
+
   test("write I/O per batch is O(batch), not O(component)") {
     val st = new StateDir(spark, Files.createTempDirectory("cluster-scale-io-").toString)
     val ds = new DedupStream(spark, st, cap = 8, trackClusters = true)
