@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -48,6 +49,52 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------- q68
+
+  /** Quality-aware canonical selection — the keeper POLICY refinement of
+    * the keep-min rule: real pipelines keep the best member of a near-dup
+    * cluster, not the lowest id (C4 keeps the longest; others keep the
+    * highest quality score). One row per cluster: the keeper under
+    * (longest, then lowest id) and the member count, ready to replace the
+    * keep-min survivors in a q56-style gate.
+    *
+    * Scale shape: the members join carries (doc_id, n_tokens) — never
+    * text; the selection window partitions BY CLUSTER (thousands of
+    * bounded partitions in parallel, the q08 top-k shape — skew bounded by
+    * the largest cluster, which the hot-bucket guard upstream already
+    * caps). Labels come from the shared CC memo / ingest state. */
+  def q68ClusterKeeper(s: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.clusterLabels(s, d)
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .join(labels, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper"),
+        col("n_tokens").as("keeper_tokens"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def q68Sql: String =
+    s"""${Dedup.lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}${Dedup.ccCtes}, m AS (
+       |  SELECT c.lbl AS cluster_id, d.doc_id,
+       |    CAST(len(string_split(d.text,' ')) AS INT) AS n_tokens
+       |  FROM comp c JOIN documents d ON d.doc_id = c.v
+       |), r AS (
+       |  SELECT cluster_id, doc_id, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_tokens DESC, doc_id) AS INT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+       |  FROM m
+       |)
+       |SELECT cluster_id, doc_id AS keeper, n_tokens AS keeper_tokens, n_members
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------------------------- q67
 
