@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Winnowing passage fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+  * 2003 — the MOSS algorithm): hash every K-token shingle, slide a
+  * W-shingle window, keep the minimum hash per window, dedupe. Any shared
+  * passage of at least W+K−1 tokens is GUARANTEED to contribute at least
+  * one common fingerprint — so unlike whole-document MinHash/SimHash
+  * (q20/q53), this finds documents that share a paragraph while
+  * disagreeing everywhere else: quote-chains, boilerplate headers,
+  * mirrored sections. Pairs sharing ≥ [[MinShared]] fingerprints are the
+  * passage-overlap report.
+  *
+  * Fingerprints more common than [[FpCap]] docs are dropped BEFORE
+  * pairing — this is declared semantics, not a silent cap (the oracle
+  * applies the same filter): a fingerprint present in thousands of
+  * documents is boilerplate whose all-pairs expansion is quadratic noise,
+  * the same "too common shingle" rule CCNet and the C4 dedup apply.
+  *
+  * Scale shape: fingerprinting is a zero-shuffle per-row scan (array
+  * lambdas in whole-stage codegen, ~2·n/W fingerprints per n-token doc);
+  * the hot list is a map-side-combinable count whose survivors (df >
+  * FpCap) are tiny by construction and broadcast into a left_anti; the
+  * pair self-join shuffles once on fingerprint with every bucket ≤ FpCap
+  * rows, so the worst bucket costs FpCap² pairs — bounded, observable,
+  * and independent of corpus size. All hashing is the 48-bit md5 prefix
+  * in exact int64 (the q29 portability doctrine).
+  */
+object Winnow {
+
+  private[operators] val K = 4   // shingle tokens
+  private[operators] val W = 8   // winnowing window (shingles)
+  private[operators] val MinShared = 2
+  private[operators] val FpCap = 512
+
+  /** (doc_id, fingerprint) — distinct winnowed fingerprints per document.
+    * Documents shorter than K tokens carry no fingerprints (runt rule);
+    * documents with fewer than W shingles contribute their single global
+    * minimum (the window clamps to the shingle list). */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= K)
+      .withColumn("ghash", expr(
+        s"transform(sequence(1, size(toks) - ${K - 1}), " +
+          "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, " +
+          s"$K))), 1, 12), 16, 10) as bigint))"))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(ghash) - ${W - 1}, 1)), " +
+          s"j -> array_min(slice(ghash, j, $W))))"))
+      // explode_OUTER on purpose (fps is provably non-empty: ≥ K tokens →
+      // ≥ 1 shingle → ≥ 1 window): plain explode makes
+      // InferFiltersFromGenerate push a `size(fps) > 0` guard to the scan
+      // with the WHOLE chain inlined — and inside that single filter
+      // expression the lambda-captured ghash subtree re-evaluates per
+      // window, turning the scan into O(shingles · windows) interpreted
+      // md5 calls per row (measured 109 s vs 0.4 s at sf0.1).
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+
+  /** Document pairs sharing ≥ MinShared winnowed fingerprints, with the
+    * shared count — the passage-overlap report. */
+  def q70WinnowPairs(s: SparkSession, d: String): DataFrame = {
+    val fps = fingerprints(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .localCheckpoint(eager = false)
+    // boilerplate filter: fingerprints in > FpCap docs are dropped — the
+    // surviving hot list is ≤ |fps|/FpCap rows, broadcasts by size
+    val hot = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > FpCap)
+      .select(col("fp"))
+    val kept = fps.join(hot, Seq("fp"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def q70Sql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS nt
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $K
+       |), h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, nt - ${K - 1} + 1),
+       |      i -> ('0x' || substr(md5(array_to_string(
+       |        list_slice(toks, i, i + ${K - 1}), ' ')), 1, 12))::BIGINT) AS ghash
+       |  FROM g
+       |), f AS (
+       |  SELECT DISTINCT doc_id, fp FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, greatest(len(ghash) - ${W - 1}, 1) + 1),
+       |        j -> list_min(list_slice(ghash, j, j + ${W - 1})))) AS fp
+       |    FROM h)
+       |), hot AS (
+       |  SELECT fp FROM f GROUP BY fp HAVING count(*) > $FpCap
+       |), kept AS (
+       |  SELECT f.* FROM f ANTI JOIN hot USING (fp)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $MinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

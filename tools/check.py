@@ -30,6 +30,14 @@ for name in sorted(os.listdir(outdir)):
     # driver-style: sort columns by name, compare values
     got = got[sorted(got.columns)].reset_index(drop=True)
     exp = exp[sorted(exp.columns)].reset_index(drop=True)
+    # list/array cells (posting lists etc.) are unhashable for the row
+    # sort — stringify them, same as the driver's value-hash does
+    for df in (got, exp):
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                    lambda v: isinstance(v, (list, np.ndarray))).any():
+                df[c] = df[c].map(
+                    lambda v: str(list(v)) if isinstance(v, (list, np.ndarray)) else str(v))
     ok = True
     msgs = []
     if list(got.columns) != list(exp.columns):
