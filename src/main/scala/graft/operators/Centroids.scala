@@ -50,4 +50,66 @@ object Centroids {
       |SELECT label, idx, count(*) AS n, CAST(sum(m) AS BIGINT) AS sum_milli,
       |  CAST(sum(m) AS BIGINT)::DOUBLE / count(*) AS centroid_milli
       |FROM e GROUP BY label, idx ORDER BY label, idx""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+
+  /** Nearest-centroid confusion matrix — the label-quality audit: assign
+    * every embedding to its nearest integer-milliunit class centroid and
+    * cross-tabulate true label × predicted label. Off-diagonal mass names
+    * the classes whose embedding clouds overlap — the signal that a
+    * labeling pipeline (or the embedding model) is confusing two sources.
+    *
+    * Exactness: centroids are TRUNCATED integer milliunits (sum DIV n —
+    * Spark's DIV and DuckDB's // both truncate toward zero, so the same
+    * centroid on both engines even for negative sums); distances are
+    * integer Σ(m−c)², and the argmin is a pure-integer min over
+    * d2·1000 + label (labels < 1000) — no float compare, no tie
+    * ambiguity: equal distances resolve to the lower label on both
+    * engines.
+    *
+    * Scale shape: the centroid table is |labels|·dims rows — bounded, so
+    * its broadcast is legitimate (the q71 ranges argument). The per-
+    * (vector, candidate) distance agg shuffles |corpus|·|labels| partial
+    * rows (map-side combined over dims), the per-vector argmin collapses
+    * to |corpus|, the confusion rollup to |labels|². No window, no
+    * data-scale join side. */
+  def q72CentroidConfusion(s: SparkSession, d: String): DataFrame = {
+    val comp = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("idx", "v")))
+      .withColumn("m", expr("CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT)"))
+    val cent = comp.groupBy(col("label").as("pred"), col("idx"))
+      .agg(expr("CAST(sum(m) DIV count(*) AS BIGINT)").as("c"))
+    comp.join(broadcast(cent), Seq("idx"))
+      .groupBy(col("vec_id"), col("label"), col("pred"))
+      .agg(sum((col("m") - col("c")) * (col("m") - col("c"))).as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(col("d2") * 1000 + col("pred")).as("best"))
+      .groupBy(col("label"), (col("best") % 1000).cast("int").as("pred"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("best DIV 1000")).as("sum_d2"))
+      .orderBy(col("label"), col("pred"))
+  }
+
+  def q72Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS INT) AS idx,
+      |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS m
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+      |), cent AS (
+      |  SELECT label AS pred, idx, CAST(sum(m) // count(*) AS BIGINT) AS c
+      |  FROM e GROUP BY label, idx
+      |), d AS (
+      |  SELECT e.vec_id, e.label, cent.pred,
+      |    CAST(sum((e.m - cent.c) * (e.m - cent.c)) AS BIGINT) AS d2
+      |  FROM e JOIN cent USING (idx)
+      |  GROUP BY e.vec_id, e.label, cent.pred
+      |), a AS (
+      |  SELECT vec_id, label, min(d2 * 1000 + pred) AS best
+      |  FROM d GROUP BY vec_id, label
+      |)
+      |SELECT label, CAST(best % 1000 AS INT) AS pred,
+      |  CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(best // 1000) AS BIGINT) AS sum_d2
+      |FROM a GROUP BY label, best % 1000 ORDER BY label, pred""".stripMargin
 }
