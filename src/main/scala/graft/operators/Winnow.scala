@@ -31,16 +31,18 @@ import graft.Tables
   */
 object Winnow {
 
-  private[operators] val K = 4   // shingle tokens
-  private[operators] val W = 8   // winnowing window (shingles)
-  private[operators] val MinShared = 2
-  private[operators] val FpCap = 512
+  private[graft] val K = 4   // shingle tokens
+  private[graft] val W = 8   // winnowing window (shingles)
+  private[graft] val MinShared = 2
+  private[graft] val FpCap = 512
 
-  /** (doc_id, fingerprint) — distinct winnowed fingerprints per document.
-    * Documents shorter than K tokens carry no fingerprints (runt rule);
-    * documents with fewer than W shingles contribute their single global
-    * minimum (the window clamps to the shingle list). */
-  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+  /** (doc_id, fps array<long>) — the distinct winnowed fingerprint SET per
+    * document, one row per doc (the signature shape the incremental
+    * [[graft.streaming.DedupStream]] Winnow method stores). Documents
+    * shorter than K tokens carry no row (runt rule); documents with fewer
+    * than W shingles contribute their single global minimum (the window
+    * clamps to the shingle list). */
+  private[graft] def fingerprintArrays(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= K)
@@ -51,6 +53,11 @@ object Winnow {
       .withColumn("fps", expr(
         s"array_distinct(transform(sequence(1, greatest(size(ghash) - ${W - 1}, 1)), " +
           s"j -> array_min(slice(ghash, j, $W))))"))
+      .select(col("doc_id"), col("fps"))
+
+  /** (doc_id, fingerprint) — [[fingerprintArrays]] exploded. */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+    fingerprintArrays(docs)
       // explode_OUTER on purpose (fps is provably non-empty: ≥ K tokens →
       // ≥ 1 shingle → ≥ 1 window): plain explode makes
       // InferFiltersFromGenerate push a `size(fps) > 0` guard to the scan

@@ -140,8 +140,8 @@ final class DedupStream(
   }
 
   /** Per-batch body (public: batch tests drive it directly). `docs` needs
-    * whatever the method signs: (doc_id long, text string) for Minhash,
-    * (doc_id long, embedding array<float>) for Cosine.
+    * whatever the method signs: (doc_id long, text string) for Minhash
+    * and Winnow, (doc_id long, embedding array<float>) for Cosine.
     *
     * Incremental invariant: NOTHING here recomputes over the corpus — the
     * band table and per-bucket stats are persisted state, appended/merged
@@ -409,6 +409,28 @@ object DedupStream {
     def score: Column = (0 until Dedup.R)
       .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
       .reduce(_ + _) / lit(Dedup.R.toDouble)
+  }
+
+  /** Winnowing passage fingerprints over (doc_id, text) — the q70
+    * semantics at ingest: every fingerprint is its own band key (sharing
+    * a bucket ≡ sharing a fingerprint), and the score is the
+    * shared-fingerprint count |fps_a ∩ fps_b|. Pair with `threshold =
+    * Winnow.MinShared` for q70 pair equivalence at fixture scale; at
+    * web scale the stream's hot-bucket hub guard stands in for the batch
+    * operator's boilerplate df-drop as the skew defense (both bound the
+    * quadratic term, linking instead of dropping). */
+  object Winnow extends Method {
+    val sigSchema: StructType = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fps", ArrayType(LongType, containsNull = true))))
+    def signature(docs: DataFrame): DataFrame =
+      graft.operators.Winnow.fingerprintArrays(docs)
+    def bandKeys(sig: DataFrame): DataFrame =
+      sig.select(col("doc_id"), explode(col("fps")).as("fp"))
+        .select(col("doc_id"), lit(0).as("band"),
+          col("fp").cast("string").as("key"))
+    def score: Column =
+      size(array_intersect(col("sa.fps"), col("sb.fps"))).cast("double")
   }
 
   /** Embedding cosine over (doc_id, embedding array<float>) — the q46
