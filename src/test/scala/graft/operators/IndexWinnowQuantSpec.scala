@@ -69,6 +69,24 @@ class IndexWinnowQuantSpec extends AnyFunSuite {
     assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
   }
 
+  test("q70: boilerplate fingerprints (df > FpCap) are dropped before pairing") {
+    // the same header passage in FpCap+88 docs (each otherwise unique) —
+    // its fingerprints are boilerplate and must produce NO pairs; two docs
+    // sharing a rarer passage must still pair
+    val header = (0 until Winnow.W + Winnow.K - 1).map(i => s"hdr$i").mkString(" ")
+    // long enough that winnowing keeps ≥ MinShared distinct mins from it
+    // (one W+K−1 run guarantees only ONE full window → one shared fp)
+    val rare = (0 until 4 * (Winnow.W + Winnow.K - 1)).map(i => s"rare$i").mkString(" ")
+    val docs = (0L until (Winnow.FpCap + 88).toLong).map { i =>
+      val tail = if (i < 2) s" $rare" else ""
+      (i, s"$header u${i}a u${i}b u${i}c$tail")
+    }
+    val out = Winnow.q70WinnowPairs(spark, writeDocs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)),
+      s"only the rare-passage pair should survive the boilerplate drop: $out")
+  }
+
   test("q70: no inferred filter re-evaluates the shingle hash chain") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val plan = Winnow.q70WinnowPairs(spark, TestSession.sf)
