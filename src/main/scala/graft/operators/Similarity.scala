@@ -250,7 +250,11 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  def q46Sql: String = {
+  /** Shared oracle CTE chain: sign-banded candidate pairs over the
+    * embeddings table — planes → band keys → hot-guard → `cand`, plus the
+    * normed `emb` view. Used by q46 (threshold pairs) and q74 (k-NN
+    * graph). */
+  private def ndCandCtes: String = {
     val planeRows = planeWeights(NdPlanes).map { case (j, ws) =>
       s"($j, [${ws.mkString(", ")}])"
     }.mkString(",\n    ")
@@ -284,7 +288,11 @@ object Similarity {
        |    SELECT hub AS vec_a, vec_id AS vec_b
        |    FROM tagged WHERE bsize > ${Dedup.HotBucketCap} AND vec_id <> hub
        |  ) u
-       |)
+       |)""".stripMargin
+  }
+
+  def q46Sql: String =
+    s"""$ndCandCtes
        |SELECT vec_a, vec_b,
        |  ${duckDot("ea.embedding", "eb.embedding")} / sqrt(ea.n2 * eb.n2) AS cosine
        |FROM cand
@@ -292,5 +300,70 @@ object Similarity {
        |JOIN emb eb ON eb.vec_id = vec_b
        |WHERE ${duckDot("ea.embedding", "eb.embedding")} / sqrt(ea.n2 * eb.n2) >= $NdThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+
+  private[operators] val KnnK = 3
+
+  /** Approximate k-NN GRAPH — each vector's top-[[KnnK]] neighbors among
+    * its sign-band candidates, by exact cosine. The graph is the primitive
+    * graph-based curation starts from: semantic dedup sharpening (an edge
+    * list for the q54 component solver at a higher threshold), diversity
+    * sampling (drop a doc whose neighbors are already kept), and kNN label
+    * propagation all consume exactly this table. Differs from the ANN
+    * queries (q28/q40: top-k for a FEW probes) by being corpus-wide, and
+    * from q46 (all pairs over a global threshold) by being per-vector
+    * adaptive — an isolated vector keeps its best 3 band-mates even when
+    * no cosine clears 0.4.
+    *
+    * Scale shape: candidates come from the shared guarded band join
+    * (never all-pairs; hot buckets hub-linked); symmetrizing doubles a
+    * candidate table that is already O(corpus · bounded bucket); the
+    * top-k window partitions PER VECTOR — thousands of bounded partitions
+    * (≤ bands · cap band-mates each), the q08 shape, no global window.
+    * The oracle runs the SAME banding, so the contract is
+    * algorithm-exactness, not retrieval recall (recall floors live in
+    * AnnRecallSpec). */
+  def q74KnnGraph(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Vectors
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+    val bands = signBands(emb.select(col("vec_id").as("doc_id"), col("embedding")))
+    val pairs = Dedup.guardedBandPairs(bands)
+    val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("nb"))
+      .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("nb")))
+    val w = Window.partitionBy(col("v"))
+      .orderBy(col("cosine").desc, col("nb"))
+    sym
+      .join(emb.select(col("vec_id"), col("embedding").as("ea"), col("n2").as("na")),
+        col("v") === col("vec_id")).drop("vec_id")
+      .join(emb.select(col("vec_id"), col("embedding").as("eb"), col("n2").as("nb2")),
+        col("nb") === col("vec_id")).drop("vec_id")
+      .withColumn("cosine", Vectors.dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnK)
+      .select(col("v").as("vec_id"), col("nb").as("neighbor"),
+        col("cosine"), col("rn"))
+      .orderBy(col("vec_id"), col("rn"))
   }
+
+  def q74Sql: String =
+    s"""$ndCandCtes, sym AS (
+       |  SELECT vec_a AS v, vec_b AS nb FROM cand
+       |  UNION ALL
+       |  SELECT vec_b AS v, vec_a AS nb FROM cand
+       |), scored AS (
+       |  SELECT s.v, s.nb,
+       |    ${duckDot("ea.embedding", "eb.embedding")} / sqrt(ea.n2 * eb.n2) AS cosine
+       |  FROM sym s
+       |  JOIN emb ea ON ea.vec_id = s.v
+       |  JOIN emb eb ON eb.vec_id = s.nb
+       |), ranked AS (
+       |  SELECT v, nb, cosine,
+       |    CAST(row_number() OVER (PARTITION BY v ORDER BY cosine DESC, nb) AS INT) AS rn
+       |  FROM scored
+       |)
+       |SELECT v AS vec_id, nb AS neighbor, cosine, rn
+       |FROM ranked WHERE rn <= $KnnK ORDER BY vec_id, rn""".stripMargin
 }
