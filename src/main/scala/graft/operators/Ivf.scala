@@ -186,7 +186,10 @@ object Ivf {
        |    SELECT cell AS cid, list(cv ORDER BY dim) AS ce FROM d$t GROUP BY cell) t
        |)""".stripMargin
 
-  def q40Sql: String =
+  /** Shared oracle CTE chain: seed → unrolled Lloyd rounds → final scores
+    * (`sf`) → trained cell assignment (`tagged`), plus the normed `emb`
+    * view. Used by q40 (ANN serve) and q75 (semantic dedup). */
+  private def trainedCtes: String =
     s"""WITH emb AS (
        |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM embeddings
        |), c0 AS (
@@ -199,7 +202,10 @@ object Ivf {
        |  SELECT vec_id, embedding, n2, cid AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
        |    FROM sf) t WHERE crn = 1
-       |), probes AS (
+       |)""".stripMargin
+
+  def q40Sql: String =
+    s"""$trainedCtes, probes AS (
        |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
        |  FROM tagged WHERE vec_id >= $ProbeFrom AND vec_id < ${ProbeFrom + NProbes}
        |), pcells AS (
@@ -220,6 +226,74 @@ object Ivf {
        |)
        |SELECT probe_id, cell, vec_id, cosine, rn FROM ranked
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+
+  private[operators] val SemThreshold = 0.4
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster with the
+    * trained coarse quantizer, score cosine ONLY within a cell, and drop
+    * every vector that has a more-canonical (lower-id) cell-mate above
+    * the similarity threshold — the embedding-space twin of the q19/q20
+    * keep-min rule, catching paraphrases and re-encodings that share no
+    * n-grams. Output is the full per-vector decision table (vec_id,
+    * cell, keep) a curation gate consumes.
+    *
+    * Scale shape: the quadratic term is confined within cells and runs
+    * through the SAME guarded pairing as every LSH family member
+    * ([[Dedup.guardedBandPairs]] with cell-as-band-key — oversized cells
+    * hub-link instead of exploding; the oracle mirrors the guard exactly,
+    * like q46). SemDeDup at production scale grows K with the corpus
+    * (√N cells), which shrinks cells — the guard is the backstop, not
+    * the plan. Training amortizes across q40/q75 the way a persisted
+    * [[IvfIndex]] would. */
+  def q75SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val (emb, trained) = train(s, d)
+    val tagged = assignTo(emb, trained)
+    val bands = tagged.select(col("vec_id").as("doc_id"),
+      lit(0).as("band"), col("cell").cast("string").as("key"))
+    val dup = Dedup.guardedBandPairs(bands)
+      .join(emb.select(col("vec_id"), col("embedding").as("ea"), col("n2").as("na")),
+        col("doc_a") === col("vec_id")).drop("vec_id")
+      .join(emb.select(col("vec_id"), col("embedding").as("eb"), col("n2").as("nb")),
+        col("doc_b") === col("vec_id")).drop("vec_id")
+      .filter(Vectors.dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))
+        >= SemThreshold)
+      .select(col("doc_b").as("vec_id")).distinct()
+    tagged
+      .join(dup.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dropped").isNull, 1).otherwise(0).cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  def q75Sql: String =
+    s"""$trainedCtes, sized AS (
+       |  SELECT cell, count(*) AS bsize, min(vec_id) AS hub
+       |  FROM tagged GROUP BY cell
+       |), tg AS (
+       |  SELECT t.vec_id, t.cell, s.bsize, s.hub
+       |  FROM tagged t JOIN sized s USING (cell)
+       |), cand AS (
+       |  SELECT DISTINCT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM tg a JOIN tg b
+       |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |    WHERE a.bsize <= ${Dedup.HotBucketCap}
+       |    UNION ALL
+       |    SELECT hub AS vec_a, vec_id AS vec_b
+       |    FROM tg WHERE bsize > ${Dedup.HotBucketCap} AND vec_id <> hub
+       |  ) u
+       |), dup AS (
+       |  SELECT DISTINCT c.vec_b AS vec_id FROM cand c
+       |  JOIN emb ea ON ea.vec_id = c.vec_a
+       |  JOIN emb eb ON eb.vec_id = c.vec_b
+       |  WHERE ${duckDot("ea.embedding", "eb.embedding")} / sqrt(ea.n2 * eb.n2) >= $SemThreshold
+       |)
+       |SELECT t.vec_id, t.cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM tagged t LEFT JOIN dup d USING (vec_id)
+       |ORDER BY t.vec_id""".stripMargin
 }
 
 /** Train-once / serve-many IVF — the deployment shape q40's inline
