@@ -13,13 +13,15 @@ import graft.operators.{Dedup, Similarity}
   * signature state (one narrow row per doc ever seen), emits the near-dup
   * pairs the batch introduced, and appends its signatures. The dedup
   * family plugs in via [[DedupStream.Method]]: [[DedupStream.Minhash]]
-  * (q20 semantics over (doc_id, text)) and [[DedupStream.Cosine]] (q46
-  * banded sign-LSH + exact cosine over (doc_id, embedding)) run through
-  * the SAME state machine. Per-batch work is O(batch × matching buckets),
-  * never O(corpus²); the union of per-batch pairs over any arrival order
-  * equals the one-shot batch pipeline ([[Dedup.q20MinhashNeardup]] /
-  * [[Similarity.q46CosineNeardup]]) on the same corpus — pinned by
-  * DedupStreamSpec and CosineStreamSpec.
+  * (q20 semantics over (doc_id, text)), [[DedupStream.Cosine]] (q46
+  * banded sign-LSH + exact cosine over (doc_id, embedding)), and
+  * [[DedupStream.Winnow]] (q70 passage fingerprints over (doc_id, text))
+  * run through the SAME state machine. Per-batch work is O(batch ×
+  * matching buckets), never O(corpus²); the union of per-batch pairs over
+  * any arrival order equals the one-shot batch pipeline
+  * ([[Dedup.q20MinhashNeardup]] / [[Similarity.q46CosineNeardup]] /
+  * [[graft.operators.Winnow.q70WinnowPairs]]) on the same corpus — pinned
+  * by DedupStreamSpec, CosineStreamSpec, and WinnowStreamSpec.
   *
   * The hot-bucket guard carries over: STATE buckets over `cap` pair a new
   * doc only with the bucket's hub (the same linear bound as
