@@ -121,6 +121,82 @@ object Decontamination {
        |WHERE (100 * n_shared) // n_bench >= $MinContainmentPct
        |ORDER BY doc_id, bench_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+
+  /** Bloom bitmap size in bits (512 KiB serialized) — a CONFIG bound, never
+    * data-proportional: this is what ships to every task instead of the raw
+    * benchmark shingle strings. */
+  private[operators] val BloomBits = 1L << 22
+  private[operators] val BloomItems = 1L << 16
+
+  /** Bloom-gated clean-corpus export — the ACTION q57's report implies
+    * (drop every contaminated doc), built the way a 100 TB run has to be:
+    * a Bloom filter over the benchmark shingles is aggregated once
+    * (Spark's own `BloomFilterAggregate` — the engine's runtime-filter
+    * sketch, built distributed with one bounded bitmap merge), embedded as
+    * a literal, and applied INSIDE the corpus scan's codegen as a
+    * might-contain prefilter. Only the bloom HITS (true collisions + the
+    * bitmap's false-positive trickle) reach the exact shingle join that
+    * verifies them — so the verify join's input is hit-proportional, not
+    * corpus-proportional, and the benchmark side needs no broadcast hint
+    * at all (AQE decides; scale-safety rule). Results are EXACT: blooms
+    * have no false negatives, and the verify join kills false positives —
+    * the oracle is plain relational SQL with no bloom anywhere.
+    *
+    * Docs with fewer than [[ShingleK]] tokens carry no shingle and are
+    * clean by definition (they pass through the anti-join untouched).
+    */
+  def q81BloomClean(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.shims
+    val docs = Tables.documents(s, d)
+    val sh = docs
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= ShingleK) // sequence(1, 0) DESCENDS — guard
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(t) - ${ShingleK - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $ShingleK)))"))).as("s"))
+    val bench = sh.filter(col("doc_id") < BenchDocs).select(col("s")).distinct()
+    val bloomAgg = new BloomFilterAggregate(
+      shims.expression(xxhash64(col("s"))),
+      CatLit(BloomItems), CatLit(BloomBits)).toAggregateExpression()
+    // one bounded driver row: the bitmap (BloomBits/8 bytes by config)
+    val bf = bench.agg(shims.column(bloomAgg).as("bf")).head.getAs[Array[Byte]](0)
+    val mightHit = shims.column(new BloomFilterMightContain(
+      CatLit(bf), shims.expression(xxhash64(col("s")))))
+    val contaminated = sh
+      .filter(col("doc_id") >= BenchDocs)
+      .filter(mightHit)
+      .join(bench, Seq("s"))
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") >= BenchDocs)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q81Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |  WHERE len(string_split(text,' ')) >= $ShingleK
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(t) - ${ShingleK - 2}),
+       |    i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + ${ShingleK - 1}), ' ')))) AS s
+       |  FROM toks
+       |), bench AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id < $BenchDocs
+       |), contaminated AS (
+       |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)
+       |  WHERE doc_id >= $BenchDocs
+       |)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id >= $BenchDocs
+       |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def q57Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents

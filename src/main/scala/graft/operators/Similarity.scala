@@ -324,7 +324,12 @@ object Similarity {
     * The oracle runs the SAME banding, so the contract is
     * algorithm-exactness, not retrieval recall (recall floors live in
     * AnnRecallSpec). */
-  def q74KnnGraph(s: SparkSession, d: String): DataFrame = {
+  def q74KnnGraph(s: SparkSession, d: String): DataFrame =
+    knnEdges(s, d).orderBy(col("vec_id"), col("rn"))
+
+  /** The ranked k-NN edge list q74 serves, un-ordered — the shared graph
+    * primitive (q80 label propagation consumes it directly). */
+  private[operators] def knnEdges(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Vectors
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
@@ -345,10 +350,11 @@ object Similarity {
       .filter(col("rn") <= KnnK)
       .select(col("v").as("vec_id"), col("nb").as("neighbor"),
         col("cosine"), col("rn"))
-      .orderBy(col("vec_id"), col("rn"))
   }
 
-  def q74Sql: String =
+  /** Oracle CTE chain ending in `knn(vec_id, neighbor)` — the SQL twin of
+    * [[knnEdges]] (`ranked` stays in scope for q74's cosine/rn columns). */
+  private[operators] def knnSqlCtes: String =
     s"""$ndCandCtes, sym AS (
        |  SELECT vec_a AS v, vec_b AS nb FROM cand
        |  UNION ALL
@@ -363,7 +369,12 @@ object Similarity {
        |  SELECT v, nb, cosine,
        |    CAST(row_number() OVER (PARTITION BY v ORDER BY cosine DESC, nb) AS INT) AS rn
        |  FROM scored
-       |)
+       |), knn AS (
+       |  SELECT v AS vec_id, nb AS neighbor FROM ranked WHERE rn <= $KnnK
+       |)""".stripMargin
+
+  def q74Sql: String =
+    s"""$knnSqlCtes
        |SELECT v AS vec_id, nb AS neighbor, cosine, rn
        |FROM ranked WHERE rn <= $KnnK ORDER BY vec_id, rn""".stripMargin
 }
