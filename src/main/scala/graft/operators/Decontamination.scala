@@ -28,8 +28,8 @@ import graft.Tables
   */
 object Decontamination {
 
-  private[operators] val ShingleK = 4
-  private[operators] val BenchDocs = 50
+  private[graft] val ShingleK = 4
+  private[graft] val BenchDocs = 50
 
   /** Distinct benchmark-shingle collisions per corpus document. */
   def q57Decontaminate(s: SparkSession, d: String): DataFrame = {
@@ -126,8 +126,8 @@ object Decontamination {
   /** Bloom bitmap size in bits (512 KiB serialized) — a CONFIG bound, never
     * data-proportional: this is what ships to every task instead of the raw
     * benchmark shingle strings. */
-  private[operators] val BloomBits = 1L << 22
-  private[operators] val BloomItems = 1L << 16
+  private[graft] val BloomBits = 1L << 22
+  private[graft] val BloomItems = 1L << 16
 
   /** Bloom-gated clean-corpus export — the ACTION q57's report implies
     * (drop every contaminated doc), built the way a 100 TB run has to be:
