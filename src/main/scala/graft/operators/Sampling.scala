@@ -84,6 +84,56 @@ object Sampling {
       |FROM b
       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+
+  /** Leakage-proof train/val/test split — q50's hash split with the one
+    * correction serious pipelines need: near-duplicate documents must
+    * NEVER straddle a split boundary, or the val/test sets silently
+    * contain paraphrases of training documents and every held-out metric
+    * inflates. The fix: hash the doc's DEDUP-GROUP REPRESENTATIVE (its
+    * q54 component minimum; its own id when unclustered) instead of the
+    * doc id — whole near-dup clusters then move between splits as one
+    * atomic unit, with q50's exact 80/10/10 bucket rule otherwise
+    * unchanged.
+    *
+    * Labels come from [[Dedup.clusterLabels]] — the shared serve path
+    * (ingest state when a `trackClusters` stream owns the corpus, else
+    * the memoized q54 solve), so the split decision is consistent with
+    * q56/q65/q67/q68 by construction.
+    *
+    * Scale shape: one corpus ⋈ labels left join keyed on doc_id (labels
+    * are dup-proportional), a per-row hash, and one map-side-combinable
+    * rollup; `n_groups` prices the distinct over (split, rep) — keyed
+    * exchange, no window. */
+  def q84LeakFreeSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.clusterLabels(s, d)
+      .select(col("v").as("doc_id"), col("lbl"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("b",
+        Dedup.hex12(concat(lit("spl_"), col("rep").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_groups"))
+      .orderBy(col("split"))
+  }
+
+  def q84Sql: String =
+    s"""${Dedup.lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}${Dedup.ccCtes}, rep AS (
+       |  SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+       |), sp AS (
+       |  SELECT doc_id, rep,
+       |    ('0x' || substr(md5('spl_' || rep), 1, 12))::BIGINT % 100 AS b
+       |  FROM rep
+       |)
+       |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, count(DISTINCT rep) AS n_groups
+       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+
   // ---------------------------------------------------------------- q60
 
   private[operators] val QuotaN = 60
