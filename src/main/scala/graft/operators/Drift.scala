@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus drift report — the distribution-shift check a pipeline runs
+  * before admitting a new crawl/snapshot into the mix: which tokens'
+  * frequencies moved most between the reference corpus and the candidate?
+  * A top-drift list catches template storms, spam bursts, language mix
+  * shifts, and scraper regressions long before a trained model does.
+  * The fixture stand-in for the two snapshots is the deterministic
+  * doc_id-parity split (old = even, new = odd — the q57 bounded-probe
+  * convention's sibling); production swaps in the two real snapshots.
+  *
+  * Semantics (integer-exact): per-half token rates in parts-per-million
+  * (`(1000000·cnt) DIV half_total`), full-outer-joined so tokens that
+  * APPEAR or VANISH are scored (missing side = 0 — those are exactly the
+  * template-storm signatures), a ≥ 5 combined-count floor to kill
+  * hapax noise, and the top 50 by |Δppm| (ties by token) — every number
+  * int64, the q71/q73 doctrine.
+  *
+  * Scale shape: tokens stream through ONE exploded scan into a
+  * map-side-combinable (half, token) count; totals are a 2-row broadcast;
+  * the full-outer join is vocab-sized and keyed on token; the top-50 is
+  * ORDER BY + LIMIT — Spark plans TakeOrdered (per-partition heaps + one
+  * 50-row merge), NOT a global window, so no vocab-sized single
+  * partition exists anywhere.
+  */
+object Drift {
+
+  private[operators] val TopK = 50
+  private[operators] val MinCount = 5L
+  private val Ppm = 1000000L
+
+  /** Top-[[TopK]] tokens by |rate shift| between the corpus halves. */
+  def q85DriftReport(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select((col("doc_id") % 2).as("half"),
+        explode(split(col("text"), " ")).as("tok"))
+    val cnt = toks.groupBy(col("half"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = toks.groupBy(col("half")).agg(count(lit(1)).as("tot"))
+    val rates = cnt.join(broadcast(tot), Seq("half"))
+      .withColumn("ppm", expr(s"($Ppm * cnt) DIV tot"))
+    val old = rates.filter(col("half") === 0)
+      .select(col("tok"), col("cnt").as("cnt_old"), col("ppm").as("old_ppm"))
+    val neu = rates.filter(col("half") === 1)
+      .select(col("tok"), col("cnt").as("cnt_new"), col("ppm").as("new_ppm"))
+    old.join(neu, Seq("tok"), "full")
+      .na.fill(0L, Seq("cnt_old", "cnt_new", "old_ppm", "new_ppm"))
+      .filter(col("cnt_old") + col("cnt_new") >= MinCount)
+      .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("tok"))
+      .limit(TopK)
+      .select(col("tok"), col("cnt_old"), col("cnt_new"),
+        col("old_ppm"), col("new_ppm"), col("delta_ppm"))
+  }
+
+  def q85Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), cnt AS (
+       |  SELECT half, tok, count(*) AS cnt FROM toks GROUP BY half, tok
+       |), tot AS (
+       |  SELECT half, count(*) AS tot FROM toks GROUP BY half
+       |), rates AS (
+       |  SELECT tok, half, cnt, ($Ppm * cnt) // tot AS ppm
+       |  FROM cnt JOIN tot USING (half)
+       |), old AS (
+       |  SELECT tok, cnt AS cnt_old, ppm AS old_ppm FROM rates WHERE half = 0
+       |), neu AS (
+       |  SELECT tok, cnt AS cnt_new, ppm AS new_ppm FROM rates WHERE half = 1
+       |), joined AS (
+       |  SELECT coalesce(o.tok, n.tok) AS tok,
+       |    coalesce(cnt_old, 0) AS cnt_old, coalesce(cnt_new, 0) AS cnt_new,
+       |    coalesce(old_ppm, 0) AS old_ppm, coalesce(new_ppm, 0) AS new_ppm
+       |  FROM old o FULL JOIN neu n ON o.tok = n.tok
+       |)
+       |SELECT tok, cnt_old, cnt_new, old_ppm, new_ppm,
+       |  new_ppm - old_ppm AS delta_ppm
+       |FROM joined
+       |WHERE cnt_old + cnt_new >= $MinCount
+       |ORDER BY abs(new_ppm - old_ppm) DESC, tok LIMIT $TopK""".stripMargin
+}
