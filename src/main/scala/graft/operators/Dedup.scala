@@ -158,11 +158,16 @@ object Dedup {
 
   /** The q20 near-dup pair GRAPH (estimated Jaccard ≥ 0.5), unordered —
     * q20 sorts it for presentation; q54 clusters it. */
-  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(Tables.documents(s, d))
+
+  /** Same pair graph over an arbitrary (doc_id, text) frame — the entry
+    * composed pipelines use (e.g. gate-then-dedup over a filtered corpus). */
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
     // The signature subtree feeds the band pipeline and both pair sides —
     // materialize it once (one narrow row per doc; at real scale this is
     // the persisted signature table an LSH index maintains).
-    val sig = signature(Tables.documents(s, d)).localCheckpoint(eager = false)
+    val sig = signature(docs).localCheckpoint(eager = false)
     val matches = (0 until R)
       .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
       .reduce(_ + _)
