@@ -163,5 +163,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_md5_48"),
       new ExpressionInfo(classOf[Md5Prefix48].getName, "graft_md5_48"),
       (exprs: Seq[Expression]) => Md5Prefix48(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      // k must be a literal (an index-time constant, like every call site)
+      (exprs: Seq[Expression]) => Shingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

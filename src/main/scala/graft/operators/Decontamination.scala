@@ -36,9 +36,8 @@ object Decontamination {
     val sh = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= ShingleK) // sequence(1, 0) DESCENDS — guard
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(t) - ${ShingleK - 1}), " +
-          s"i -> concat_ws(' ', slice(t, i, $ShingleK)))"))).as("s"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Text.shingles(col("t"), ShingleK))).as("s"))
     val bench = sh.filter(col("doc_id") < BenchDocs).select(col("s")).distinct()
     sh.filter(col("doc_id") >= BenchDocs)
       .join(broadcast(bench), Seq("s"))
@@ -77,9 +76,8 @@ object Decontamination {
     val sh = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= ShingleK) // sequence(1, 0) DESCENDS — guard
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(t) - ${ShingleK - 1}), " +
-          s"i -> concat_ws(' ', slice(t, i, $ShingleK)))"))).as("s"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Text.shingles(col("t"), ShingleK))).as("s"))
     val bench = sh.filter(col("doc_id") < BenchDocs)
       .select(col("doc_id").as("bench_id"), col("s"))
     val bsize = bench.groupBy(col("bench_id"))
@@ -154,9 +152,8 @@ object Decontamination {
     val sh = docs
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= ShingleK) // sequence(1, 0) DESCENDS — guard
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(t) - ${ShingleK - 1}), " +
-          s"i -> concat_ws(' ', slice(t, i, $ShingleK)))"))).as("s"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Text.shingles(col("t"), ShingleK))).as("s"))
     val bench = sh.filter(col("doc_id") < BenchDocs).select(col("s")).distinct()
     val bloomAgg = new BloomFilterAggregate(
       shims.expression(xxhash64(col("s"))),

@@ -39,12 +39,14 @@ object Dedup {
   private def toksCol: Column = split(col("text"), " ")
 
   /** Distinct word 2-shingles per doc, exploded. size(toks) >= 2 guards the
-    * descending-sequence pitfall (sequence(1,0) counts down in Spark). */
+    * descending-sequence pitfall (sequence(1,0) counts down in Spark) —
+    * redundant with the native shingler's empty-below-k totality, kept so
+    * short docs leave the plan before the explode. */
   private[graft] def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toksCol.as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(toks)-1), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))")))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.Text.shingles(col("toks"), 2)))
         .as("s"))
 
   /** MinHash signature: m_j = min over shingles of (a_j·x + b_j) mod P with

@@ -172,8 +172,8 @@ object TextAnalysis {
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3) // sequence(1, 0) DESCENDS — guard
       .withColumn("n_grams", size(col("t")) - 2)
-      .withColumn("n_distinct", size(array_distinct(expr(
-        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))))
+      .withColumn("n_distinct",
+        size(array_distinct(graft.functions.Text.shingles(col("t"), 3))))
       .withColumn("rep_ratio",
         (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
       .select(col("doc_id"), col("lang"), col("n_grams"), col("n_distinct"),

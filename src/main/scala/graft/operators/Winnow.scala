@@ -46,10 +46,9 @@ object Winnow {
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= K)
-      .withColumn("ghash", expr(
-        s"transform(sequence(1, size(toks) - ${K - 1}), " +
-          "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, " +
-          s"$K))), 1, 12), 16, 10) as bigint))"))
+      .withColumn("ghash",
+        transform(graft.functions.Text.shingles(col("toks"), K),
+          s => graft.functions.Vectors.md5Prefix48(s)))
       .withColumn("fps", expr(
         s"array_distinct(transform(sequence(1, greatest(size(ghash) - ${W - 1}, 1)), " +
           s"j -> array_min(slice(ghash, j, $W))))"))

@@ -39,10 +39,9 @@ object BloomGate {
     val k = Decontamination.ShingleK
     val sh = benchDocs
       .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= k) // sequence(1, 0) DESCENDS — guard
-      .select(explode(array_distinct(expr(
-        s"transform(sequence(1, size(t) - ${k - 1}), " +
-          s"i -> concat_ws(' ', slice(t, i, $k)))"))).as("s"))
+      .filter(size(col("t")) >= k)
+      .select(explode(array_distinct(
+        graft.functions.Text.shingles(col("t"), k))).as("s"))
       .distinct()
     val agg = new BloomFilterAggregate(
       shims.expression(xxhash64(col("s"))),
@@ -61,12 +60,8 @@ object BloomGate {
     val k = Decontamination.ShingleK
     val mightHit = (s: Column) => shims.column(new BloomFilterMightContain(
       CatLit(bloom), shims.expression(xxhash64(s))))
-    val t = split(textCol, " ")
-    // sequence(1, 0) DESCENDS — gate the whole array on length instead
-    val shingles = when(size(t) >= k,
-      transform(sequence(lit(1), size(t) - (k - 1)),
-        i => concat_ws(" ", slice(t, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    // the native shingler is total (empty below k — short docs are clean)
+    val shingles = graft.functions.Text.shingles(split(textCol, " "), k)
     !exists(shingles, mightHit)
   }
 
