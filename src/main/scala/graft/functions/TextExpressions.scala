@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.shims
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft_shingles(toks, k)`: the k-token shingle array — the hot op under
@@ -69,9 +69,107 @@ object Shingles {
   }
 }
 
+/** `graft_window_min(arr, w)`: sliding-window minimum — winnowing's inner
+  * loop (Schleimer et al.: the fingerprint set is the distinct minima of
+  * every w-window over the shingle-hash array). Replaces
+  * `transform(sequence(1, greatest(n−w+1, 1)), j -> array_min(slice(arr, j, w)))`
+  * — interpreted (CodegenFallback) AND O(n·w): a sliced array copy plus a
+  * w-scan per window. The native form is a monotonic-deque pass: O(n)
+  * total, no copies, inside WholeStageCodegen. Semantics mirror the HOF
+  * chain exactly, including the n < w clamp (one window, the global
+  * minimum) and array_min's null-skipping (null windows can't occur in
+  * the winnowing chain but the fallback path preserves the contract).
+  */
+case class WindowMin(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"window must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_min expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_window_min"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WindowMin.make(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WindowMin.make($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowMin =
+    copy(child = newChild)
+}
+
+object WindowMin {
+  /** Minima of all w-windows of `arr` (clamped: |arr| < w ⇒ one window
+    * over the whole array); empty input ⇒ empty output. */
+  def make(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    var i = 0
+    while (i < n && !arr.isNullAt(i)) i += 1
+    if (i < n) return makeWithNulls(arr, w) // rare: mirror array_min
+    val m = math.max(n - w + 1, 1)
+    val out = new Array[Any](m)
+    if (n < w) {
+      var best = arr.getLong(0)
+      var j = 1
+      while (j < n) { val v = arr.getLong(j); if (v < best) best = v; j += 1 }
+      out(0) = best
+      return new GenericArrayData(out)
+    }
+    // monotonic deque of indices, values increasing from head to tail
+    val idx = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    var k = 0
+    while (k < n) {
+      val v = arr.getLong(k)
+      while (tail > head && arr.getLong(idx(tail - 1)) >= v) tail -= 1
+      idx(tail) = k
+      tail += 1
+      if (k >= w - 1) {
+        out(k - w + 1) = arr.getLong(idx(head))
+        if (idx(head) == k - w + 1) head += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Slow path preserving array_min's null semantics (skip nulls; a
+    * window of only nulls yields null). */
+  private def makeWithNulls(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = math.max(n - w + 1, 1)
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val end = math.min(j + w, n)
+      var best: java.lang.Long = null
+      var i = j
+      while (i < end) {
+        if (!arr.isNullAt(i)) {
+          val v = arr.getLong(i)
+          if (best == null || v < best) best = v
+        }
+        i += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API front door for the text expressions. */
 object Text {
   /** k-token shingles of a tokens column (see [[Shingles]]). */
   def shingles(toks: Column, k: Int): Column =
     shims.column(Shingles(shims.expression(toks), k))
+
+  /** Sliding-window minima of a long-array column (see [[WindowMin]]). */
+  def windowMin(arr: Column, w: Int): Column =
+    shims.column(WindowMin(shims.expression(arr), w))
 }

@@ -169,5 +169,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // k must be a literal (an index-time constant, like every call site)
       (exprs: Seq[Expression]) => Shingles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_window_min"),
+      new ExpressionInfo(classOf[WindowMin].getName, "graft_window_min"),
+      (exprs: Seq[Expression]) => WindowMin(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -60,10 +60,12 @@ object Similarity {
     }
 
 
-  /** Left-fold dot product of two array columns, all-double. */
-  private def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> double(x) * double(y)), " +
-      "cast(0 as double), (acc, v) -> acc + v)")
+  /** Left-fold dot product of two array columns, all-double — the native
+    * codegen expression (bit-identical to the HOF
+    * `aggregate(zip_with(...))` fold it replaced; the equivalence is
+    * pinned by VectorExpressionsSpec and every similarity oracle hash). */
+  private def dot(a: String, b: String): Column =
+    graft.functions.Vectors.dot(col(a), col(b))
 
   /** The oracle-side left-fold dot product — the single source of the
     * bit-exactness contract (Ivf reuses it; keep the folds in one place). */

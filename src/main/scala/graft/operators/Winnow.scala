@@ -49,9 +49,8 @@ object Winnow {
       .withColumn("ghash",
         transform(graft.functions.Text.shingles(col("toks"), K),
           s => graft.functions.Vectors.md5Prefix48(s)))
-      .withColumn("fps", expr(
-        s"array_distinct(transform(sequence(1, greatest(size(ghash) - ${W - 1}, 1)), " +
-          s"j -> array_min(slice(ghash, j, $W))))"))
+      .withColumn("fps",
+        array_distinct(graft.functions.Text.windowMin(col("ghash"), W)))
       .select(col("doc_id"), col("fps"))
 
   /** (doc_id, fingerprint) — [[fingerprintArrays]] exploded. */

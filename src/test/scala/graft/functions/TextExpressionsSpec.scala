@@ -47,6 +47,38 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(one == Seq("w x y z"))
   }
 
+  test("native window-min == HOF chain on the real winnow hash arrays, both exec paths") {
+    val W = 5
+    val ghash = graft.Tables.documents(spark, TestSession.sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+      .withColumn("ghash",
+        transform(Text.shingles(col("toks"), 4), s => Vectors.md5Prefix48(s)))
+    val hofFps = expr(
+      s"transform(sequence(1, greatest(size(ghash) - ${W - 1}, 1)), " +
+        s"j -> array_min(slice(ghash, j, $W)))")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val diff = ghash
+          .select(Text.windowMin(col("ghash"), W).as("a"), hofFps.as("b"))
+          .filter(col("a") =!= col("b")).count()
+        assert(diff == 0, s"codegen=$codegen: native window-min != HOF")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("window-min edges: n < w clamps to one global min; duplicates; empty") {
+    def wm(xs: Seq[Long], w: Int): Seq[Long] =
+      Seq(Tuple1(xs)).toDF("a")
+        .select(Text.windowMin(col("a"), w).as("m")).head.getSeq[Long](0)
+    assert(wm(Seq(5L, 3L, 9L), 5) == Seq(3L))                   // clamp
+    assert(wm(Seq(4L, 4L, 4L, 4L), 2) == Seq(4L, 4L, 4L))      // duplicates
+    assert(wm(Seq(9L, 1L, 8L, 7L, 2L, 6L), 3) == Seq(1L, 1L, 2L, 2L)) // mixed
+    assert(wm(Seq(1L, 2L, 3L, 4L), 1) == Seq(1L, 2L, 3L, 4L))  // w = 1
+    assert(wm(Seq.empty[Long], 3) == Seq.empty[Long])          // empty
+  }
+
   test("null array propagates; SQL registration serves the same expression") {
     val df = Seq(Tuple1(Seq("a", "b", "c")), Tuple1(null: Seq[String]))
       .toDF("t")
