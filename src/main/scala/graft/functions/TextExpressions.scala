@@ -163,6 +163,64 @@ object WindowMin {
   }
 }
 
+/** `graft_simhash32(toks)`: the 32-bit TF-weighted SimHash fingerprint of
+  * a token array, in ONE per-row pass — per token occurrence, bit j of
+  * the token's 48-bit md5 hash votes ±1 on counter j; the fingerprint
+  * sets bit j iff the counter ends positive. Replaces the
+  * explode → hash → groupBy(doc) 32-conditional-sums formulation, which
+  * materializes a row per token and pays a full hash-aggregate exchange
+  * of 33-column partials JUST to rebuild per-document state the row
+  * already had. The native form keeps the fingerprint stage entirely
+  * inside the scan's WholeStageCodegen: zero explode, zero aggregation,
+  * zero shuffle. Bit-identical by construction (same per-occurrence ±1
+  * votes, same threshold, integer arithmetic — order-independent).
+  */
+case class Simhash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash32 expects array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash32.make(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Simhash32.make($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
+object Simhash32 {
+  /** One pass: 32 signed counters over the tokens' hash bits → packed
+    * fingerprint. Empty array ⇒ all counters 0 ⇒ fingerprint 0. */
+  def make(arr: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val x = Md5Prefix48.hash48(arr.getUTF8String(i))
+      var j = 0
+      while (j < 32) {
+        if (((x >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+}
+
 /** Column-API front door for the text expressions. */
 object Text {
   /** k-token shingles of a tokens column (see [[Shingles]]). */
@@ -172,4 +230,8 @@ object Text {
   /** Sliding-window minima of a long-array column (see [[WindowMin]]). */
   def windowMin(arr: Column, w: Int): Column =
     shims.column(WindowMin(shims.expression(arr), w))
+
+  /** One-pass 32-bit SimHash of a tokens column (see [[Simhash32]]). */
+  def simhash32(toks: Column): Column =
+    shims.column(Simhash32(shims.expression(toks)))
 }

@@ -174,5 +174,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WindowMin].getName, "graft_window_min"),
       (exprs: Seq[Expression]) => WindowMin(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[Simhash32].getName, "graft_simhash32"),
+      (exprs: Seq[Expression]) => Simhash32(exprs.head)))
   }
 }

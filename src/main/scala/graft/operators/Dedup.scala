@@ -248,21 +248,18 @@ object Dedup {
 
   /** The 32-bit TF-weighted SimHash fingerprint per doc: per bit j, sum ±1
     * over token occurrences by bit j of the token's 48-bit hash; the
-    * fingerprint sets bit j iff the sum is positive. One explode + one
-    * groupBy — 32 partial sums combine map-side. Shared by q26 (identical-
-    * fingerprint groups) and q53 (banded Hamming near-dup pairs). */
-  private def simhashFp(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("x", hex12(col("tok")))
-    val bitSums = (0 until 32).map(j =>
-      sum(when(shiftright(col("x"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
-    val fp = (0 until 32)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+    * fingerprint sets bit j iff the sum is positive. One per-row pass via
+    * the native [[graft.functions.Simhash32]] — the explode → groupBy
+    * 32-partial-sums formulation it replaced paid a full hash-aggregate
+    * exchange to rebuild per-doc state the row already had (the oracle
+    * keeps that formulation; bit-identity is pinned by the q26/q53 hashes
+    * and TextExpressionsSpec). Null-text docs are absent, matching the
+    * old explode semantics. Shared by q26 (identical-fingerprint groups)
+    * and q53 (banded Hamming near-dup pairs). */
+  private def simhashFp(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.Text.simhash32(split(col("text"), " ")).as("simhash"))
 
   /** SimHash identical-fingerprint near-dup groups. */
   def q26Simhash(s: SparkSession, d: String): DataFrame =

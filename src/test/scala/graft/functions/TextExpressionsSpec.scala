@@ -79,6 +79,30 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(wm(Seq.empty[Long], 3) == Seq.empty[Long])          // empty
   }
 
+  test("native simhash32 == explode/groupBy formulation on fixture text, both exec paths") {
+    val docs = graft.Tables.documents(spark, TestSession.sf)
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("x", Vectors.md5Prefix48(col("tok")))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(shiftright(col("x"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+    val fp = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val viaAgg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val native = docs
+          .select(col("doc_id"), Text.simhash32(split(col("text"), " ")).as("s"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(native == viaAgg, s"codegen=$codegen: native != agg formulation")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("null array propagates; SQL registration serves the same expression") {
     val df = Seq(Tuple1(Seq("a", "b", "c")), Tuple1(null: Seq[String]))
       .toDF("t")
