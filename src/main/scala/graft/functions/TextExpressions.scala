@@ -221,6 +221,57 @@ object Simhash32 {
   }
 }
 
+/** `graft_feature_hash(toks, dims)`: the hashing-trick vector (Weinberger
+  * et al.) of a token array in ONE per-row pass — each token's 48-bit
+  * hash picks a bucket (`h % dims`) and a sign (`(h DIV dims) % 2`), and
+  * the result is the dense array of signed counts. Replaces q79's
+  * explode → groupBy(doc, idx) formulation: row amplification drops from
+  * |tokens| to `dims` per document and the hash-aggregate exchange
+  * disappears (the sparse form is a `posexplode` + non-zero filter away,
+  * all inside the scan stage). Bucket and sign arithmetic is identical
+  * int64, so results are bit-equal to the relational form the oracle
+  * keeps.
+  */
+case class FeatureHash(child: Expression, dims: Int) extends UnaryExpression {
+  require(dims >= 1, s"dims must be >= 1, got $dims")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_feature_hash expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_feature_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FeatureHash.make(input.asInstanceOf[ArrayData], dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FeatureHash.make($c, $dims)")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHash =
+    copy(child = newChild)
+}
+
+object FeatureHash {
+  /** Dense signed bucket counts; empty array ⇒ all zeros. */
+  def make(arr: ArrayData, dims: Int): ArrayData = {
+    val counts = new Array[Long](dims)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val x = Md5Prefix48.hash48(arr.getUTF8String(i))
+      val idx = (x % dims).toInt
+      if ((x / dims) % 2 == 0) counts(idx) += 1L else counts(idx) -= 1L
+      i += 1
+    }
+    val out = new Array[Any](dims)
+    var j = 0
+    while (j < dims) { out(j) = counts(j); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API front door for the text expressions. */
 object Text {
   /** k-token shingles of a tokens column (see [[Shingles]]). */
@@ -234,4 +285,8 @@ object Text {
   /** One-pass 32-bit SimHash of a tokens column (see [[Simhash32]]). */
   def simhash32(toks: Column): Column =
     shims.column(Simhash32(shims.expression(toks)))
+
+  /** One-pass hashing-trick vector of a tokens column (see [[FeatureHash]]). */
+  def featureHash(toks: Column, dims: Int): Column =
+    shims.column(FeatureHash(shims.expression(toks), dims))
 }

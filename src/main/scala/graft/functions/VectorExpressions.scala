@@ -178,5 +178,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[Simhash32].getName, "graft_simhash32"),
       (exprs: Seq[Expression]) => Simhash32(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_feature_hash"),
+      new ExpressionInfo(classOf[FeatureHash].getName, "graft_feature_hash"),
+      (exprs: Seq[Expression]) => FeatureHash(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -26,17 +26,19 @@ object Featurize {
 
   private[operators] val Dims = 64
 
-  /** Sparse hashed vectors: (doc_id, idx, val), val ≠ 0. */
+  /** Sparse hashed vectors: (doc_id, idx, val), val ≠ 0. The dense vector
+    * is ONE per-row pass (native [[graft.functions.FeatureHash]] — no
+    * token explode, no hash-aggregate exchange; the relational
+    * explode → groupBy formulation it replaced lives on in the oracle);
+    * sparsification is a `posexplode` of a [[Dims]]-element array plus a
+    * non-zero filter, all inside the scan stage. */
   def q79HashEmbed(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", expr(
-        "cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint)"))
-      .withColumn("idx", (col("h") % Dims).cast("int"))
-      .withColumn("sgn",
-        when(expr(s"(h DIV $Dims) % 2") === 0, 1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("idx"))
-      .agg(sum(col("sgn")).as("val"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Text.featureHash(split(col("text"), " "), Dims)))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "val")
       .filter(col("val") =!= 0)
       .orderBy(col("doc_id"), col("idx"))
 

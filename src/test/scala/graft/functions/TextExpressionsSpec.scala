@@ -103,6 +103,32 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native feature-hash == explode/groupBy formulation on fixture text, both exec paths") {
+    val docs = graft.Tables.documents(spark, TestSession.sf)
+    val Dims = 64
+    val viaAgg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", Vectors.md5Prefix48(col("t")))
+      .withColumn("idx", (col("h") % Dims).cast("int"))
+      .withColumn("sgn",
+        when(expr(s"(h DIV $Dims) % 2") === 0, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("sgn")).as("val"))
+      .filter(col("val") =!= 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val native = docs
+          .select(col("doc_id"),
+            posexplode(Text.featureHash(split(col("text"), " "), Dims)))
+          .filter(col("col") =!= 0)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        assert(native == viaAgg, s"codegen=$codegen: native != agg formulation")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("null array propagates; SQL registration serves the same expression") {
     val df = Seq(Tuple1(Seq("a", "b", "c")), Tuple1(null: Seq[String]))
       .toDF("t")
