@@ -272,6 +272,214 @@ object FeatureHash {
   }
 }
 
+/** `graft_hash48_map(arr)`: elementwise 48-bit md5 prefix of a string
+  * array — the shingle-hash step of winnowing ([[graft.operators.Winnow]])
+  * and any chain that hashes an n-gram array in place. Replaces
+  * `transform(arr, s -> graft_md5_48(s))`: the per-element hash was
+  * already native, but `transform` itself is a HigherOrderFunction —
+  * CodegenFallback, one interpreted lambda dispatch per element. The
+  * native form is one static call inside WholeStageCodegen walking the
+  * array once. Values identical (same [[Md5Prefix48.hash48]] per
+  * element); null elements map to null, mirroring the lambda.
+  */
+case class Hash48Map(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash48_map expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_hash48_map"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hash48Map.make(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash48Map.make($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash48Map =
+    copy(child = newChild)
+}
+
+object Hash48Map {
+  /** hash48 of every element; null elements stay null. */
+  def make(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) out(i) = Md5Prefix48.hash48(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_fingerprint48(toks, mod)`: q29's order-sensitive rolling document
+  * fingerprint — Σ_p hash48(token_p)·((p−1) mod 64 + 1), running-mod `mod`
+  * at every step — in ONE per-row pass. Replaces the
+  * `aggregate(zip_with(toks, sequence(1, size(toks)), …))` fold: THREE
+  * interpreted HigherOrderFunctions plus a materialized position array and
+  * a per-token md5-hex round trip, per row. Arithmetic is identical int64
+  * (acc < mod ≈ 1e9 against terms ≤ 2^48·64 ≈ 1.8e16 — no overflow at any
+  * document length), so results are bit-equal on the fold's domain
+  * (non-empty arrays — `split` never yields an empty array). Total below
+  * it: empty ⇒ 0, where the HOF chain nulls out through a descending
+  * `sequence(1, 0)`. Null elements ⇒ null, mirroring the fold.
+  */
+case class Fingerprint48(child: Expression, mod: Long) extends UnaryExpression {
+  require(mod >= 2, s"mod must be >= 2, got $mod")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint48 expects array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fingerprint48"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprint48.make(input.asInstanceOf[ArrayData], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("fp48")
+      s"""java.lang.Long $boxed = graft.functions.Fingerprint48.make($c, ${mod}L);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint48 =
+    copy(child = newChild)
+}
+
+object Fingerprint48 {
+  /** Position-weighted running-mod fold; null element ⇒ null (the fold's
+    * poison semantics), empty ⇒ 0 (totality extension). */
+  def make(arr: ArrayData, mod: Long): java.lang.Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val w = (i % 64) + 1
+      acc = (acc + Md5Prefix48.hash48(arr.getUTF8String(i)) * w) % mod
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `graft_count_in(toks, items…)`: how many elements of a string array are
+  * members of a fixed literal set — the stopword-density / language-marker
+  * counter under q29's metrics scan. Replaces
+  * `size(filter(toks, x -> x IN (…)))`: the IN list was cheap but `filter`
+  * is a HigherOrderFunction — CodegenFallback, an interpreted dispatch per
+  * token, and q29 ran FOUR of them per row. The native form is one set
+  * probe per token inside WholeStageCodegen. Null elements don't count
+  * (IN yields null ⇒ `filter` drops), mirroring the HOF exactly.
+  */
+case class CountIn(child: Expression, items: Seq[String]) extends UnaryExpression {
+  require(items.nonEmpty, "graft_count_in needs a non-empty item set")
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](items.size * 2)
+    items.foreach(i => s.add(UTF8String.fromString(i)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_count_in expects array<string>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_count_in"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CountIn.make(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCountInSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CountIn.make($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountIn =
+    copy(child = newChild)
+}
+
+object CountIn {
+  /** Membership count; null elements are skipped. */
+  def make(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `graft_bloom_none(arr, bloom)`: TRUE iff NO element of a string array
+  * might be in the Bloom filter — the streaming decontamination gate's
+  * per-row decision ([[graft.streaming.BloomGate]]) as ONE short-circuit
+  * codegen pass. Replaces `!exists(arr, s -> might_contain(bloom,
+  * xxhash64(s)))`: `exists` is a HigherOrderFunction (CodegenFallback —
+  * an interpreted lambda dispatch per shingle, in the ingest path's
+  * per-row hot loop). Probes are identical (same seed-42 xxhash64, same
+  * `mightContainLong`), and the filter is deserialized once per task via
+  * the same reference-object pattern Spark's own `BloomFilterMightContain`
+  * uses. Null elements are skipped (the shingler never emits them).
+  */
+case class BloomNone(child: Expression, bloom: Array[Byte]) extends UnaryExpression {
+  require(bloom != null && bloom.nonEmpty, "graft_bloom_none needs a non-empty bloom")
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_none expects array<string>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_none"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomNone.make(input.asInstanceOf[ArrayData], filter)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.BloomNone.make($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomNone =
+    copy(child = newChild)
+}
+
+object BloomNone {
+  /** Short-circuits on the first might-contain hit. */
+  def make(arr: ArrayData, bf: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          arr.getUTF8String(i), StringType, 42L)
+        if (bf.mightContainLong(h)) return false
+      }
+      i += 1
+    }
+    true
+  }
+}
+
 /** Column-API front door for the text expressions. */
 object Text {
   /** k-token shingles of a tokens column (see [[Shingles]]). */
@@ -289,4 +497,20 @@ object Text {
   /** One-pass hashing-trick vector of a tokens column (see [[FeatureHash]]). */
   def featureHash(toks: Column, dims: Int): Column =
     shims.column(FeatureHash(shims.expression(toks), dims))
+
+  /** Elementwise 48-bit md5 prefix of a string-array column (see [[Hash48Map]]). */
+  def hash48Map(arr: Column): Column =
+    shims.column(Hash48Map(shims.expression(arr)))
+
+  /** One-pass position-weighted rolling fingerprint (see [[Fingerprint48]]). */
+  def fingerprint48(toks: Column, mod: Long): Column =
+    shims.column(Fingerprint48(shims.expression(toks), mod))
+
+  /** Membership count of a tokens column against a literal set (see [[CountIn]]). */
+  def countIn(toks: Column, items: Seq[String]): Column =
+    shims.column(CountIn(shims.expression(toks), items))
+
+  /** TRUE iff no element might be in the Bloom filter (see [[BloomNone]]). */
+  def bloomNone(arr: Column, bloom: Array[Byte]): Column =
+    shims.column(BloomNone(shims.expression(arr), bloom))
 }

@@ -183,5 +183,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FeatureHash].getName, "graft_feature_hash"),
       (exprs: Seq[Expression]) => FeatureHash(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash48_map"),
+      new ExpressionInfo(classOf[Hash48Map].getName, "graft_hash48_map"),
+      (exprs: Seq[Expression]) => Hash48Map(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint48"),
+      new ExpressionInfo(classOf[Fingerprint48].getName, "graft_fingerprint48"),
+      (exprs: Seq[Expression]) => Fingerprint48(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
+      (exprs: Seq[Expression]) => CountIn(exprs.head,
+        exprs.tail.map(_.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))))
   }
 }

@@ -43,11 +43,18 @@ object Collocate {
       .select(explode(split(col("text"), " ")).as("term"))
     val uni = uniRows.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val total = uniRows.agg(count(lit(1)).as("n_total"))
+    // Bigram enumeration rides the native 2-shingler ("w1 w2" strings,
+    // codegen — the struct-building transform HOF it replaced was
+    // interpreted); the split-back is exact because tokens from
+    // split(text, ' ') can never themselves contain a space.
+    // explode_OUTER on purpose: plain explode over a computed array lets
+    // InferFiltersFromGenerate re-evaluate the shingler inside a pushed
+    // filter (size(…) > 0) — the q70 lesson.
     val pairs = toks
-      .select(explode_outer(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> named_struct('w1', toks[i - 1], 'w2', toks[i]))")).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(explode_outer(
+        graft.functions.Text.shingles(col("toks"), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= MinPair)

@@ -74,12 +74,15 @@ object TextAnalysis {
       .withColumn("n_words", size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")))
       .withColumn("avg_token_len",
         length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
-      .withColumn("stop_hits", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
+      .withColumn("stop_hits", graft.functions.Text.countIn(col("toks"),
+        Seq("the", "a", "of", "and", "to", "in")))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
-      .withColumn("en_hits", size(expr("filter(toks, x -> x IN ('the', 'a', 'of', 'and'))")))
-      .withColumn("es_hits", size(expr("filter(toks, x -> x IN ('el', 'la', 'de', 'y'))")))
-      .withColumn("de_hits", size(expr("filter(toks, x -> x IN ('der', 'die', 'das', 'und'))")))
+      .withColumn("en_hits", graft.functions.Text.countIn(col("toks"),
+        Seq("the", "a", "of", "and")))
+      .withColumn("es_hits", graft.functions.Text.countIn(col("toks"),
+        Seq("el", "la", "de", "y")))
+      .withColumn("de_hits", graft.functions.Text.countIn(col("toks"),
+        Seq("der", "die", "das", "und")))
       .withColumn("pred_lang",
         when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
           && col("en_hits") > 0, "en")
@@ -89,12 +92,9 @@ object TextAnalysis {
       // running (acc + v) % P keeps acc < P ≈ 1e9 against terms ≤ 2^48·64
       // ≈ 1.8e16 — no Long overflow at ANY document length (an unmodded
       // running sum wraps silently in Spark past ~500 tokens while DuckDB
-      // raises, breaking the oracle contract). The trailing % P makes the
-      // single-token case agree with DuckDB's no-init list_reduce.
-      .withColumn("fingerprint", expr(
-        "aggregate(zip_with(toks, sequence(1, size(toks)), " +
-          "(t, p) -> cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint) * (((p-1) % 64) + 1)), " +
-          s"cast(0 as bigint), (acc, v) -> (acc + v) % $P) % $P"))
+      // raises, breaking the oracle contract; the native one-pass
+      // expression runs the same running-mod int64 arithmetic).
+      .withColumn("fingerprint", graft.functions.Text.fingerprint48(col("toks"), P))
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("n_tokens"),
         col("n_words"), col("avg_token_len"), col("stop_ratio"), col("fingerprint"))
       .orderBy(col("doc_id"))

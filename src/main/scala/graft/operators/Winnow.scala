@@ -47,8 +47,8 @@ object Winnow {
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= K)
       .withColumn("ghash",
-        transform(graft.functions.Text.shingles(col("toks"), K),
-          s => graft.functions.Vectors.md5Prefix48(s)))
+        graft.functions.Text.hash48Map(
+          graft.functions.Text.shingles(col("toks"), K)))
       .withColumn("fps",
         array_distinct(graft.functions.Text.windowMin(col("ghash"), W)))
       .select(col("doc_id"), col("fps"))

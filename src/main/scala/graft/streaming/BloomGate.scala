@@ -51,19 +51,16 @@ object BloomGate {
   }
 
   /** TRUE when `textCol` shares no shingle with the bloom — a pure
-    * per-row scalar (short-circuiting `exists` over the shingle array),
-    * legal anywhere a streaming filter is. Docs too short to carry a
-    * shingle are clean by definition. */
-  def cleanPredicate(bloom: Array[Byte], textCol: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
-    import org.apache.spark.sql.graft.shims
-    val k = Decontamination.ShingleK
-    val mightHit = (s: Column) => shims.column(new BloomFilterMightContain(
-      CatLit(bloom), shims.expression(xxhash64(s))))
-    // the native shingler is total (empty below k — short docs are clean)
-    val shingles = graft.functions.Text.shingles(split(textCol, " "), k)
-    !exists(shingles, mightHit)
-  }
+    * per-row scalar (one short-circuiting codegen pass over the shingle
+    * array, native [[graft.functions.BloomNone]] — the `exists` HOF it
+    * replaced was an interpreted dispatch per shingle in the ingest hot
+    * loop), legal anywhere a streaming filter is. Docs too short to carry
+    * a shingle are clean by definition (the native shingler is total:
+    * empty below k). */
+  def cleanPredicate(bloom: Array[Byte], textCol: Column): Column =
+    graft.functions.Text.bloomNone(
+      graft.functions.Text.shingles(split(textCol, " "), Decontamination.ShingleK),
+      bloom)
 
   /** The gate itself: admit only bloom-clean rows. Works identically on
     * a static frame and a streaming one (pure row-local predicate). */

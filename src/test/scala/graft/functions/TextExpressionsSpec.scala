@@ -129,6 +129,105 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native hash48-map == transform HOF on fixture shingle arrays, both exec paths") {
+    val sh = graft.Tables.documents(spark, TestSession.sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+      .withColumn("s", Text.shingles(col("toks"), 4))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val diff = sh
+          .select(Text.hash48Map(col("s")).as("a"),
+            transform(col("s"), x => Vectors.md5Prefix48(x)).as("b"))
+          .filter(col("a") =!= col("b")).count()
+        assert(diff == 0, s"codegen=$codegen: native hash48-map != HOF")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("native fingerprint48 == aggregate/zip_with fold on fixture text, both exec paths") {
+    val P = 1000000007L
+    val docs = graft.Tables.documents(spark, TestSession.sf)
+      .withColumn("toks", split(col("text"), " "))
+    val hof = expr(
+      "aggregate(zip_with(toks, sequence(1, size(toks)), " +
+        "(t, p) -> cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint) * (((p-1) % 64) + 1)), " +
+        s"cast(0 as bigint), (acc, v) -> (acc + v) % $P) % $P")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val diff = docs
+          .select(Text.fingerprint48(col("toks"), P).as("a"), hof.as("b"))
+          .filter(col("a") =!= col("b")).count()
+        assert(diff == 0, s"codegen=$codegen: native fingerprint48 != HOF fold")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("native count-in == size(filter(IN)) for every q29 marker set, both exec paths") {
+    val sets = Seq(
+      Seq("the", "a", "of", "and", "to", "in"),
+      Seq("the", "a", "of", "and"),
+      Seq("el", "la", "de", "y"),
+      Seq("der", "die", "das", "und"))
+    val docs = graft.Tables.documents(spark, TestSession.sf)
+      .withColumn("toks", split(col("text"), " "))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        for (s <- sets) {
+          val inList = s.map(x => s"'$x'").mkString(", ")
+          val diff = docs
+            .select(Text.countIn(col("toks"), s).as("a"),
+              size(expr(s"filter(toks, x -> x IN ($inList))")).as("b"))
+            .filter(col("a") =!= col("b")).count()
+          assert(diff == 0, s"codegen=$codegen set=$s: native count-in != HOF")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("bigrams via 2-shingles + substring_index == the struct transform, incl. empty tokens") {
+    val fixture = graft.Tables.documents(spark, TestSession.sf)
+      .select(split(col("text"), " ").as("toks"))
+      .union(Seq("a  b", " x", "y ", "p q r").toDF("text")
+        .select(split(col("text"), " ").as("toks")))
+      .filter(size(col("toks")) >= 2)
+    val viaStruct = fixture
+      .select(explode_outer(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', toks[i - 1], 'w2', toks[i]))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val viaShingles = fixture
+      .select(explode_outer(Text.shingles(col("toks"), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(viaShingles == viaStruct)
+  }
+
+  test("native bloom-none == !exists(might_contain) HOF on a real benchmark bloom, both exec paths") {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    import org.apache.spark.sql.graft.shims
+    val k = graft.operators.Decontamination.ShingleK
+    val docs = graft.Tables.documents(spark, TestSession.sf)
+    val bloom = graft.streaming.BloomGate.build(docs.filter(col("doc_id") < 50))
+    val mightHit = (s: org.apache.spark.sql.Column) => shims.column(
+      new BloomFilterMightContain(CatLit(bloom), shims.expression(xxhash64(s))))
+    val sh = Text.shingles(split(col("text"), " "), k)
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val diff = docs
+          .select((!exists(sh, mightHit)).as("a"), Text.bloomNone(sh, bloom).as("b"))
+          .filter(col("a") =!= col("b")).count()
+        assert(diff == 0, s"codegen=$codegen: native bloom-none != exists HOF")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("null array propagates; SQL registration serves the same expression") {
     val df = Seq(Tuple1(Seq("a", "b", "c")), Tuple1(null: Seq[String]))
       .toDF("t")
