@@ -41,8 +41,8 @@ object Curation {
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("stop_hits", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
+      .withColumn("stop_hits", graft.functions.Text.countIn(col("toks"),
+        Seq("the", "a", "of", "and", "to", "in")))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
       .filter(col("n_tokens") >= MinTokens && col("stop_ratio") >= MinStopRatio)
       .join(drop, Seq("doc_id"), "left_anti")

@@ -32,8 +32,8 @@ object ReportCard {
     val m = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("nt", size(col("toks")))
-      .withColumn("stop_hits", size(expr(
-        "filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
+      .withColumn("stop_hits", graft.functions.Text.countIn(col("toks"),
+        Seq("the", "a", "of", "and", "to", "in")))
       .withColumn("pass",
         when(col("nt") >= Curation.MinTokens &&
           col("stop_hits").cast("double") / col("nt") >= Curation.MinStopRatio, 1L)

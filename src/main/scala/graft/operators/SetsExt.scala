@@ -67,13 +67,16 @@ object SetsExt {
     * vocabulary, exported as a joined string (array columns hash
     * differently across engines' dataframe bridges; a canonical string
     * form is engine-neutral). collect_set order is nondeterministic —
-    * array_sort makes it canonical BEFORE the join. */
+    * sort_array makes it canonical BEFORE the join (sort_array, not
+    * array_sort: same ascending order on a null-free collect_set result,
+    * but no interpreted HOF comparator — array_sort's default lambda
+    * dispatches per comparison). */
   def q45ArrayAgg(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("lang"))
       .agg(
-        array_join(array_sort(collect_set(col("token"))), ",").as("vocab"),
+        array_join(sort_array(collect_set(col("token"))), ",").as("vocab"),
         countDistinct(col("token")).as("n_distinct"))
       .orderBy(col("lang"))
 

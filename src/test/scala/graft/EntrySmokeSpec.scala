@@ -43,4 +43,30 @@ class EntrySmokeSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
     }
   }
+
+  test("plan contract: no interpreted HigherOrderFunction in any declared query") {
+    // HOFs are CodegenFallback — an interpreted lambda dispatch per
+    // element, per row. The native-expression sweep (TextExpressions)
+    // removed every per-row/per-token one; this pins the invariant so a
+    // future query can't silently reintroduce one. Allowlisted: the IVF
+    // ordered centroid fold (aggregate over array_sort(collect_list)) —
+    // kept DELIBERATELY because the sorted fold makes float summation
+    // order-deterministic for the oracle, and it runs over |cells|
+    // grouped rows, not corpus rows. q40 trains inline; q75 shares the
+    // training CTEs.
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val allowed = Set("q40_ivf_ann", "q75_semantic_dedup")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowed(name)) None
+      else {
+        val hofs = fn(TestSession.spark, TestSession.sf)
+          .queryExecution.optimizedPlan
+          .collect { case p => p.expressions.flatMap(_.collect {
+            case h: HigherOrderFunction => h.prettyName }) }
+          .flatten
+        if (hofs.isEmpty) None else Some(s"$name: ${hofs.mkString(",")}")
+      }
+    }
+    assert(offenders.isEmpty, s"interpreted HOFs in declared queries: $offenders")
+  }
 }
