@@ -50,13 +50,17 @@ object Bench {
       if (errs.contains(name)) name -> None
       else name -> Some((best, worst - best))
     }
+    // ms precision: 17-digit doubles ballooned the r6 line to ~9 KB and the
+    // driver's parse failed; 3 decimals is all the signal a bench carries.
+    def ms(d: Double): String = BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     def numJson(pick: ((Double, Double)) => Double): String =
       results.map { case (k, v) =>
-        s"\"" + k + "\":" + v.map(pick).fold("null")(_.toString)
+        s"\"" + k + "\":" + v.map(pick).fold("null")(ms)
       }.mkString("{", ",", "}")
     val qs = numJson(_._1)
     val spreads = numJson(_._2)
-    val total = results.values.flatten.map(_._1).sum
+    val total = ms(results.values.flatten.map(_._1).sum)
     // truncate BEFORE escaping — cutting after could split an escape pair
     // and emit invalid JSON exactly when the driver needs the error list.
     // Also drop a trailing lone high surrogate the char-based take() can

@@ -76,9 +76,13 @@ object Shingles {
   * — interpreted (CodegenFallback) AND O(n·w): a sliced array copy plus a
   * w-scan per window. The native form is a monotonic-deque pass: O(n)
   * total, no copies, inside WholeStageCodegen. Semantics mirror the HOF
-  * chain exactly, including the n < w clamp (one window, the global
-  * minimum) and array_min's null-skipping (null windows can't occur in
-  * the winnowing chain but the fallback path preserves the contract).
+  * chain exactly on NON-EMPTY input, including the 0 < n < w clamp (one
+  * window, the global minimum) and array_min's null-skipping (null
+  * windows can't occur in the winnowing chain but the fallback path
+  * preserves the contract). Empty input is a totality EXTENSION, not a
+  * mirror: the HOF chain yields [null] (one window over an empty slice);
+  * the native form yields [] — the sane answer, and the one the
+  * winnowing chain needs (no shingles → no fingerprints).
   */
 case class WindowMin(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 1, s"window must be >= 1, got $w")

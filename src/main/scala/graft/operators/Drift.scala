@@ -34,14 +34,15 @@ object Drift {
   private[operators] val MinCount = 5L
   private val Ppm = 1000000L
 
-  /** Top-[[TopK]] tokens by |rate shift| between the corpus halves. */
-  def q85DriftReport(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select((col("doc_id") % 2).as("half"),
-        explode(split(col("text"), " ")).as("tok"))
-    val cnt = toks.groupBy(col("half"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-    val tot = toks.groupBy(col("half")).agg(count(lit(1)).as("tot"))
+  /** The report tail over a (half, tok, cnt) token-count table: ppm
+    * rates (totals derived from the counts themselves — vocab-sized
+    * input, strictly cheaper than re-scanning the corpus), full-outer
+    * join, hapax floor, top-K. Factored out so the incremental
+    * [[graft.streaming.DriftStream]] serves the SAME report from
+    * StateDir-merged count deltas (DriftStreamSpec pins stream ≡ batch —
+    * exact counts are associative sums, so the composition is lossless). */
+  private[graft] def reportFrom(cnt: DataFrame): DataFrame = {
+    val tot = cnt.groupBy(col("half")).agg(sum(col("cnt")).as("tot"))
     val rates = cnt.join(broadcast(tot), Seq("half"))
       .withColumn("ppm", expr(s"($Ppm * cnt) DIV tot"))
     val old = rates.filter(col("half") === 0)
@@ -57,6 +58,15 @@ object Drift {
       .select(col("tok"), col("cnt_old"), col("cnt_new"),
         col("old_ppm"), col("new_ppm"), col("delta_ppm"))
   }
+
+  /** Top-[[TopK]] tokens by |rate shift| between the corpus halves. */
+  def q85DriftReport(s: SparkSession, d: String): DataFrame =
+    reportFrom(
+      Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("half"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("half"), col("tok"))
+        .agg(count(lit(1)).as("cnt")))
 
   def q85Sql: String =
     s"""WITH toks AS (

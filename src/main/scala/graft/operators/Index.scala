@@ -35,7 +35,11 @@ object Index {
       .filter(col("df").between(DfLo, DfHi))
     tok.join(banded, Seq("term"))
       .groupBy(col("term"), col("df"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      // Canonical string form, not a raw array<long>: array columns hash
+      // differently across engines' dataframe bridges (the q45 doctrine,
+      // SetsExt.scala), and generic comparators cannot sort array cells.
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
       .orderBy(col("term"))
   }
 
@@ -47,7 +51,8 @@ object Index {
        |  SELECT term, count(*) AS df FROM tok
        |  GROUP BY term HAVING count(*) BETWEEN $DfLo AND $DfHi
        |)
-       |SELECT t.term, b.df, list_sort(list(t.doc_id)) AS postings
+       |SELECT t.term, b.df,
+       |       array_to_string(list_sort(list(t.doc_id)), ',') AS postings
        |FROM tok t JOIN banded b USING (term)
        |GROUP BY t.term, b.df ORDER BY t.term""".stripMargin
 }

@@ -163,6 +163,41 @@ object Ivf {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- q86
+
+  /** Per-(session, corpus) persisted-index memo backing [[q86ServedAnn]] —
+    * the q54/q56 train-once/serve-many split applied to ANN: the first
+    * call per session+corpus BUILDS the index (trains the quantizer,
+    * publishes centroid + assignment tables to a [[graft.streaming.StateDir]]),
+    * and every call serves from the persisted tables. Bounded: one entry
+    * per live session × corpus dir (in practice a handful). */
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  /** Served-index ANN — q40's exact contract (same probes, same nprobe,
+    * same top-3, same oracle) answered from a PERSISTED [[IvfIndex]]:
+    * training happens once per session+corpus as setup; the declared plan
+    * is the SERVE path only — two state-table scans, probe broadcast,
+    * cell-equi-join, exact-cosine top-k. This prices the production serve
+    * path in the open the way q56/q84 price CC serve, while q40 stays the
+    * trainer (its bench cost honestly prices build-AND-serve). Retrain
+    * policy is the deployment's: a new session (or a fresh StateDir)
+    * rebuilds; [[IvfIndexSpec]] pins serve ≡ inline-q40 bit-identically
+    * and that the serving plan carries no Lloyd subtree. */
+  def q86ServedAnn(s: SparkSession, d: String): DataFrame = {
+    val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
+    val idx = indexMemo.computeIfAbsent(key, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index-").toString
+      new IvfIndex(s, new graft.streaming.StateDir(s, root))
+    })
+    idx.synchronized { if (!idx.isBuilt) idx.build(d) }
+    idx.query(ProbeFrom, NProbes)
+  }
+
+  /** Same answer, same oracle: the index serves q40's results verbatim. */
+  def q86Sql: String = q40Sql
+
   private def duckDot(a: String, b: String): String = Similarity.duckDotSql(a, b)
 
   /** One unrolled Lloyd iteration in DuckDB SQL: score against c`t`,
@@ -309,8 +344,11 @@ final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir) {
 
   def build(d: String): Unit = {
     val (emb, trained) = Ivf.train(spark, d)
-    state.write(CentroidsTable, trained)
-    state.write(AssignTable, Ivf.assignTo(emb, trained))
+    try {
+      state.write(CentroidsTable, trained)
+      state.write(AssignTable, Ivf.assignTo(emb, trained))
+    } finally emb.unpersist() // cache hygiene: once the index tables are
+                              // published, nothing build persisted survives
   }
 
   def isBuilt: Boolean = state.exists(AssignTable)

@@ -37,14 +37,16 @@ object Packing {
   private[operators] val Budget = 512L
   private[operators] val BucketSize = 64L
 
-  /** Per-(lang, shard) packing manifest: how many docs landed in each
-    * token-budget shard, their token total, and the doc-id span. */
-  def q58SequencePacking(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        expr(s"doc_id DIV $BucketSize").as("bucket"))
-    val bucketTotals = docs.groupBy(col("lang"), col("bucket"))
+  /** The two-level exact prefix sum over (doc_id, lang, n_tokens) rows:
+    * adds `cum`, the INCLUSIVE running token total per lang in doc_id
+    * order. Bit-equal to a single global `Window.partitionBy(lang)
+    * .orderBy(doc_id)` sum by construction (integer sums, same order) —
+    * and property-pinned at adversarial shapes (random counts, gapped
+    * doc_ids, empty buckets) by PackingPrefixProps, so the bucket-offset
+    * arithmetic stays pinned under refactors. */
+  private[operators] def prefixSum(docs: DataFrame): DataFrame = {
+    val bucketed = docs.withColumn("bucket", expr(s"doc_id DIV $BucketSize"))
+    val bucketTotals = bucketed.groupBy(col("lang"), col("bucket"))
       .agg(sum(col("n_tokens")).as("btoks"))
     // running offset across buckets: |corpus|/bucketSize input rows
     val wB = Window.partitionBy(col("lang")).orderBy(col("bucket"))
@@ -55,8 +57,17 @@ object Packing {
     // local cumulative sum inside each bounded (lang, bucket) partition
     val wL = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.join(offsets, Seq("lang", "bucket"))
+    bucketed.join(offsets, Seq("lang", "bucket"))
       .withColumn("cum", col("offset") + sum(col("n_tokens")).over(wL))
+  }
+
+  /** Per-(lang, shard) packing manifest: how many docs landed in each
+    * token-budget shard, their token total, and the doc-id span. */
+  def q58SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    prefixSum(docs)
       .withColumn("shard", expr(s"CAST((cum - n_tokens) DIV $Budget AS INT)"))
       .groupBy(col("lang"), col("shard"))
       .agg(count(lit(1)).as("n_docs"),

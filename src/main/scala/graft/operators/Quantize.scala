@@ -14,8 +14,9 @@ import graft.Tables
   * Everything is exact integer arithmetic end-to-end (the q66 milliunit
   * doctrine): components quantize to int64 milliunits first, the code is
   * ((m − mn)·255) DIV range, the reconstruction is mn + (code·range) DIV
-  * 255 — every operand non-negative, so Spark's truncating DIV and
-  * DuckDB's flooring // agree, and the distributed error sums are
+  * 255 — every operand non-negative; Spark's DIV and DuckDB's // both
+  * truncate toward zero (so they agree on ALL signs, and trivially
+  * here), and the distributed error sums are
   * associative and hash-exact against a serial oracle.
   *
   * Scale shape: pass 1 collapses the exploded components into |dims|

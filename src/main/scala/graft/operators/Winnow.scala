@@ -72,9 +72,23 @@ object Winnow {
       Tables.documents(s, d).select(col("doc_id"), col("text")))
       .localCheckpoint(eager = false)
     // boilerplate filter: fingerprints in > FpCap docs are dropped — the
-    // surviving hot list is ≤ |fps|/FpCap rows, broadcasts by size
-    val hot = fps.groupBy(col("fp"))
+    // surviving hot list is ≤ |fps|/FpCap rows, broadcasts by size.
+    // The df-cap bounds the worst BUCKET at FpCap² pairs but total pair
+    // volume is Σ df·(df−1)/2 over kept buckets — a cap-1 fingerprint
+    // still yields ~130k pairs. The observe() forecasts that volume per
+    // execution (q20's not-silent doctrine) so a production run sees the
+    // expansion coming BEFORE the self-join pays it; the subtree feeding
+    // `hot` runs once, so the node is never duplicated by the pair join.
+    val dfs = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
+      .observe("graft_winnow_buckets",
+        coalesce(sum(when(col("df") <= FpCap,
+          expr("df * (df - 1) DIV 2")).otherwise(0L)), lit(0L))
+          .as("kept_pairs"),
+        coalesce(max(when(col("df") <= FpCap, col("df"))), lit(0L))
+          .as("max_kept_bucket"),
+        count(when(col("df") > FpCap, lit(1))).as("dropped_fps"))
+    val hot = dfs
       .filter(col("df") > FpCap)
       .select(col("fp"))
     val kept = fps.join(hot, Seq("fp"), "left_anti")

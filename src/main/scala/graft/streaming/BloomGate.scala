@@ -56,11 +56,15 @@ object BloomGate {
     * replaced was an interpreted dispatch per shingle in the ingest hot
     * loop), legal anywhere a streaming filter is. Docs too short to carry
     * a shingle are clean by definition (the native shingler is total:
-    * empty below k). */
+    * empty below k), and so are null-text docs (the coalesce below —
+    * split(null) would otherwise propagate null through the predicate and
+    * silently DROP the row, diverging from batch q81 which admits them). */
   def cleanPredicate(bloom: Array[Byte], textCol: Column): Column =
-    graft.functions.Text.bloomNone(
-      graft.functions.Text.shingles(split(textCol, " "), Decontamination.ShingleK),
-      bloom)
+    coalesce(
+      graft.functions.Text.bloomNone(
+        graft.functions.Text.shingles(split(textCol, " "), Decontamination.ShingleK),
+        bloom),
+      lit(true))
 
   /** The gate itself: admit only bloom-clean rows. Works identically on
     * a static frame and a streaming one (pure row-local predicate). */

@@ -417,10 +417,13 @@ object DedupStream {
     * semantics at ingest: every fingerprint is its own band key (sharing
     * a bucket ≡ sharing a fingerprint), and the score is the
     * shared-fingerprint count |fps_a ∩ fps_b|. Pair with `threshold =
-    * Winnow.MinShared` for q70 pair equivalence at fixture scale; at
-    * web scale the stream's hot-bucket hub guard stands in for the batch
-    * operator's boilerplate df-drop as the skew defense (both bound the
-    * quadratic term, linking instead of dropping). */
+    * Winnow.MinShared` for q70 pair equivalence — which holds exactly
+    * while no fingerprint appears in more than [[graft.operators.Winnow.FpCap]]
+    * docs: beyond the cap the batch operator DROPS the fingerprint as
+    * boilerplate (df-cap), while the stream's hot-bucket hub guard LINKS
+    * through a hub instead. Both bound the quadratic term; they diverge
+    * on which pairs survive a super-cap fingerprint. WinnowStreamSpec
+    * pins equality below the cap (fixture scale never triggers it). */
   object Winnow extends Method {
     val sigSchema: StructType = StructType(Seq(
       StructField("doc_id", LongType),

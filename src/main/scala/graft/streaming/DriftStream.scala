@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Incremental drift monitoring — the q85 report served from ingest
+  * state, closing the monitoring loop the way [[BloomGate]] closed
+  * decontamination→dedup: documents stream in, each micro-batch appends a
+  * per-(half, token) COUNT DELTA (vocab-of-batch-sized — O(batch) write
+  * I/O, never O(corpus)), and serving the drift report is a sum-merge of
+  * the deltas fed into the SAME report tail the batch q85 runs
+  * ([[graft.operators.Drift.reportFrom]]). Exact token counts are
+  * associative sums, so the composition is lossless: DriftStreamSpec pins
+  * served ≡ one-shot q85 on the same corpus, any batch split.
+  *
+  * The fixture's two "snapshots" are q85's doc_id-parity halves;
+  * production tags `half` by snapshot/epoch id instead — the state and
+  * serve path are unchanged (StateDir compaction bounds read fan-in, and
+  * the [[DedupStream]] batch-id guard makes replay a no-op).
+  */
+final class DriftStream(spark: SparkSession, state: StateDir) {
+
+  import DriftStream._
+
+  def ingest(docs: DataFrame): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch(processBatch _)
+      .start()
+
+  /** One batch: count the batch's tokens per (half, token), append the
+    * delta. Public so a batch driver (or spec) can drive the path. */
+  def processBatch(batch: Dataset[Row], batchId: Long): Unit = state.locked {
+    val replayed = state.exists(Table) &&
+      !state.read(Table, Schema).filter(col("batch_id") === batchId).isEmpty
+    if (!replayed && !batch.isEmpty) {
+      state.append(Table,
+        batch.toDF()
+          .select((col("doc_id") % 2).as("half"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("half"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("batch_id", lit(batchId)))
+    }
+  }
+
+  /** The q85 drift report over everything ingested so far — delta rows
+    * sum-merged by (half, token), then the shared batch report tail. No
+    * document is ever re-read. */
+  def report: DataFrame =
+    graft.operators.Drift.reportFrom(
+      state.read(Table, Schema)
+        .groupBy(col("half"), col("tok"))
+        .agg(sum(col("cnt")).as("cnt")))
+}
+
+object DriftStream {
+  val Table = "drift_tokens"
+  val Schema: StructType = StructType(Seq(
+    StructField("half", LongType),
+    StructField("tok", StringType),
+    StructField("cnt", LongType),
+    StructField("batch_id", LongType)))
+}

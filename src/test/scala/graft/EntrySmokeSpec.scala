@@ -32,6 +32,25 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("plan contract: no non-atomic top-level column in any declared output") {
+    // Array/map/struct/binary columns hash differently across engines'
+    // dataframe bridges, and generic comparators cannot sort array cells
+    // (the q45/q69 doctrine: export a canonical string form instead).
+    // This turns the doctrine into a contract so a future query can't
+    // silently declare a raw array output.
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(TestSession.spark, TestSession.sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] ||
+                  f.dataType == BinaryType =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"non-atomic declared output columns: $offenders")
+  }
+
   test("plan contract: no CartesianProduct in any declared query") {
     // the 100 TB line in the sand: every join must be keyed or broadcast —
     // a cartesian between data-scale sides never survives a scale-up.

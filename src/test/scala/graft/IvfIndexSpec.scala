@@ -41,4 +41,27 @@ class IvfIndexSpec extends AnyFunSuite {
       "serving plan retrains the quantizer")
     assert(expected.nonEmpty)
   }
+
+  test("build leaves no persisted RDD behind (cache hygiene)") {
+    // differential: other machinery (memoized CC labels' localCheckpoints)
+    // legitimately holds persisted RDDs across suites — build must add NONE
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val root = Files.createTempDirectory("ivf-hygiene-").toString
+    new IvfIndex(spark, new StateDir(spark, root)).build(sf)
+    val added = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !before.contains(id)
+    }
+    assert(added.isEmpty,
+      s"build persisted RDDs survive: ${added.values.map(_.toString).mkString(",")}")
+  }
+
+  test("q86 serves q40's answer from persisted state, no Lloyd subtree in the plan") {
+    val served = Ivf.q86ServedAnn(spark, sf)
+    assert(rows(served) == rows(Ivf.q40IvfAnn(spark, sf)))
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("zip_with"),
+      "q86's declared plan retrains the quantizer")
+    // second call serves the memoized index — still the same answer
+    assert(rows(Ivf.q86ServedAnn(spark, sf)) == rows(served))
+  }
 }

@@ -42,8 +42,12 @@ class IndexWinnowQuantSpec extends AnyFunSuite {
       val rare = if (i >= 20 && i < 22) " rare" else ""
       (i, s"the w$i body$mid$rare filler${i % 7}")
     }
+    // postings export as a canonical comma-joined string (the q45/q69
+    // doctrine: no non-atomic top-level columns in declared outputs)
     val out = Index.q69InvertedIndex(spark, writeDocs(docs))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(",").map(_.toLong).toSeq)).toSeq
     val byTerm = out.map(t => t._1 -> t).toMap
     assert(byTerm.contains("mid") && !byTerm.contains("rare") && !byTerm.contains("the"))
     assert(byTerm("mid")._2 == 10L && byTerm("mid")._3 == (0L until 10L))
@@ -81,10 +85,16 @@ class IndexWinnowQuantSpec extends AnyFunSuite {
       val tail = if (i < 2) s" $rare" else ""
       (i, s"$header u${i}a u${i}b u${i}c$tail")
     }
-    val out = Winnow.q70WinnowPairs(spark, writeDocs(docs))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Winnow.q70WinnowPairs(spark, writeDocs(docs))
+    val out = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 1L)),
       s"only the rare-passage pair should survive the boilerplate drop: $out")
+    // the drop is not silent: the observe forecasts the pair volume the
+    // kept buckets will expand to, and counts the boilerplate casualties
+    val m = pairs.queryExecution.observedMetrics("graft_winnow_buckets")
+    assert(m.getAs[Long]("dropped_fps") >= 1L, "boilerplate drop went unobserved")
+    assert(m.getAs[Long]("max_kept_bucket") == 2L) // the rare passage's df
+    assert(m.getAs[Long]("kept_pairs") >= 1L)
   }
 
   test("q70: no inferred filter re-evaluates the shingle hash chain") {

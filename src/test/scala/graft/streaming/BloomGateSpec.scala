@@ -40,6 +40,18 @@ class BloomGateSpec extends AnyFunSuite {
       s"${wronglyDropped.size} of ${clean.size} clean docs bloom-dropped")
   }
 
+  test("null-text and shingle-less rows are admitted, matching batch q81") {
+    // split(null) propagates null through the predicate; without the
+    // coalesce the gate silently DROPPED null-text rows while the batch
+    // gate admits them (no shingles → nothing to collide).
+    val edge = Seq((900001L, null: String), (900002L, ""), (900003L, "one two"))
+      .toDF("doc_id", "text")
+    val admitted = BloomGate.gate(edge, bloom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(900001L, 900002L, 900003L),
+      s"edge rows dropped by the gate: ${Set(900001L, 900002L, 900003L) -- admitted}")
+  }
+
   test("stream through the gate == static filter, any batch split") {
     val rows = corpus.select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
