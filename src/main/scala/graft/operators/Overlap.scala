@@ -20,43 +20,54 @@ import graft.Tables
   *    snapshots is the q85 doc_id-parity split; production swaps the two
   *    real crawls.
   *
-  * Both use the q57 shingle machinery (native `graft_shingles`,
-  * [[Decontamination.ShingleK]]-token shingles, per-doc distinct inside
-  * codegen) and integer-permille ratios (exact DIV — the portability
-  * doctrine).
+  * Both ride the q70 fingerprint pipeline: native `graft_shingles` →
+  * `graft_hash48_map` ([[Decontamination.ShingleK]]-token shingles,
+  * 48-bit md5-prefix int64 — the portability doctrine, oracle-mirrored),
+  * per-doc distinct, ONE explode, and the exploded (doc_id, fp) frame is
+  * STAGED via lazy localCheckpoint so its consumers read the staged rows
+  * instead of re-scanning and re-hashing the corpus per consumer. At
+  * fixture scale the staged and triple-scan forms time identically
+  * (~0.7 s warm at sf0.1 — the corpus is too small for the scan to
+  * matter); the staging is for scale, where the split+shingle+md5 chain
+  * dominates the scan and running it once instead of three times is the
+  * difference (the q70 staging precedent). Ratios are integer permille
+  * (exact DIV).
   *
   * Scale shape — the deliberate difference from q57/q64/q81: there is NO
   * bounded benchmark side here. Both join sides are corpus-scale, so the
-  * plan must survive WITHOUT a broadcast or bloom shortcut: everything
-  * is keyed on the shingle. q87 shuffles the (doc, shingle) pairs once
-  * on shingle; the df aggregate and the dup-set probe both read THAT
-  * exchange (same subtree — ReuseExchange computes it once), and the
-  * per-doc rollup is a second keyed aggregate. q88 is one
-  * shuffle-on-shingle left-semi-count between the new half's pairs and
-  * the old half's distinct-shingle set. At 100 TB these are the honest
-  * shapes: shingle-keyed exchanges with map-side-combined partials on
-  * both flanks, no collect, no broadcast of anything corpus-proportional.
+  * plan must survive WITHOUT a broadcast or bloom shortcut: everything is
+  * keyed on the 8-byte fingerprint. The df/distinct aggregates collapse
+  * map-side (partial aggregation — a boilerplate shingle's corpus-sized
+  * bucket combines before the exchange, which is why these are
+  * AGGREGATE+JOIN plans and not count-over-window ones: a window
+  * partitioned by fp would buffer the hottest fingerprint's rows in one
+  * task), and the join probes stream through their reducer without
+  * per-key buffering. No collect, no forced broadcast anywhere
+  * (OverlapSpec pins that).
   */
 object Overlap {
 
   private val K = Decontamination.ShingleK
 
-  /** (doc_id, sh) — distinct shingles per doc, the shared scan stage. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, fp int64) — distinct hashed shingles per doc, one codegen
+    * pass, exploded. */
+  private def docFps(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= K) // sequence(1, 0) DESCENDS — guard
       .select(col("doc_id"), explode(array_distinct(
-        graft.functions.Text.shingles(col("t"), K))).as("sh"))
+        graft.functions.Text.hash48Map(
+          graft.functions.Text.shingles(col("t"), K)))).as("fp"))
 
-  private def shinglesSql: String =
+  private def fpsSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
        |  WHERE len(string_split(text,' ')) >= $K
        |), sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, len(t) - ${K - 2}),
-       |    i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + ${K - 1}), ' ')))) AS sh
+       |    i -> ('0x' || substr(md5(array_to_string(
+       |      list_slice(t, CAST(i AS INT), CAST(i AS INT) + ${K - 1}), ' ')), 1, 12))::BIGINT))) AS fp
        |  FROM toks
        |)""".stripMargin
 
@@ -66,17 +77,16 @@ object Overlap {
     * of them appear in ≥ 1 other document, and the duplicated fraction
     * in permille. */
   def q87DupNgramProfile(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
-    // shingles present in >= 2 distinct docs (per-doc distinct upstream
-    // makes count == distinct-doc count); the aggregate and the probe
-    // below share the shingle-keyed exchange
-    val dup = sh.groupBy(col("sh"))
+    val sh = docFps(s, d).localCheckpoint(eager = false)
+    // fingerprints present in >= 2 distinct docs (per-doc distinct
+    // upstream makes count == distinct-doc count)
+    val dup = sh.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-      .select(col("sh"))
+      .select(col("fp"))
     val perDoc = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
-    val dupPerDoc = sh.join(dup, Seq("sh"))
+    val dupPerDoc = sh.join(dup, Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup"))
     perDoc.join(dupPerDoc, Seq("doc_id"), "left")
@@ -87,13 +97,13 @@ object Overlap {
   }
 
   def q87Sql: String =
-    s"""$shinglesSql, dup AS (
-       |  SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2
+    s"""$fpsSql, dup AS (
+       |  SELECT fp FROM sh GROUP BY fp HAVING count(*) >= 2
        |), per_doc AS (
        |  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
        |), dup_per_doc AS (
        |  SELECT s.doc_id, count(*) AS n_dup
-       |  FROM sh s JOIN dup USING (sh) GROUP BY s.doc_id
+       |  FROM sh s JOIN dup USING (fp) GROUP BY s.doc_id
        |)
        |SELECT p.doc_id, p.n_shingles,
        |  coalesce(d.n_dup, 0) AS n_dup,
@@ -107,11 +117,11 @@ object Overlap {
     * per new doc, distinct shingles, how many the old snapshot already
     * contains, and the NOVEL fraction in permille. */
   def q88SnapshotNovelty(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
+    val sh = docFps(s, d).localCheckpoint(eager = false)
     val oldSet = sh.filter(col("doc_id") % 2 === 0)
-      .select(col("sh")).distinct()
+      .select(col("fp")).distinct()
     val newSh = sh.filter(col("doc_id") % 2 === 1)
-    val seen = newSh.join(oldSet, Seq("sh"), "left_semi")
+    val seen = newSh.join(oldSet, Seq("fp"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_seen"))
     newSh.groupBy(col("doc_id"))
@@ -125,13 +135,13 @@ object Overlap {
   }
 
   def q88Sql: String =
-    s"""$shinglesSql, old_set AS (
-       |  SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0
+    s"""$fpsSql, old_set AS (
+       |  SELECT DISTINCT fp FROM sh WHERE doc_id % 2 = 0
        |), new_sh AS (
-       |  SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1
+       |  SELECT doc_id, fp FROM sh WHERE doc_id % 2 = 1
        |), seen AS (
        |  SELECT n.doc_id, count(*) AS n_seen
-       |  FROM new_sh n SEMI JOIN old_set o USING (sh)
+       |  FROM new_sh n SEMI JOIN old_set o USING (fp)
        |  GROUP BY n.doc_id
        |)
        |SELECT t.doc_id, t.n_shingles,
