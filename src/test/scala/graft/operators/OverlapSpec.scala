@@ -79,6 +79,23 @@ class OverlapSpec extends AnyFunSuite {
     assert(byId(5L)._4 == 1000L, "fully-new doc is all novel")
   }
 
+  test("hot shingle: a 5k-doc boilerplate shingle stays linear and exact") {
+    // unlike the pair operators (q20/q70), the profile has NO quadratic
+    // term to cap: the df aggregate collapses the hot bucket map-side and
+    // the join probe streams — so a boilerplate storm needs no FpCap here,
+    // it just scores every doc as duplicated. Pin the exact values.
+    val header = (0 until K).map(i => s"h$i").mkString(" ")
+    val storm = (0L until 5000L).map(i => i -> s"$header u${i}a u${i}b u${i}c")
+    val d = writeDocs(storm)
+    val got = Overlap.q87DupNgramProfile(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 5000)
+    // each doc: 4 distinct shingles (h0..h3, then 3 unique-suffix ones);
+    // only the header shingle is shared → 250 permille for every doc
+    assert(got.forall { case (_, n, dup, pm) => n == 4L && dup == 1L && pm == 250L },
+      s"unexpected profile rows: ${got.filterNot(t => t._2 == 4L && t._3 == 1L && t._4 == 250L).take(3).toSeq}")
+  }
+
   test("q87/q88 plans: no FORCED broadcast of a corpus-proportional side") {
     // both join sides are corpus-scale BY DESIGN — the plans carry no
     // broadcast hint (AQE may still broadcast at fixture scale, where the
