@@ -353,6 +353,29 @@ final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir) {
 
   def isBuilt: Boolean = state.exists(AssignTable)
 
+  /** Incremental maintenance — the live-index path between retrains:
+    * assign a batch of NEW vectors (vec_id, embedding) to the EXISTING
+    * trained centroids and APPEND them to the persisted assignment (a
+    * [[graft.streaming.StateDir]] delta — O(batch) write I/O, compaction
+    * folds the chain on the StateDir cadence). No retraining happens:
+    * the quantizer stays fixed until the owner rebuilds, the standard
+    * IVF deployment contract (cell balance degrades slowly as the
+    * distribution drifts; [[graft.streaming.DriftStream]] is the monitor
+    * that tells you when to retrain). Wired under a stream, the caller
+    * applies the [[graft.streaming.DedupStream]] batch-id replay guard —
+    * this method itself appends unconditionally. */
+  def addBatch(newEmb: org.apache.spark.sql.DataFrame): Unit = {
+    require(isBuilt, "index not built — call build() before addBatch()")
+    val trained = state.read(CentroidsTable, CentroidsSchema)
+    val emb = newEmb.select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"),
+      graft.functions.Vectors.dot(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("embedding")).as("n2"))
+    state.append(AssignTable, Ivf.assignTo(emb, trained))
+  }
+
   /** q40-shaped ANN over the persisted index: top-3 per probe from the
     * probe's nprobe nearest cells. */
   def query(probeFrom: Long, nProbes: Long): DataFrame =

@@ -55,6 +55,39 @@ class IvfIndexSpec extends AnyFunSuite {
       s"build persisted RDDs survive: ${added.values.map(_.toString).mkString(",")}")
   }
 
+  test("addBatch serves new vectors from the fixed quantizer, no retrain") {
+    val root = Files.createTempDirectory("ivf-add-").toString
+    val idx = new IvfIndex(spark, new StateDir(spark, root))
+    idx.build(sf)
+    val baseline = rows(idx.query(490L, 10L))
+    // new batch: exact clones of vectors 490..499 under ids 10000..10009
+    val clones = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id").between(490L, 499L))
+      .select(
+        (org.apache.spark.sql.functions.col("vec_id") + 9510L).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    idx.addBatch(clones)
+    // each clone probe's rank-1 neighbor is its original, cosine ~ 1
+    val served = idx.query(10000L, 10L)
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("zip_with"),
+      "addBatch-serving plan retrains the quantizer")
+    val top1 = served.collect().filter(_.getInt(4) == 1)
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(top1.length == 10)
+    top1.foreach { case (probe, hit, cos) =>
+      assert(hit == probe - 9510L, s"clone $probe rank-1 is $hit, not its original")
+      assert(math.abs(cos - 1.0) < 1e-9, s"clone cosine $cos != 1")
+    }
+    // and the originals now see their clones at rank 1 too — the appended
+    // delta is live for EVERY probe, not just the new ids
+    val back = rows(idx.query(490L, 10L))
+    assert(back != baseline)
+    back.filter(_._5 == 1).foreach { case (probe, _, hit, cos, _) =>
+      assert(hit == probe + 9510L && math.abs(cos - 1.0) < 1e-9)
+    }
+  }
+
   test("q86 serves q40's answer from persisted state, no Lloyd subtree in the plan") {
     val served = Ivf.q86ServedAnn(spark, sf)
     assert(rows(served) == rows(Ivf.q40IvfAnn(spark, sf)))
