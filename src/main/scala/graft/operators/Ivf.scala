@@ -363,8 +363,13 @@ final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir) {
     * distribution drifts; [[graft.streaming.DriftStream]] is the monitor
     * that tells you when to retrain). Wired under a stream, the caller
     * applies the [[graft.streaming.DedupStream]] batch-id replay guard —
-    * this method itself appends unconditionally. */
-  def addBatch(newEmb: org.apache.spark.sql.DataFrame): Unit = {
+    * this method itself appends unconditionally
+    * ([[graft.streaming.IndexStream]] is that wiring). The optional
+    * batchId tags the delta's rows for the guard; serving reads project
+    * the tag away (schema-pruned), so tagged and untagged deltas serve
+    * identically. */
+  def addBatch(newEmb: org.apache.spark.sql.DataFrame,
+      batchId: Option[Long] = None): Unit = {
     require(isBuilt, "index not built — call build() before addBatch()")
     val trained = state.read(CentroidsTable, CentroidsSchema)
     val emb = newEmb.select(
@@ -373,7 +378,10 @@ final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir) {
       graft.functions.Vectors.dot(
         org.apache.spark.sql.functions.col("embedding"),
         org.apache.spark.sql.functions.col("embedding")).as("n2"))
-    state.append(AssignTable, Ivf.assignTo(emb, trained))
+    val assigned = Ivf.assignTo(emb, trained)
+    state.append(AssignTable, batchId.fold(assigned)(id =>
+      assigned.withColumn("batch_id",
+        org.apache.spark.sql.functions.lit(id))))
   }
 
   /** q40-shaped ANN over the persisted index: top-3 per probe from the
@@ -401,4 +409,10 @@ object IvfIndex {
     StructField("embedding", ArrayType(FloatType, containsNull = true)),
     StructField("n2", DoubleType),
     StructField("cell", LongType)))
+
+  /** [[AssignSchema]] plus the ingest batch tag — the replay-guard read
+    * shape ([[graft.streaming.IndexStream]]); rows from untagged
+    * (build-time / batch addBatch) versions surface a null tag. */
+  val TaggedAssignSchema: StructType =
+    StructType(AssignSchema.fields :+ StructField("batch_id", LongType))
 }
