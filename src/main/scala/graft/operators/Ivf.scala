@@ -169,10 +169,37 @@ object Ivf {
     * the q54/q56 train-once/serve-many split applied to ANN: the first
     * call per session+corpus BUILDS the index (trains the quantizer,
     * publishes centroid + assignment tables to a [[graft.streaming.StateDir]]),
-    * and every call serves from the persisted tables. Bounded: one entry
-    * per live session × corpus dir (in practice a handful). */
+    * and every call serves from the persisted tables. Same memo hygiene
+    * as the CC label memo (Dedup.ccMemo): bounded LRU so dead sessions'
+    * entries age out, and each entry carries a STAMP of the embeddings
+    * files, checked on every serve — a corpus mutated under a served
+    * path retrains instead of silently serving stale assignments. (An
+    * evicted/stale entry's state dir is simply abandoned; the fresh
+    * entry trains into a new one.) */
+  private val IndexMemoMax = 8
   private val indexMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+    new java.util.LinkedHashMap[String, (String, IvfIndex)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, IvfIndex)]): Boolean =
+        size() > IndexMemoMax
+    }
+
+  /** Cheap driver-side fingerprint of the embeddings files backing a
+    * build (names + sizes + mtimes — the Dedup.corpusStamp doctrine). */
+  private def embStamp(d: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Paths.get(d, "embeddings.parquet")
+    val target = if (Files.isDirectory(dir)) dir else Paths.get(d)
+    if (!Files.exists(target)) return "absent"
+    val s = Files.list(target)
+    try {
+      val entries = new scala.collection.mutable.ArrayBuffer[String]()
+      s.forEach { (p: Path) =>
+        entries += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      }
+      entries.sorted.mkString(",")
+    } finally s.close()
+  }
 
   /** Served-index ANN — q40's exact contract (same probes, same nprobe,
     * same top-3, same oracle) answered from a PERSISTED [[IvfIndex]]:
@@ -186,11 +213,16 @@ object Ivf {
     * and that the serving plan carries no Lloyd subtree. */
   def q86ServedAnn(s: SparkSession, d: String): DataFrame = {
     val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
-    val idx = indexMemo.computeIfAbsent(key, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivf-index-").toString
-      new IvfIndex(s, new graft.streaming.StateDir(s, root))
-    })
+    val stamp = embStamp(d)
+    val idx = indexMemo.synchronized {
+      Option(indexMemo.get(key)).filter(_._1 == stamp).map(_._2).getOrElse {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ivf-index-").toString
+        val i = new IvfIndex(s, new graft.streaming.StateDir(s, root))
+        indexMemo.put(key, (stamp, i))
+        i
+      }
+    }
     idx.synchronized { if (!idx.isBuilt) idx.build(d) }
     idx.query(ProbeFrom, NProbes)
   }
