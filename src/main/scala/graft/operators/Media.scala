@@ -153,8 +153,11 @@ object Media {
     /** payload → (durationMs, width, height) */
     def probe(payload: Array[Byte]): (Long, Int, Int)
     /** payload → (frameNo, tsMs, encoded frame bytes), one entry per
-      * sampled frame, STREAMED (implementations must not buffer all
-      * frames of a long video). */
+      * sampled frame. Implementations must never materialize every
+      * DECODED frame of a long video; the SAMPLED set (bounded by the
+      * sampling rate, not the video length) may be buffered per payload —
+      * the stub streams truly, the ffmpeg form buffers the sampled PNGs
+      * so their scratch files can be unlinked eagerly. */
     def sampleFrames(payload: Array[Byte], everyMs: Long): Iterator[(Int, Long, Array[Byte])]
   }
 
