@@ -58,4 +58,30 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(rows(is2.index.query(10000L, 10L)) == expected,
       "replayed batch mutated the index")
   }
+
+  test("ingest across a compaction boundary: serve and replay guard survive") {
+    // the subtle path: the build-time base version has NO batch_id
+    // column; compaction unions tagged deltas with null-tagged base rows
+    // into one full version. Both the serving projection and the guard's
+    // tagged read must come through it unchanged.
+    val st = new StateDir(spark,
+      Files.createTempDirectory("ixc").toString, compactEvery = 2)
+    val is = new IndexStream(spark, st)
+    is.index.build(sf)
+    (0 until 5).foreach { i => // 5 deltas at compactEvery=2: folds twice
+      is.processBatch(clones.filter(col("vec_id") % 5 === i), i.toLong)
+    }
+    val oneShot = new IvfIndex(spark,
+      new StateDir(spark, Files.createTempDirectory("ixc1").toString))
+    oneShot.build(sf)
+    oneShot.addBatch(clones)
+    val expected = rows(oneShot.query(10000L, 10L))
+    assert(rows(is.index.query(10000L, 10L)) == expected,
+      "compaction changed the served rows")
+    // replay of a batch whose rows were folded into a compacted full
+    // version — the tag must survive compaction for the guard to hold
+    is.processBatch(clones.filter(col("vec_id") % 5 === 0), 0L)
+    assert(rows(is.index.query(10000L, 10L)) == expected,
+      "replay after compaction duplicated rows")
+  }
 }
