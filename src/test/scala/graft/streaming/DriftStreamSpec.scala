@@ -47,4 +47,18 @@ class DriftStreamSpec extends AnyFunSuite {
     ds.processBatch(docs.filter(col("doc_id") % 3 === 1), 1L)
     assert(reportRows(ds.report) == batch, "replayed batch mutated the report")
   }
+
+  test("count deltas across a compaction boundary: report and guard survive") {
+    val st = new StateDir(spark,
+      Files.createTempDirectory("driftc").toString, compactEvery = 2)
+    val ds = new DriftStream(spark, st)
+    (0 until 5).foreach { i => // 5 deltas at compactEvery=2: folds twice
+      ds.processBatch(docs.filter(col("doc_id") % 5 === i), i.toLong)
+    }
+    val batch = reportRows(Drift.q85DriftReport(spark, TestSession.sf))
+    assert(reportRows(ds.report) == batch, "compaction changed the report")
+    // replay of a batch folded into a compacted version — tag must survive
+    ds.processBatch(docs.filter(col("doc_id") % 5 === 0), 0L)
+    assert(reportRows(ds.report) == batch, "replay after compaction double-counted")
+  }
 }
