@@ -165,6 +165,38 @@ object Multimodal {
       }
   }
 
+  /** Tolerant batch decode — the 100 TB posture: ONE corrupt blob in a
+    * billion must quarantine, not kill the stage. Corrupt payloads
+    * surface as (null dims, error message) rows instead of a thrown
+    * task failure; every input row appears exactly once (conservation),
+    * and the quarantine volume is OBSERVED per execution
+    * (`graft_media_quarantine`: quarantined count + total — the q20/q70
+    * not-silent doctrine), so a decoder regression or a poisoned source
+    * is visible in metrics before anyone greps logs. [[extractMeta]]
+    * stays the strict twin (fail loudly) for pipelines that PREFER a
+    * crash over silent data loss. */
+  def extractMetaTolerant(rows: DataFrame,
+      dec: MediaDecoders = StubDecoders): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          try {
+            val (w, h) = dec.decode(payload)
+            (id, payload.length.toLong, Option(w), Option(h), None: Option[String])
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              (id, payload.length.toLong, None: Option[Int], None: Option[Int],
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "error")
+      .observe("graft_media_quarantine",
+        count(when(col("error").isNotNull, lit(1))).as("quarantined"),
+        count(lit(1)).as("total"))
+  }
+
   /** Decoded-and-resized media row: payload re-encoded at target size. */
   final case class ResizedMedia(docId: Long, width: Int, height: Int,
       payload: Array[Byte])

@@ -106,6 +106,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("extractMetaTolerant quarantines corrupt payloads, conserves rows, observes the volume") {
+    import TestSession.spark.implicits._
+    val mixed = Seq(
+      (1L, pngBytes(64, 48)),
+      (2L, "definitely not an image".getBytes("UTF-8")),
+      (3L, pngBytes(16, 16)),
+      (4L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.extractMetaTolerant(mixed, Multimodal.JdkImageDecoders)
+    val rows = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)),
+      if (r.isNullAt(4)) None else Some(r.getString(4)))).sortBy(_._1)
+    assert(rows.length == 4, "row conservation violated")
+    assert(rows(0)._2.contains(64) && rows(0)._3.isEmpty)
+    assert(rows(2)._2.contains(16) && rows(2)._3.isEmpty)
+    assert(rows(1)._2.isEmpty && rows(1)._3.nonEmpty, "garbage payload not quarantined")
+    assert(rows(3)._2.isEmpty && rows(3)._3.nonEmpty, "empty payload not quarantined")
+    val m = out.queryExecution.observedMetrics("graft_media_quarantine")
+    assert(m.getAs[Long]("quarantined") == 2L && m.getAs[Long]("total") == 4L)
+  }
+
   test("extractFeatures emits array<float> embeddings compatible with the ANN ops") {
     val feats = Multimodal.extractFeatures(payloads)
     assert(feats.schema("embedding").dataType ==
