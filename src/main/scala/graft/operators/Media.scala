@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** Audio/video decode behind the [[Multimodal.MediaDecoders]] pattern —
   * the remaining multimodal modalities made real where the container
@@ -132,6 +133,34 @@ object Media {
         val (sr, ch, bits, frames, durMs) = JdkAudioDecoders.probe(payload)
         AudioMeta(id, sr, ch, bits, frames, durMs)
       })
+  }
+
+  /** Tolerant audio probe — [[Multimodal.extractMetaTolerant]]'s audio
+    * twin: undecodable payloads quarantine as (null meta, error) rows,
+    * conservation holds, and the volume is observed
+    * (`graft_audio_quarantine`). */
+  def extractAudioMetaTolerant(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          try {
+            val (sr, ch, bits, frames, durMs) = JdkAudioDecoders.probe(payload)
+            (id, Option(sr), Option(ch), Option(bits), Option(frames),
+              Option(durMs), None: Option[String])
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              (id, None: Option[Int], None: Option[Int], None: Option[Int],
+                None: Option[Long], None: Option[Long],
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "bits_per_sample",
+        "n_frames", "duration_ms", "error")
+      .observe("graft_audio_quarantine",
+        count(when(col("error").isNotNull, lit(1))).as("quarantined"),
+        count(lit(1)).as("total"))
   }
 
   /** Batch audio features: binary → `array<float>` embedding, the

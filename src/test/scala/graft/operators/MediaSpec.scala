@@ -76,6 +76,24 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("tolerant audio probe quarantines non-audio payloads, conserves rows") {
+    val mixed = Seq(
+      (1L, sineWav(440.0, 8000, 100)),
+      (2L, "not audio at all".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val out = Media.extractAudioMetaTolerant(mixed)
+    val rows = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getInt(1)),
+      if (r.isNullAt(6)) None else Some(r.getString(6)))).sortBy(_._1)
+    assert(rows.length == 3, "row conservation violated")
+    assert(rows(0)._2.contains(8000) && rows(0)._3.isEmpty)
+    assert(rows(1)._2.isEmpty && rows(1)._3.nonEmpty)
+    assert(rows(2)._2.isEmpty && rows(2)._3.nonEmpty)
+    val m = out.queryExecution.observedMetrics("graft_audio_quarantine")
+    assert(m.getAs[Long]("quarantined") == 2L && m.getAs[Long]("total") == 3L)
+  }
+
   test("stereo decode mixes channels before statistics") {
     // opposite-phase stereo mixes to silence: every statistic is zero —
     // pins that the decode truly averages channels, not just takes one
