@@ -100,7 +100,10 @@ object Winnow {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def q70Sql: String =
+  /** q70's oracle CTE chain up to `kept` (doc_id, fp) — shared with q89,
+    * which consumes the same surviving pair set. Callers append their own
+    * final SELECT (and any further CTEs via a leading comma). */
+  private[operators] def winnowCtes: String =
     s"""WITH g AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks,
        |    len(string_split(text, ' ')) AS nt
@@ -121,7 +124,10 @@ object Winnow {
        |  SELECT fp FROM f GROUP BY fp HAVING count(*) > $FpCap
        |), kept AS (
        |  SELECT f.* FROM f ANTI JOIN hot USING (fp)
-       |)
+       |)""".stripMargin
+
+  def q70Sql: String =
+    s"""$winnowCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(count(*) AS BIGINT) AS n_shared
        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id

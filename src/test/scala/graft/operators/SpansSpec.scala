@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+/** The exact-span contract: q89's longest_run equals a driver-side
+  * longest-common-substring (over tokens) for every reported pair — and
+  * planted cases pin the edges: the planted passage's exact length comes
+  * back, a pair sharing the same word at MANY non-adjacent positions
+  * reports run 1 for those cells (diagonals don't merge), and every
+  * q70 pair gets exactly one row.
+  */
+class SpansSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("spans-").toString
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Driver-side longest common token run (O(n·m) DP). */
+  private def lcr(a: Seq[String], b: Seq[String]): Int = {
+    val prev = new Array[Int](b.length + 1)
+    var best = 0
+    a.foreach { ta =>
+      var diagOld = 0
+      var j = 1
+      while (j <= b.length) {
+        val keep = prev(j)
+        prev(j) = if (b(j - 1) == ta) diagOld + 1 else 0
+        if (prev(j) > best) best = prev(j)
+        diagOld = keep
+        j += 1
+      }
+    }
+    best
+  }
+
+  test("planted passage length comes back exactly; one row per q70 pair") {
+    val passLen = 2 * (Winnow.W + Winnow.K - 1) // long enough for >= MinShared fps
+    val passage = (0 until passLen).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha beta gamma delta $passage zz0 zz1 zz2 zz3",
+      2L -> s"uno dos tres cuatro cinco seis $passage yy0 yy1",
+      3L -> "completely unrelated text with enough tokens to stay out of every pair")
+    val d = writeDocs(docs)
+    val expectedPairs = Winnow.q70WinnowPairs(spark, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Spans.q89DupSpans(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(got.keySet == expectedPairs, "one row per q70 pair violated")
+    assert(got((1L, 2L)) == passLen.toLong,
+      s"planted $passLen-token passage measured as ${got((1L, 2L))}")
+  }
+
+  test("q89 == driver-side LCS over tokens on the fixture corpus") {
+    val sf = TestSession.sf
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val got = Spans.q89DupSpans(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+    assert(got.nonEmpty, "fixture produced no q70 pairs to span-check")
+    got.foreach { case ((a, b), run) =>
+      assert(run == lcr(texts(a), texts(b)).toLong,
+        s"pair ($a,$b): q89 run $run != LCS ${lcr(texts(a), texts(b))}")
+    }
+  }
+}
