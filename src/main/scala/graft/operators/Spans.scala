@@ -38,9 +38,20 @@ object Spans {
 
   /** (doc_a, doc_b, n_shared, longest_run) for every q70 pair. */
   def q89DupSpans(s: SparkSession, d: String): DataFrame = {
+    // staged (lazy localCheckpoint, the q87/q88 pattern): the q70 pair plan
+    // runs ONCE and feeds both the pair join and the doc-id semi-join below.
     val pairs = Winnow.q70WinnowPairs(s, d)
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
+      .localCheckpoint(eager = false)
+    // Only docs appearing in a surviving pair can match the doc_id
+    // equi-joins — semi-join BEFORE posexplode so the ~len× position
+    // amplification is paid on the <1% paired set, not 100% of the corpus.
+    // The id list is ≤ 2·|pairs| rows → broadcasts.
+    val pairIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
     val toks = Tables.documents(s, d)
+      .join(pairIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
     val matches = pairs
       .join(toks.as("a"), col("doc_a") === col("a.doc_id"))

@@ -60,6 +60,23 @@ class SpansSpec extends AnyFunSuite {
       s"planted $passLen-token passage measured as ${got((1L, 2L))}")
   }
 
+  test("q89 plans the pair semi-join UPSTREAM of the position explode") {
+    // the ~len× posexplode amplification must be paid only on docs that
+    // appear in a q70 pair (<1% of the corpus), never corpus-wide: the
+    // optimized plan must show a LeftSemi join feeding every Generate.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val plan = Spans.q89DupSpans(spark, TestSession.sf)
+      .queryExecution.optimizedPlan
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "expected posexplode Generate nodes in q89")
+    gens.foreach { g =>
+      val semis = g.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semis.nonEmpty,
+        "position explode runs corpus-wide — pair semi-join missing below Generate")
+    }
+  }
+
   test("q89 == driver-side LCS over tokens on the fixture corpus") {
     val sf = TestSession.sf
     val texts = graft.Tables.documents(spark, sf)
