@@ -1,0 +1,70 @@
+package graft
+
+/** THE SCALE DIALS — every fixture-tuned capacity constant that must be
+  * re-sized before pointing the engine at a real corpus, in one place
+  * with its 100×-scale guidance. Operators read their tuning from here
+  * (each keeps a local alias so call sites and oracles are unchanged);
+  * semantic constants (shingle K, band counts whose pigeonhole
+  * completeness proofs depend on them, report top-Ks) stay with their
+  * operators ON PURPOSE — changing those changes answers, not capacity.
+  *
+  * The fixture values are sized for /root/testdata (sf ≤ 0.1, ≤ ~5k docs
+  * / vectors) and verified by the recall/guard suites; the guidance
+  * column is what a 1000-executor, ~100 TB deployment starts from.
+  */
+object Dials {
+
+  /** IVF cell count (Lloyd centroids). Fixture: 8 cells over ≤ 5k
+    * vectors ≈ 600 vectors/cell. At scale the standard sizing is
+    * ~√N cells (1e9 vectors → ~32k cells): per-cell candidate lists stay
+    * executor-sized and the centroid table stays broadcastable (32k ×
+    * dim floats ≈ 8 MB at dim 64). Retrain cadence is DriftStream's
+    * signal, not a dial. */
+  val IvfCells = 8
+
+  /** IVF nprobe — the recall dial: each probe searches its nprobe
+    * nearest cells. Fixture: 3 of 8 clears the pinned recall floor
+    * (AnnRecallSpec: 1.0 ≥ 0.9) while touching ~3N/K vectors. At scale
+    * keep nprobe/cells ratio in the few-percent range and re-measure
+    * recall on a held-out probe set; raising it is a pure
+    * compute-for-recall trade, no re-index needed. */
+  val IvfNProbeCells = 3
+
+  /** Embedding dimensionality — set by the CORPUS (TESTDATA.md fixes the
+    * fixture at 64), not chosen: every vector operator (dot products,
+    * centroid math, quantization) reads it so a dimension mismatch fails
+    * loudly at one constant. At 100 TB the only sizing consequence is
+    * broadcast arithmetic (centroids, probe sets scale linearly in it). */
+  val EmbeddingDim = 64
+
+  /** Winnowing fingerprints kept per document (largest-first). Fixture:
+    * 512 never truncates (≤ ~200 fps/doc at sf0.1 — the cap is a guard,
+    * not a filter, and WinnowSpec pins the no-truncation fact). At scale:
+    * size to the corpus' p99 document length / winnow window W; the cap
+    * bounds per-doc state in DedupStream and pair-join fan-out, and
+    * truncation degrades recall observably (fp_capped metric), never
+    * correctness. */
+  val WinnowFpCap = 512
+
+  /** LSH hot-bucket guard: buckets larger than this many docs contribute
+    * hub-pairs only (member↔min-id), not all-pairs. Fixture: 1024 —
+    * never engaged at sf ≤ 0.1 (LshGuardSpec pins both the dormant and
+    * the engaged behavior). At scale: size so cap² pairs fit one
+    * executor's shuffle partition (~1e4 for 128 MB partitions);
+    * boilerplate/spam buckets at web scale WILL engage it, and the
+    * `graft_lsh_capped` observe metrics report every engagement. */
+  val HotBucketCap = 1024
+
+  /** Decontamination bloom sizing: bits per filter and the expected
+    * distinct-shingle count it is sized for. Fixture: 2^22 bits /
+    * 2^16 items ≈ 64 bits/item → fp ≈ 1e-5 at 512 KB per filter.
+    * At scale: benchmark suites are SMALL by nature (the bloom carries
+    * the benchmark side, never the corpus side), so 2^26 bits covers a
+    * 1M-shingle benchmark at the same fp for 8 MB — still one broadcast
+    * literal. Exactness never depends on fp: the bloom is a prefilter,
+    * an exact join verifies every hit (q81 doctrine). */
+  val BloomBits: Long = 1L << 22
+
+  /** See [[BloomBits]] — the expected-items half of the sizing pair. */
+  val BloomItems: Long = 1L << 16
+}

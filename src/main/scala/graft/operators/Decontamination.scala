@@ -124,8 +124,8 @@ object Decontamination {
   /** Bloom bitmap size in bits (512 KiB serialized) — a CONFIG bound, never
     * data-proportional: this is what ships to every task instead of the raw
     * benchmark shingle strings. */
-  private[graft] val BloomBits = 1L << 22
-  private[graft] val BloomItems = 1L << 16
+  private[graft] val BloomBits = graft.Dials.BloomBits
+  private[graft] val BloomItems = graft.Dials.BloomItems
 
   /** Bloom-gated clean-corpus export — the ACTION q57's report implies
     * (drop every contaminated doc), built the way a 100 TB run has to be:

@@ -78,7 +78,7 @@ object Dedup {
     * between two non-hub members of a MIXED oversized bucket are dropped —
     * observably, not silently: the `graft_lsh_capped` observe() metrics
     * (capped_rows, max_bucket) report every engaged cap per execution. */
-  val HotBucketCap = 1024
+  val HotBucketCap = graft.Dials.HotBucketCap
 
   /** Candidate pairs: docs sharing any band bucket (the LSH join). The
     * self-join uses ONE band-key plan aliased twice — canonically identical

@@ -33,7 +33,7 @@ object Similarity {
   private val K = 5       // neighbors per probe (q21)
   private val NProbes = 10
   private val Planes = 4  // LSH hyperplanes → 16 buckets (q28)
-  private val Dim = 64
+  private val Dim = graft.Dials.EmbeddingDim
   /** q28 multi-probe radius: a probe searches every bucket within this
     * Hamming distance of its own sign pattern — the standard multi-probe
     * LSH recall dial. Radius 2 over 4 planes probes 11 of 16 buckets;

@@ -34,7 +34,7 @@ object Winnow {
   private[graft] val K = 4   // shingle tokens
   private[graft] val W = 8   // winnowing window (shingles)
   private[graft] val MinShared = 2
-  private[graft] val FpCap = 512
+  private[graft] val FpCap = graft.Dials.WinnowFpCap
 
   /** (doc_id, fps array<long>) — the distinct winnowed fingerprint SET per
     * document, one row per doc (the signature shape the incremental
