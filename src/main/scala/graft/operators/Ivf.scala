@@ -39,8 +39,8 @@ import graft.functions.Vectors
   */
 object Ivf {
 
-  private val K = 8        // centroids / cells
-  private val Dim = 64     // embedding dimensionality (TESTDATA.md)
+  private val K = graft.Dials.IvfCells
+  private val Dim = graft.Dials.EmbeddingDim // set by the corpus (TESTDATA.md)
   private val Iters = 2    // deterministic Lloyd iterations
   private val ProbeFrom = 490L
   private val NProbes = 10L // probes: vec_id in [490, 500) at EVERY sf —
@@ -52,7 +52,7 @@ object Ivf {
     * nprobe=1 measured 0.30 recall@3 on the fixture (AnnRecallSpec);
     * 3 of 8 cells clears the floor while the re-rank still touches
     * ~3N/K vectors, not N. */
-  private val NProbeCells = 3
+  private val NProbeCells = graft.Dials.IvfNProbeCells
 
   /** Nearest-centroid assignment: (vec_id, embedding, n2, cell). A
     * `max_by` aggregate, not a window — partial aggregation collapses the
@@ -177,11 +177,28 @@ object Ivf {
     * evicted/stale entry's state dir is simply abandoned; the fresh
     * entry trains into a new one.) */
   private val IndexMemoMax = 8
+  private def deleteTree(root: String): Unit = {
+    def rec(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val c = java.nio.file.Files.list(p)
+        try c.forEach(rec(_)) finally c.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    try rec(java.nio.file.Paths.get(root)) catch { case _: Throwable => () }
+  }
+
+  // memo value: (corpus stamp, temp StateDir root, index). Evicted and
+  // stamp-stale entries DELETE their temp root — a long-lived session over
+  // a mutating corpus must not grow /tmp unboundedly.
   private val indexMemo =
-    new java.util.LinkedHashMap[String, (String, IvfIndex)](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, (String, String, IvfIndex)](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (String, IvfIndex)]): Boolean =
-        size() > IndexMemoMax
+          e: java.util.Map.Entry[String, (String, String, IvfIndex)]): Boolean = {
+        val evict = size() > IndexMemoMax
+        if (evict) deleteTree(e.getValue._2)
+        evict
+      }
     }
 
   /** Cheap driver-side fingerprint of the embeddings files backing a
@@ -215,12 +232,15 @@ object Ivf {
     val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
     val stamp = embStamp(d)
     val idx = indexMemo.synchronized {
-      Option(indexMemo.get(key)).filter(_._1 == stamp).map(_._2).getOrElse {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-ivf-index-").toString
-        val i = new IvfIndex(s, new graft.streaming.StateDir(s, root))
-        indexMemo.put(key, (stamp, i))
-        i
+      Option(indexMemo.get(key)) match {
+        case Some((st, _, i)) if st == stamp => i
+        case stale =>
+          stale.foreach { case (_, oldRoot, _) => deleteTree(oldRoot) }
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-ivf-index-").toString
+          val i = new IvfIndex(s, new graft.streaming.StateDir(s, root))
+          indexMemo.put(key, (stamp, root, i))
+          i
       }
     }
     idx.synchronized { if (!idx.isBuilt) idx.build(d) }
@@ -411,8 +431,15 @@ final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir) {
         org.apache.spark.sql.functions.col("embedding"),
         org.apache.spark.sql.functions.col("embedding")).as("n2"))
     val assigned = Ivf.assignTo(emb, trained)
-    state.append(AssignTable, batchId.fold(assigned)(id =>
-      assigned.withColumn("batch_id",
+    // ALWAYS write the batch_id column (null for batch callers): StateDir
+    // compaction folds the chain with the INCOMING delta's schema, so an
+    // untagged append that lands on a compaction boundary would fold the
+    // chain without batch_id and silently drop IndexStream's replay-guard
+    // tags — a later replayed micro-batch would then pass the guard and
+    // duplicate vectors. Serving reads project the tag away regardless.
+    state.append(AssignTable, assigned.withColumn("batch_id",
+      batchId.fold(org.apache.spark.sql.functions.lit(null)
+        .cast(org.apache.spark.sql.types.LongType))(id =>
         org.apache.spark.sql.functions.lit(id))))
   }
 
