@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** Audio/video decode behind the [[Multimodal.MediaDecoders]] pattern —
@@ -174,6 +174,86 @@ object Media {
       .toDF("doc_id", "embedding")
   }
 
+  // ---------------------------------------------------------------- q90
+
+  /** Deterministic WAV synthesis THROUGH the JDK codec: the PCM stream is
+    * containerized by `AudioSystem.write` itself, so the q90 fixture
+    * payloads are genuine RIFF/WAVE files encoded by `javax.sound` — not
+    * hand-rolled headers. Silence PCM (probe never reads sample data; the
+    * container geometry is the fixture). */
+  def synthWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate, 16, channels, channels * 2, sampleRate, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The WAV geometry q90 gives doc `id` — closed-form on purpose, so the
+    * DuckDB oracle can recompute every probed field without decoding
+    * anything. Shared by the query and its spec. */
+  def q90Params(id: Long): (Int, Int, Int) = {
+    val sr = Array(8000, 11025, 16000, 22050, 44100)((id % 5).toInt)
+    val ch = (1 + id % 2).toInt
+    val frames = (200 + (id * 37) % 1800).toInt
+    (sr, ch, frames)
+  }
+
+  /** q90: a REAL codec behind a driver CORRECTNESS row. Each document gets
+    * a WAV container synthesized by the JDK encoder from closed-form
+    * parameters ([[q90Params]]); [[JdkAudioDecoders.probe]] — the real
+    * `javax.sound` header parse, the same code path every audio scan runs —
+    * reads the geometry back, and the rollup groups it. The DuckDB oracle
+    * never sees a byte of audio: it recomputes the parameters and the
+    * duration rounding in exact integer arithmetic
+    * (`(2000·f + sr) // (2·sr)` ≡ `Math.round(f·1000/sr)`, verified
+    * mismatch-free over the whole parameter space in `MediaSpec`).
+    * Plan shape: scan (doc_id only) → mapPartitions synth+probe → partial
+    * agg → exchange on the 10-row group key. Encode+probe never shuffles;
+    * payloads live only inside the task. */
+  def q90AudioProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wavs = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map { id =>
+        val (sr, ch, frames) = q90Params(id)
+        (id, synthWav(sr, ch, frames))
+      }).toDF("doc_id", "payload")
+    extractAudioMeta(wavs).toDF()
+      .groupBy(col("sampleRate").as("sample_rate"), col("channels"),
+        col("bitsPerSample").as("bits_per_sample"))
+      .agg(count(lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("nFrames")).as("total_frames"),
+        org.apache.spark.sql.functions.sum(col("durationMs")).as("sum_duration_ms"),
+        org.apache.spark.sql.functions.min(col("durationMs")).as("min_duration_ms"),
+        org.apache.spark.sql.functions.max(col("durationMs")).as("max_duration_ms"))
+      .orderBy(col("sample_rate"), col("channels"))
+  }
+
+  def q90Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+      |      WHEN 2 THEN 16000 WHEN 3 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+      |    CAST(1 + doc_id % 2 AS INT) AS channels,
+      |    200 + (doc_id * 37) % 1800 AS n_frames
+      |  FROM documents
+      |), m AS (
+      |  SELECT sample_rate, channels, n_frames,
+      |    (2000 * n_frames + sample_rate) // (2 * sample_rate) AS duration_ms
+      |  FROM p
+      |)
+      |SELECT sample_rate, channels, CAST(16 AS INT) AS bits_per_sample,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      |  CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms,
+      |  min(duration_ms) AS min_duration_ms,
+      |  max(duration_ms) AS max_duration_ms
+      |FROM m GROUP BY 1, 2 ORDER BY sample_rate, channels""".stripMargin
+
   // ---------------------------------------------------------------- video
 
   /** Video decoder surface: container probe + sampled frame extraction.
@@ -186,7 +266,10 @@ object Media {
       * DECODED frame of a long video; the SAMPLED set (bounded by the
       * sampling rate, not the video length) may be buffered per payload —
       * the stub streams truly, the ffmpeg form buffers the sampled PNGs
-      * so their scratch files can be unlinked eagerly. */
+      * so their scratch files can be unlinked eagerly. `tsMs` is the
+      * NOMINAL sampling timestamp (frameNo · everyMs), not the decoded
+      * PTS — exact for constant-frame-rate output (the `fps=` filter
+      * re-times to CFR), approximate for VFR sources. */
     def sampleFrames(payload: Array[Byte], everyMs: Long): Iterator[(Int, Long, Array[Byte])]
   }
 
@@ -261,23 +344,42 @@ object Media {
 
     private def run(cmd: String*): String = {
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+      // stderr drained CONCURRENTLY: a corrupt input can make ffmpeg emit
+      // more than a pipe buffer of diagnostics; reading stdout to EOF
+      // first would deadlock the executor task (ffmpeg blocks writing
+      // stderr, we block reading stdout). The captured text also makes
+      // the failure message diagnosable instead of a bare exit code.
+      val err = new java.util.concurrent.atomic.AtomicReference("")
+      val drainer = new Thread(() =>
+        try err.set(new String(p.getErrorStream.readAllBytes(), "UTF-8"))
+        catch { case _: java.io.IOException => () })
+      drainer.setDaemon(true)
+      drainer.start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      p.getErrorStream.readAllBytes()
       val rc = p.waitFor()
-      require(rc == 0, s"${cmd.head} exited $rc")
+      drainer.join(10000L)
+      require(rc == 0, s"${cmd.head} exited $rc: " +
+        err.get().linesIterator.take(5).mkString(" | ").take(500))
       out
     }
 
     def probe(payload: Array[Byte]): (Long, Int, Int) = withPayload(payload) { in =>
       val out = run(ffprobe, "-v", "error",
         "-select_streams", "v:0",
-        "-show_entries", "stream=width,height:format=duration",
+        "-show_entries", "stream=width,height,duration:format=duration",
         "-of", "csv=p=0", in.toString)
-      // two csv lines: "w,h" then "durationSec"
-      val lines = out.trim.split("\n").map(_.trim).filter(_.nonEmpty)
-      val Array(w, h) = lines(0).split(",").take(2).map(_.trim.toInt)
-      val durMs = math.round(lines.last.toDouble * 1000.0)
-      (durMs, w, h)
+      // csv lines: "w,h,streamDur" then "formatDur". Either duration can
+      // be the literal "N/A" (raw/elementary streams, some containers) —
+      // take the last parseable one (format preferred, stream fallback)
+      // and fail with a diagnosable message rather than a bare
+      // NumberFormatException when BOTH are absent.
+      val toks = out.trim.split("[\n,]").map(_.trim).filter(_.nonEmpty)
+      val Array(w, h) = toks.take(2).map(_.toInt)
+      val durs = toks.drop(2)
+        .flatMap(t => scala.util.Try(t.toDouble).toOption)
+      require(durs.nonEmpty,
+        s"ffprobe reported no usable duration (stream and format both N/A) for ${payload.length}-byte payload")
+      (math.round(durs.last * 1000.0), w, h)
     }
 
     def sampleFrames(payload: Array[Byte], everyMs: Long): Iterator[(Int, Long, Array[Byte])] =
@@ -287,9 +389,12 @@ object Media {
           run(ffmpeg, "-v", "error", "-i", in.toString,
             "-vf", s"fps=1000/$everyMs", "-start_number", "0",
             s"$dir/f-%06d.png")
-          val files = java.nio.file.Files.list(dir).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
-            .sortBy(_.getFileName.toString)
+          val listing = java.nio.file.Files.list(dir)
+          val files =
+            try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .sortBy(_.getFileName.toString)
+            finally listing.close() // a leaked fd per video row per
+                                    // partition exhausts ulimit on long scans
           // materialize THIS payload's sampled frames (bounded by the
           // sampling rate, not the video length), then unlink eagerly
           files.iterator.zipWithIndex.map { case (p, i) =>
@@ -298,11 +403,124 @@ object Media {
             (i, i * everyMs, bytes)
           }.toArray.iterator
         } finally {
-          java.nio.file.Files.list(dir).forEach(p =>
-            java.nio.file.Files.deleteIfExists(p))
+          val leftovers = java.nio.file.Files.list(dir)
+          try leftovers.forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally leftovers.close()
           java.nio.file.Files.deleteIfExists(dir)
         }
       }
+  }
+
+  /** Pure-JVM MJPEG-in-AVI codec — the fallback that makes REAL video
+    * decode executable in an ffmpeg-less CI (this container): AVI is a
+    * RIFF container (public layout: RIFF('AVI ' LIST('hdrl' avih ...)
+    * LIST('movi' '00dc'<jpeg>...)), and MJPEG frames are ordinary JPEGs —
+    * so the JDK can do the whole job: this object parses the container,
+    * and the emitted frame bytes feed [[Multimodal.JdkImageDecoders]]
+    * (ImageIO's real JPEG decoder) downstream, exactly like the ffmpeg
+    * path's PNGs. [[MjpegAvi.encode]] is the writer twin (spec fixtures
+    * synthesize their own videos the way [[JdkAudioDecoders]] specs
+    * synthesize WAVs). Not a general video stack — ONE container, ONE
+    * codec, chosen because both halves are JDK-native; every other format
+    * stays on [[FfmpegVideoDecoders]]. */
+  object MjpegAvi extends VideoDecoders {
+
+    private def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    /** JPEG frames → MJPEG AVI. `usPerFrame` is the constant frame
+      * period in microseconds (the container's native clock). */
+    def encode(frames: Seq[Array[Byte]], usPerFrame: Long, w: Int, h: Int): Array[Byte] = {
+      require(frames.nonEmpty && usPerFrame > 0 && w > 0 && h > 0)
+      val out = new java.io.ByteArrayOutputStream()
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+        fcc(id) ++ le32(body.length) ++ body ++ pad
+      }
+      def list(subtype: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", fcc(subtype) ++ body)
+      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++
+        le32(0x10 /* AVIF_HASINDEX off, flags minimal */) ++
+        le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(usPerFrame) /* scale */ ++ le32(1000000L) /* rate */ ++
+        le32(0) ++ le32(frames.size) ++ le32(0) ++ le32(-1 & 0xffffffffL) ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        fcc("MJPG") ++ le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        frames.iterator.map(f => chunk("00dc", f)).reduce(_ ++ _))
+      val body = fcc("AVI ") ++ hdrl ++ movi
+      out.write(fcc("RIFF")); out.write(le32(body.length)); out.write(body)
+      out.toByteArray
+    }
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def id(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** (usPerFrame, totalFrames, w, h, moviChunks) from the container —
+      * one linear walk, no frame bytes copied until a chunk is taken. */
+    private def parse(payload: Array[Byte]): (Long, Long, Int, Int, Vector[(Int, Int)]) = {
+      require(payload.length >= 12 && id(payload, 0) == "RIFF" &&
+        id(payload, 8) == "AVI ", "payload is not a RIFF/AVI container")
+      var usPerFrame = 0L; var total = 0L; var w = 0; var h = 0
+      val movi = Vector.newBuilder[(Int, Int)]
+      def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+        var o = from
+        while (o + 8 <= until) {
+          val cid = id(payload, o)
+          val len = u32(payload, o + 4).toInt
+          val body = o + 8
+          cid match {
+            case "LIST" =>
+              val sub = id(payload, body)
+              walk(body + 4, body + len, inMovi || sub == "movi")
+            case "avih" =>
+              usPerFrame = u32(payload, body)
+              total = u32(payload, body + 16)
+              w = u32(payload, body + 32).toInt
+              h = u32(payload, body + 36).toInt
+            case c if inMovi && c.endsWith("dc") =>
+              movi += ((body, len))
+            case _ => ()
+          }
+          o = body + len + (len & 1) // chunks are even-aligned
+        }
+      }
+      walk(12, payload.length, inMovi = false)
+      require(usPerFrame > 0 && w > 0 && h > 0,
+        "AVI container has no usable avih header")
+      (usPerFrame, total, w, h, movi.result())
+    }
+
+    def probe(payload: Array[Byte]): (Long, Int, Int) = {
+      val (us, total, w, h, _) = parse(payload)
+      (math.round(total * us / 1000.0), w, h)
+    }
+
+    /** Sampled JPEG frames. `tsMs` is the container-clock timestamp of
+      * the SOURCE frame (frameNo · usPerFrame, exact for the CFR
+      * containers this codec writes), unlike the ffmpeg path's nominal
+      * resample clock — both are the trait's documented CFR semantics. */
+    def sampleFrames(payload: Array[Byte], everyMs: Long): Iterator[(Int, Long, Array[Byte])] = {
+      require(everyMs > 0)
+      val (us, _, _, _, chunks) = parse(payload)
+      val everyNth = math.max(1L, math.round(everyMs * 1000.0 / us)).toInt
+      Iterator.range(0, chunks.size, everyNth).map { f =>
+        val (off, len) = chunks(f)
+        (f, f * us / 1000, java.util.Arrays.copyOfRange(payload, off, off + len))
+      }
+    }
   }
 
   /** Batch video probe: (doc_id, payload) → (doc_id, duration_ms, width,

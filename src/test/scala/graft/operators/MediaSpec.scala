@@ -102,6 +102,43 @@ class MediaSpec extends AnyFunSuite {
     assert(f.forall(v => math.abs(v) < 1e-4), s"silence expected: ${f.toSeq}")
   }
 
+  test("q90 duration rounding: integer oracle formula == Math.round over the whole space") {
+    // the DuckDB oracle computes (2000f + sr) // (2sr); the probe computes
+    // Math.round(f·1000 / sr). Pinned mismatch-free over every geometry
+    // q90Params can emit (frames ≤ 2000, all five rates).
+    for (sr <- Seq(8000, 11025, 16000, 22050, 44100); f <- 0L to 2200L) {
+      val jvm = math.round(f * 1000.0 / sr.toFloat.toDouble)
+      val exact = (2000 * f + sr) / (2L * sr)
+      assert(jvm == exact, s"sr=$sr frames=$f: round=$jvm oracle=$exact")
+    }
+  }
+
+  test("q90 == closed-form rollup, and the probed WAVs are real JDK containers") {
+    val sf = graft.TestSession.sf
+    // driver-side twin: the same closed-form parameters and integer
+    // duration the oracle SQL computes, rolled up sequentially
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    val expected = ids.map { id =>
+      val (sr, ch, frames) = Media.q90Params(id)
+      ((sr, ch), (frames.toLong, (2000L * frames + sr) / (2L * sr)))
+    }.groupBy(_._1).map { case ((sr, ch), rows) =>
+      val ds = rows.map(_._2)
+      (sr, ch, 16, rows.length.toLong, ds.map(_._1).sum,
+        ds.map(_._2).sum, ds.map(_._2).min, ds.map(_._2).max)
+    }.toSeq.sorted
+    val got = Media.q90AudioProbe(spark, sf).collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).sorted
+    assert(got == expected)
+    // and the fixture payload really is a RIFF/WAVE container the codec
+    // round-trips: synth → probe is exact on a spot geometry
+    val wav = Media.synthWav(11025, 2, 1234)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val (sr, ch, bits, frames, durMs) = Media.JdkAudioDecoders.probe(wav)
+    assert((sr, ch, bits, frames, durMs) == ((11025, 2, 16, 1234L, 112L)))
+  }
+
   test("stub video decoder behind the trait == original sampleFrames kernel") {
     val payload = Array.tabulate[Byte](1024)(i => (i % 251).toByte)
     val df = Seq((3L, payload)).toDF("doc_id", "payload")
@@ -114,6 +151,59 @@ class MediaSpec extends AnyFunSuite {
     assert(viaTrait.map(f => (f.docId, f.frameNo, f.tsMs, f.payload.toSeq)) ==
       original.map(f => (f.docId, f.frameNo, f.tsMs, f.payload.toSeq)))
     assert(viaTrait.nonEmpty)
+  }
+
+  /** A real w×h JPEG with a solid color — ImageIO encodes it, so the AVI
+    * fixture's frames are genuine JPEG streams, not byte stubs. */
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("MJPEG/AVI pure-JVM decode: real container parse + real JPEG frames in CI") {
+    // 20 frames at 10 fps (usPerFrame = 100_000) → 2 s, 64×48
+    val frames = (0 until 20).map(i => jpegFrame(64, 48, 0x102030 + i * 7))
+    val avi = Media.MjpegAvi.encode(frames, 100000L, 64, 48)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    val (durMs, w, h) = Media.MjpegAvi.probe(avi)
+    assert((durMs, w, h) == ((2000L, 64, 48)))
+    // sample every 500 ms → every 5th frame: 0, 5, 10, 15
+    val sampled = Media.MjpegAvi.sampleFrames(avi, 500L).toSeq
+    assert(sampled.map(f => (f._1, f._2)) ==
+      Seq((0, 0L), (5, 500L), (10, 1000L), (15, 1500L)))
+    // the emitted bytes are REAL JPEGs: the JDK image codec decodes them
+    sampled.foreach { case (_, _, bytes) =>
+      assert(Multimodal.JdkImageDecoders.decode(bytes) == ((64, 48)))
+    }
+    // frame bytes survive the container byte-exactly
+    assert(sampled.head._3.toSeq == frames(0).toSeq)
+    assert(sampled(1)._3.toSeq == frames(5).toSeq)
+  }
+
+  test("MJPEG/AVI behind the batch stages: probe + frame explode, distributed") {
+    val avi1 = Media.MjpegAvi.encode(
+      (0 until 6).map(i => jpegFrame(32, 24, 0x406080 + i)), 200000L, 32, 24)
+    val avi2 = Media.MjpegAvi.encode(
+      (0 until 3).map(i => jpegFrame(16, 16, 0x91a1b1 + i)), 100000L, 16, 16)
+    val df = Seq((1L, avi1), (2L, avi2)).toDF("doc_id", "payload")
+    val meta = Media.extractVideoMeta(df, Media.MjpegAvi)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(meta == Set((1L, 1200L, 32, 24), (2L, 300L, 16, 16)))
+    // frames through sampleVideoFrames feed the image feature stage — the
+    // full video→frame→feature pipeline with zero stubs
+    val fr = Media.sampleVideoFrames(df, 200L, Media.MjpegAvi)
+    val feats = Multimodal.extractFeatures(
+      fr.select(col("docId").as("doc_id"), col("payload")),
+      Multimodal.JdkImageDecoders).collect()
+    assert(fr.count() == 6L + 2L) // every 1st of 6; every 2nd of 3
+    assert(feats.forall(_.getAs[Seq[Float]](1).size == 16))
   }
 
   test("ffmpeg video decode: real contract when present, documented skip when absent") {
