@@ -32,6 +32,28 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("queries iteration order is structural and serve-pricing-safe") {
+    // Bench iterates queries in collection order, and the disclosed pricing
+    // policy depends on it: q54 computes the shared cluster state its five
+    // servers are serve-priced against, and q40 trains the IVF memo q86
+    // serves. A HashMap's incidental order could silently re-price them.
+    val order = SparkEntry.queries.keys.toVector
+    assert(SparkEntry.queries.isInstanceOf[scala.collection.immutable.VectorMap[_, _]],
+      "queries must be an insertion-ordered collection")
+    def before(a: String, b: String): Unit =
+      assert(order.indexOf(a) >= 0 && order.indexOf(a) < order.indexOf(b),
+        s"$a must precede $b in SparkEntry.queries")
+    Seq("q56_curation", "q65_training_export", "q67_dup_rate_by_source",
+        "q68_cluster_keeper", "q84_leakfree_split")
+      .foreach(before("q54_dedup_clusters", _))
+    before("q40_ivf_ann", "q86_served_ann")
+    before("q70_winnow_pairs", "q89_dup_spans")
+    // and the full declared order is the numeric one — any insertion slip
+    // (a new query landing out of place) is caught here, not in a re-priced
+    // bench row three rounds later.
+    assert(order == order.sortBy(identity), "queries must stay in q-number order")
+  }
+
   test("plan contract: no non-atomic top-level column in any declared output") {
     // Array/map/struct/binary columns hash differently across engines'
     // dataframe bridges, and generic comparators cannot sort array cells
