@@ -54,6 +54,17 @@ final class DriftStream(spark: SparkSession, state: StateDir) {
       state.read(Table, Schema)
         .groupBy(col("half"), col("tok"))
         .agg(sum(col("cnt")).as("cnt")))
+
+  /** The retrain TRIGGER — the policy the scaladocs call "retrain when
+    * DriftStream says so", as code: true when the served report's largest
+    * |Δppm| reaches `thresholdPpm`. The report is already ordered by
+    * |Δppm| descending, so this reads exactly one row; nothing is
+    * recomputed beyond the O(state) report merge. DriftRetrainSpec pins
+    * the full loop: threshold crossing → [[graft.operators.IvfIndex
+    * .build]] → serving ≡ a fresh index. */
+  def shouldRetrain(thresholdPpm: Long): Boolean =
+    state.exists(Table) && report.limit(1).collect()
+      .headOption.exists(r => math.abs(r.getAs[Long]("delta_ppm")) >= thresholdPpm)
 }
 
 object DriftStream {
