@@ -254,6 +254,102 @@ object Media {
       |  max(duration_ms) AS max_duration_ms
       |FROM m GROUP BY 1, 2 ORDER BY sample_rate, channels""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+
+  /** A real w×h solid-color JPEG via ImageIO — the frame synthesizer for
+    * the q91 fixture videos (and the MediaSpec AVI fixtures): the bytes
+    * are genuine JPEG streams from the JDK encoder, so the decode half of
+    * the pipeline exercises the real codec, never a stub. */
+  def synthJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb & 0xffffff)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** The video geometry q91 gives doc `id` — (width, height, nFrames,
+    * usPerFrame), closed-form so the DuckDB oracle recomputes every
+    * probed field without touching a byte of video. 33367 µs is the
+    * NTSC-ish period that makes the duration rounding non-trivial. */
+  def q91Params(id: Long): (Int, Int, Int, Long) = {
+    val w = Array(16, 24, 32)((id % 3).toInt)
+    val h = Array(12, 16)((id % 2).toInt)
+    val nf = (2 + id % 4).toInt
+    val us = Array(33367L, 40000L, 100000L)(((id / 3) % 3).toInt)
+    (w, h, nf, us)
+  }
+
+  /** q91: the REAL video codec behind a driver CORRECTNESS row — the
+    * video twin of q90. Each document gets a genuine MJPEG/AVI container
+    * assembled by [[MjpegAvi.encode]] from real ImageIO JPEG frames at
+    * closed-form geometry ([[q91Params]]); the declared plan then runs
+    * the full production video pipeline: [[extractVideoMeta]] (the real
+    * RIFF container walk) probes duration/dims, [[sampleVideoFrames]]
+    * explodes every frame, and [[Multimodal.extractMeta]] with
+    * [[Multimodal.JdkImageDecoders]] REALLY decodes each JPEG. Only
+    * frames whose decoded dims equal the container's survive into the
+    * rollup, so a regression in either codec half changes the counts and
+    * fails the hash. The DuckDB oracle recomputes geometry and duration
+    * in exact integer arithmetic ((nf·us + 500) // 1000 ≡
+    * Math.round(nf·us/1000.0), pinned over the whole space in
+    * MediaSpec). Plan shape: scan (doc_id only) → synth once (staged
+    * lazy localCheckpoint, ~KBs/doc) → two pipelined branches (probe;
+    * frame-explode → decode) → doc-keyed join → two-level agg on the
+    * 6-row geometry key. Payloads never shuffle beyond the staged frame.
+    */
+  def q91VideoProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vids = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map { id =>
+        val (w, h, nf, us) = q91Params(id)
+        val frames = (0 until nf)
+          .map(i => synthJpeg(w, h, (id * 31 + i * 7).toInt))
+        (id, MjpegAvi.encode(frames, us, w, h))
+      }).toDF("doc_id", "payload")
+      .localCheckpoint(eager = false) // synth runs ONCE, both branches read it
+    val meta = extractVideoMeta(vids, MjpegAvi)
+    val decoded = Multimodal.extractMeta(
+      sampleVideoFrames(vids, 1L, MjpegAvi) // everyMs=1 → every frame
+        .select(col("docId").as("doc_id"), col("payload")).toDF(),
+      Multimodal.JdkImageDecoders).toDF()
+      .select(col("docId").as("doc_id"),
+        col("width").as("fw"), col("height").as("fh"))
+    val perDoc = decoded.join(meta, Seq("doc_id"))
+      .filter(col("fw") === col("width") && col("fh") === col("height"))
+      .groupBy(col("doc_id"), col("width"), col("height"), col("duration_ms"))
+      .agg(count(lit(1)).as("nf"))
+    perDoc.groupBy(col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("nf")).as("n_frames_decoded"),
+        org.apache.spark.sql.functions.sum(col("duration_ms")).as("sum_duration_ms"),
+        org.apache.spark.sql.functions.min(col("duration_ms")).as("min_duration_ms"),
+        org.apache.spark.sql.functions.max(col("duration_ms")).as("max_duration_ms"))
+      .orderBy(col("width"), col("height"))
+  }
+
+  def q91Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS INT) AS width,
+      |    CAST(CASE doc_id % 2 WHEN 0 THEN 12 ELSE 16 END AS INT) AS height,
+      |    2 + doc_id % 4 AS nf,
+      |    CASE (doc_id // 3) % 3 WHEN 0 THEN 33367 WHEN 1 THEN 40000 ELSE 100000 END AS us
+      |  FROM documents
+      |), m AS (
+      |  SELECT width, height, nf, (nf * us + 500) // 1000 AS duration_ms
+      |  FROM p
+      |)
+      |SELECT width, height, count(*) AS n_docs,
+      |  CAST(sum(nf) AS BIGINT) AS n_frames_decoded,
+      |  CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms,
+      |  min(duration_ms) AS min_duration_ms,
+      |  max(duration_ms) AS max_duration_ms
+      |FROM m GROUP BY 1, 2 ORDER BY width, height""".stripMargin
+
   // ---------------------------------------------------------------- video
 
   /** Video decoder surface: container probe + sampled frame extraction.

@@ -139,6 +139,38 @@ class MediaSpec extends AnyFunSuite {
     assert((sr, ch, bits, frames, durMs) == ((11025, 2, 16, 1234L, 112L)))
   }
 
+  test("q91 duration rounding: integer oracle formula == Math.round over the whole space") {
+    // oracle computes (nf·us + 500) // 1000; MjpegAvi.probe computes
+    // Math.round(nf·us / 1000.0). Every geometry q91Params can emit.
+    for (us <- Seq(33367L, 40000L, 100000L); nf <- 0L to 16L) {
+      val jvm = math.round(nf * us / 1000.0)
+      val exact = (nf * us + 500) / 1000
+      assert(jvm == exact, s"us=$us nf=$nf: round=$jvm oracle=$exact")
+    }
+  }
+
+  test("q91 == closed-form rollup, through REAL container parse + REAL JPEG decode") {
+    val sf = graft.TestSession.sf
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    val expected = ids.map { id =>
+      val (w, h, nf, us) = Media.q91Params(id)
+      ((w, h), (nf.toLong, (nf * us + 500) / 1000))
+    }.groupBy(_._1).map { case ((w, h), rows) =>
+      val ds = rows.map(_._2)
+      (w, h, rows.length.toLong, ds.map(_._1).sum,
+        ds.map(_._2).sum, ds.map(_._2).min, ds.map(_._2).max)
+    }.toSeq.sorted
+    val got = Media.q91VideoProbe(spark, sf).collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sorted
+    assert(got == expected)
+    // n_frames_decoded counts only frames ImageIO ACTUALLY decoded at the
+    // container dims — equality with the closed-form frame total means
+    // every synthesized JPEG round-tripped through the real codec.
+    assert(got.map(_._4).sum == ids.map(id => Media.q91Params(id)._3.toLong).sum)
+  }
+
   test("stub video decoder behind the trait == original sampleFrames kernel") {
     val payload = Array.tabulate[Byte](1024)(i => (i % 251).toByte)
     val df = Seq((3L, payload)).toDF("doc_id", "payload")
