@@ -55,6 +55,32 @@ object Dials {
     * `graft_lsh_capped` observe metrics report every engagement. */
   val HotBucketCap = 1024
 
+  /** Product-quantization subspace count (q92): the 64-dim embedding
+    * splits into M sub-vectors, each quantized independently — codes are
+    * M small ints per vector, the 100 TB ANN MEMORY dial (M bytes/vector
+    * at Ks ≤ 256 vs 4·dim float bytes = 32× compression at the fixture
+    * shape). At scale M=8..16 with SubDim 8..16 is the standard range;
+    * M must divide the embedding dim. Recall is re-measured per corpus
+    * (PqRecallSpec pins the fixture floor). */
+  val PqSubspaces = 8
+
+  /** Per-subspace PQ codebook size (q92). Fixture: 16 centroids (4-bit
+    * codes) keeps the unrolled exact oracle tractable; production
+    * standard is 256 (8-bit codes, one byte per subspace). Codebook
+    * broadcast is M·Ks·SubDim floats — 256·8·8·4 B = 64 KB at the
+    * production shape, still trivially broadcastable. */
+  val PqCodebook = 16
+
+  /** PQ re-rank shortlist size (q92): the ADC scan keeps the R best
+    * codes per probe and only THOSE R rows fetch their float vectors
+    * for exact re-ranking (Jégou et al.'s IVFADC+R) — the float I/O per
+    * probe is R rows, not a cell. Fixture: 64 (measured recall@3 0.667+
+    * on the near-random synthetic embeddings — the hardest corpus for
+    * PQ; PqSpec pins the floor). At scale R trades float-fetch I/O for
+    * recall and is re-measured per corpus; 10-100× the final k is the
+    * standard range, independent of corpus size. */
+  val PqRerank = 64
+
   /** Decontamination bloom sizing: bits per filter and the expected
     * distinct-shingle count it is sized for. Fixture: 2^22 bits /
     * 2^16 items ≈ 64 bits/item → fp ≈ 1e-5 at 512 KB per filter.

@@ -42,8 +42,8 @@ object Ivf {
   private val K = graft.Dials.IvfCells
   private val Dim = graft.Dials.EmbeddingDim // set by the corpus (TESTDATA.md)
   private val Iters = 2    // deterministic Lloyd iterations
-  private val ProbeFrom = 490L
-  private val NProbes = 10L // probes: vec_id in [490, 500) at EVERY sf —
+  private[graft] val ProbeFrom = 490L
+  private[graft] val NProbes = 10L // probes: vec_id in [490, 500) at EVERY sf —
                             // an unbounded >= filter would quietly turn
                             // larger fixtures into thousands of probes
   /** IVF nprobe: each probe searches its [[NProbeCells]] nearest cells, the
@@ -275,8 +275,9 @@ object Ivf {
 
   /** Shared oracle CTE chain: seed → unrolled Lloyd rounds → final scores
     * (`sf`) → trained cell assignment (`tagged`), plus the normed `emb`
-    * view. Used by q40 (ANN serve) and q75 (semantic dedup). */
-  private def trainedCtes: String =
+    * view. Used by q40 (ANN serve), q75 (semantic dedup) and q92
+    * (IVF-PQ, which appends its own product-quantizer chain). */
+  private[operators] def trainedCtes: String =
     s"""WITH emb AS (
        |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM embeddings
        |), c0 AS (

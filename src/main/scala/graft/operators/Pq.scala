@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Vectors
+
+/** IVF-PQ ANN (q92) — product quantization over the trained IVF cells:
+  * the 100 TB ANN MEMORY path. Reference scope: the reference ships no
+  * ANN at all (its nearest analog is the hash-equality file matcher,
+  * `StreamingApp.scala:415-447`); this family is north-star scope, and
+  * PQ is its memory leg the way [[Ivf]] is its compute leg.
+  *
+  * The shape (Jégou, Douze, Schmid, "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011 — the IVFADC system): split each
+  * [[graft.Dials.EmbeddingDim]]-dim vector into [[graft.Dials.PqSubspaces]]
+  * sub-vectors; k-means each subspace independently into
+  * [[graft.Dials.PqCodebook]] centroids; a vector's CODE is its M argmin
+  * centroid ids — M small ints instead of dim floats (fixture: 8×4-bit
+  * codes vs 256 float bytes = 32× smaller; production 8×8-bit vs the
+  * same = still 32×, see Dials). Serving never touches the float
+  * corpus: a probe precomputes an M×Ks lookup table of per-subspace
+  * squared-L2 terms against the codebooks, and each candidate's
+  * asymmetric distance (ADC) is M table lookups summed — here a
+  * broadcast-join + fixed 8-term sum over the code table.
+  *
+  * Candidates come from the SAME trained coarse quantizer as q40
+  * ([[Ivf.train]]), nprobe nearest cells per probe — so the expensive
+  * per-probe work is |3N/K| codes, not N, and the window top-k is
+  * cell-bounded exactly like q40's. What PQ adds to q40 is the memory
+  * story: at 1e9+ vectors the assignment table's float embeddings
+  * dominate storage and serve I/O; the PQ code table is M bytes/vector
+  * (8 GB where floats are 256 GB), small enough to pin hot.
+  *
+  * Bit-exactness contract (oracle = the same computation unrolled in
+  * DuckDB SQL):
+  *  - sub-vector slices are literal `slice` calls (1-based, SubDim
+  *    long) ↔ DuckDB `embedding[a:b]` — no HOF in the encode path;
+  *  - every dot product is `graft_dot` (double left-fold from 0.0) ↔
+  *    `list_reduce(list_transform(...))` (left-fold from the first
+  *    element; IEEE `0.0 + x == x` makes them identical);
+  *  - per-subspace Lloyd means reuse q40's ordered-fold doctrine
+  *    (collect_list sorted by vec_id, left-fold, one FLOAT rounding)
+  *    — the one allowlisted HOF site, grouped rows only;
+  *  - squared L2 is the fixed expression `(sn2 - 2·dot) + cn2` on both
+  *    engines (left-assoc in both parsers);
+  *  - argmin ties break on the smaller centroid id (`min_by` struct
+  *    order ↔ `ORDER BY d2, cid`);
+  *  - the ADC sum is NOT a float aggregation: the M per-subspace terms
+  *    pivot to fixed columns (`max(when)` over singletons) and sum as
+  *    the literal expression t0+t1+...+t7 — the same left-to-right
+  *    order on both engines, so no summation-order divergence exists.
+  */
+object Pq {
+
+  private val M = graft.Dials.PqSubspaces
+  private val SubDim = graft.Dials.EmbeddingDim / M
+  private val Ks = graft.Dials.PqCodebook
+  private val Iters = 2 // deterministic Lloyd rounds, same as the coarse quantizer
+  private val NProbeCells = graft.Dials.IvfNProbeCells
+
+  require(graft.Dials.EmbeddingDim % M == 0,
+    s"PqSubspaces ($M) must divide EmbeddingDim (${graft.Dials.EmbeddingDim})")
+
+  /** (vec_id, m, sv, sn2): the corpus exploded into M sub-vectors per
+    * vector. The slice list is a literal array of M codegen'd `slice`
+    * calls — posexplode_outer keeps InferFiltersFromGenerate from
+    * re-deriving the computed array into the scan filters. */
+  private[graft] def subVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode_outer(array((0 until M).map { m =>
+        slice(col("embedding"), m * SubDim + 1, SubDim)
+      }: _*)))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+      .withColumn("sn2", Vectors.dot(col("sv"), col("sv")))
+
+  /** Nearest-codebook-entry assignment for every (vector, subspace) —
+    * same map-side `min_by` collapse as [[Ivf.assignTo]] (the broadcast
+    * join preserves scan partitioning, so the Ks scored rows per
+    * (vec_id, m) combine before any shuffle). Squared L2, ties to the
+    * smaller cid. */
+  private[graft] def assignSub(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2",
+        col("sn2") - lit(2.0) * Vectors.dot(col("sv"), col("ce")) + col("cn2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(
+        struct(col("sv"), col("sn2"), col("cid").as("code")),
+        struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.sv").as("sv"),
+        col("best.sn2").as("sn2"), col("best.code").as("code"))
+
+  /** One per-subspace Lloyd update — [[Ivf.centroidsOf]] with (m, code)
+    * as the group key and SubDim-long arrays: ordered fold in vec_id
+    * order, one FLOAT rounding per dimension. Grouped rows only (the
+    * allowlisted HOF site; see EntrySmokeSpec). */
+  private def codebooksOf(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("aggregate(array_sort(collect_list(struct(vec_id, sv))), " +
+          s"array_repeat(CAST(0 AS DOUBLE), $SubDim), " +
+          "(acc, x) -> zip_with(acc, x.sv, (a, e) -> a + double(e)))")
+          .as("sums"))
+      .select(col("m"), col("code").as("cid"),
+        expr("transform(sums, s -> CAST(s / cnt AS FLOAT))").as("ce"))
+      .withColumn("cn2", Vectors.dot(col("ce"), col("ce")))
+
+  /** Codebook training: seed = the first Ks vectors' sub-vectors (one
+    * seed table serves all M subspaces — subspace is a column, so the M
+    * independent k-means runs are ONE job per round, not M). */
+  private[graft] def trainCodebooks(sub: DataFrame): DataFrame = {
+    val seed = sub.filter(col("vec_id") < Ks)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("ce"),
+        col("sn2").as("cn2"))
+    (0 until Iters).foldLeft(seed) { (c, _) => codebooksOf(assignSub(sub, c)) }
+  }
+
+  // ---------------------------------------------------------------- q92
+
+  private val R = graft.Dials.PqRerank
+
+  /** IVF-PQ ANN with exact re-rank (IVFADC+R): q40's probes and coarse
+    * cells; PQ-ADC scores every candidate CODE (no float access), keeps
+    * the R best per probe, and only that shortlist fetches float vectors
+    * for an exact squared-L2 re-rank to top-3. Output (probe_id,
+    * vec_id, adc, l2, rn) — both stages' scores in the open.
+    *
+    * Why the re-rank stage is load-bearing: raw ADC systematically
+    * under-scores badly-quantized vectors (it measures probe→centroid,
+    * dropping the ‖x−c(x)‖² residual), and on a weakly-clustered corpus
+    * the top-3 by ADC alone is noise (measured 0.03 recall@3 on the
+    * fixture — the synthetic embeddings are near-random unit vectors,
+    * PQ's hardest case). The shortlist absorbs that noise: recall@3
+    * jumps to 0.67 at R=64 while the float fetch stays R rows per
+    * probe. [[PqSpec]] pins the floor. */
+  def q92IvfPqAnn(s: SparkSession, d: String): DataFrame = {
+    val (emb, trained) = Ivf.train(s, d)
+    val tagged = Ivf.assignTo(emb, trained).persist()
+    val sub = subVectors(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .persist() // scanned per Lloyd round + encode + probe LUT
+    val cb = trainCodebooks(sub)
+    val codes = assignSub(sub, cb).select(col("vec_id"), col("m"), col("code"))
+
+    val probeRange = col("vec_id") >= Ivf.ProbeFrom &&
+      col("vec_id") < Ivf.ProbeFrom + Ivf.NProbes
+    // coarse candidates: each probe's nprobe nearest cells, exactly q40
+    val pcells = Ivf.rankCells(tagged.filter(probeRange), trained, NProbeCells)
+      .select(col("vec_id").as("probe_id"), col("cell"))
+    val cand = tagged.select(col("vec_id"), col("cell"))
+      .join(broadcast(pcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+
+    // probe ADC lookup table: per (probe, subspace, code) the squared-L2
+    // term (pn2m - 2·dot(pv, ce)) + cn2 — M·Ks rows per probe, broadcast
+    val lut = sub.filter(probeRange)
+      .select(col("vec_id").as("probe_id"), col("m"),
+        col("sv").as("pv"), col("sn2").as("pn2m"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("probe_id"), col("m"), col("cid").as("code"),
+        (col("pn2m") - lit(2.0) * Vectors.dot(col("pv"), col("ce")) + col("cn2"))
+          .as("t"))
+
+    // ADC: M lookups per candidate, pivoted to fixed columns so the sum
+    // is the literal left-to-right expression t0+...+t{M-1} (map-side
+    // partial agg collapses the M rows per (probe, candidate))
+    val pivoted = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(max(when(col("m") === 0, col("t"))).as("t0"),
+        (1 until M).map(j =>
+          max(when(col("m") === j, col("t"))).as(s"t$j")): _*)
+    val adcExpr = (1 until M).foldLeft(col("t0")) { (acc, j) => acc + col(s"t$j") }
+
+    // shortlist: R best codes per probe — the only rows that ever read
+    // a float vector again
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    val shortlist = pivoted
+      .withColumn("adc", adcExpr)
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= R)
+      .select(col("probe_id"), col("vec_id"), col("adc"))
+
+    // exact re-rank: squared L2 over the R-row float gather per probe
+    val pfloats = tagged.filter(probeRange)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    val wL2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("l2").asc, col("vec_id"))
+    shortlist
+      .join(tagged.select(col("vec_id"), col("embedding"), col("n2")), Seq("vec_id"))
+      .join(broadcast(pfloats), Seq("probe_id"))
+      .withColumn("l2",
+        col("pn2") - lit(2.0) * Vectors.dot(col("pe"), col("embedding")) + col("n2"))
+      .withColumn("rn", row_number().over(wL2))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id"), col("adc"), col("l2"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  private def duckDot(a: String, b: String): String = Similarity.duckDotSql(a, b)
+
+  private def msTable: String = s"(SELECT unnest(range(0, $M)) AS m) ms"
+
+  /** One unrolled per-subspace Lloyd round: score against pc`t`,
+    * argmin-assign per (vec_id, m), ordered-fold mean per
+    * (m, code, dim), rebuild pc`t+1`. The coarse chain's twin
+    * ([[Ivf.iterSql]]) with the subspace as a data column. */
+  private def pqIterSql(t: Int): String =
+    s""", pqs$t AS (
+       |  SELECT e.vec_id, e.m, e.sv, e.sn2, c.cid,
+       |    e.sn2 - 2 * ${duckDot("e.sv", "c.ce")} + c.cn2 AS d2
+       |  FROM psub e JOIN pc$t c ON e.m = c.m
+       |), pqa$t AS (
+       |  SELECT vec_id, m, sv, sn2, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS crn
+       |    FROM pqs$t) t WHERE crn = 1
+       |), pqd$t AS (
+       |  SELECT m, code, dim,
+       |    CAST(list_reduce(list(sv[dim]::DOUBLE ORDER BY vec_id), (acc, x) -> acc + x) / count(*) AS REAL) AS cv
+       |  FROM pqa$t, (SELECT unnest(range(1, ${SubDim + 1})) AS dim) dims
+       |  GROUP BY m, code, dim
+       |), pc${t + 1} AS (
+       |  SELECT m, cid, ce, ${duckDot("ce", "ce")} AS cn2 FROM (
+       |    SELECT m, code AS cid, list(cv ORDER BY dim) AS ce FROM pqd$t GROUP BY m, code) t
+       |)""".stripMargin
+
+  def q92Sql: String = {
+    val slice = s"embedding[m*$SubDim+1 : m*$SubDim+$SubDim]"
+    val pivots = (0 until M).map(j =>
+      s"max(CASE WHEN k.m = $j THEN l.t END) AS t$j").mkString(", ")
+    val adcSum = (0 until M).map(j => s"t$j").mkString(" + ")
+    s"""${Ivf.trainedCtes}, psub AS (
+       |  SELECT vec_id, m, sv, ${duckDot("sv", "sv")} AS sn2 FROM (
+       |    SELECT vec_id, m, $slice AS sv FROM embeddings, $msTable) t
+       |), pc0 AS (
+       |  SELECT m, vec_id AS cid, sv AS ce, sn2 AS cn2 FROM psub WHERE vec_id < $Ks
+       |)${(0 until Iters).map(pqIterSql).mkString}, pqsf AS (
+       |  SELECT e.vec_id, e.m, c.cid,
+       |    e.sn2 - 2 * ${duckDot("e.sv", "c.ce")} + c.cn2 AS d2
+       |  FROM psub e JOIN pc$Iters c ON e.m = c.m
+       |), codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS crn
+       |    FROM pqsf) t WHERE crn = 1
+       |), pcells AS (
+       |  SELECT vec_id AS probe_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |    FROM sf WHERE vec_id >= ${Ivf.ProbeFrom} AND vec_id < ${Ivf.ProbeFrom + Ivf.NProbes}) t
+       |  WHERE crn <= $NProbeCells
+       |), cand AS (
+       |  SELECT pc.probe_id, t.vec_id
+       |  FROM tagged t JOIN pcells pc ON t.cell = pc.cell
+       |  WHERE t.vec_id <> pc.probe_id
+       |), lut AS (
+       |  SELECT p.vec_id AS probe_id, c.m, c.cid AS code,
+       |    p.sn2 - 2 * ${duckDot("p.sv", "c.ce")} + c.cn2 AS t
+       |  FROM psub p JOIN pc$Iters c ON p.m = c.m
+       |  WHERE p.vec_id >= ${Ivf.ProbeFrom} AND p.vec_id < ${Ivf.ProbeFrom + Ivf.NProbes}
+       |), sc AS (
+       |  SELECT cd.probe_id, cd.vec_id,
+       |    $pivots
+       |  FROM cand cd
+       |  JOIN codes k ON k.vec_id = cd.vec_id
+       |  JOIN lut l ON l.probe_id = cd.probe_id AND l.m = k.m AND l.code = k.code
+       |  GROUP BY cd.probe_id, cd.vec_id
+       |), shortlist AS (
+       |  SELECT probe_id, vec_id, adc FROM (
+       |    SELECT probe_id, vec_id, $adcSum AS adc,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY $adcSum, vec_id) AS arn
+       |    FROM sc) t WHERE arn <= $R
+       |), rr AS (
+       |  SELECT s.probe_id, s.vec_id, s.adc,
+       |    p.n2 - 2 * ${duckDot("p.embedding", "e.embedding")} + e.n2 AS l2
+       |  FROM shortlist s
+       |  JOIN emb e ON e.vec_id = s.vec_id
+       |  JOIN emb p ON p.vec_id = s.probe_id
+       |), ranked AS (
+       |  SELECT probe_id, vec_id, adc, l2,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY l2, vec_id) AS INT) AS rn
+       |  FROM rr
+       |)
+       |SELECT probe_id, vec_id, adc, l2, rn FROM ranked
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+  }
+}
