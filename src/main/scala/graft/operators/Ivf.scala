@@ -166,57 +166,13 @@ object Ivf {
   // ---------------------------------------------------------------- q86
 
   /** Per-(session, corpus) persisted-index memo backing [[q86ServedAnn]] —
-    * the q54/q56 train-once/serve-many split applied to ANN: the first
-    * call per session+corpus BUILDS the index (trains the quantizer,
-    * publishes centroid + assignment tables to a [[graft.streaming.StateDir]]),
-    * and every call serves from the persisted tables. Same memo hygiene
-    * as the CC label memo (Dedup.ccMemo): bounded LRU so dead sessions'
-    * entries age out, and each entry carries a STAMP of the embeddings
-    * files, checked on every serve — a corpus mutated under a served
-    * path retrains instead of silently serving stale assignments. (An
-    * evicted/stale entry's state dir is simply abandoned; the fresh
-    * entry trains into a new one.) */
-  private val IndexMemoMax = 8
-  private def deleteTree(root: String): Unit = {
-    def rec(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val c = java.nio.file.Files.list(p)
-        try c.forEach(rec(_)) finally c.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    try rec(java.nio.file.Paths.get(root)) catch { case _: Throwable => () }
-  }
-
-  // memo value: (corpus stamp, temp StateDir root, index). Evicted and
-  // stamp-stale entries DELETE their temp root — a long-lived session over
-  // a mutating corpus must not grow /tmp unboundedly.
-  private val indexMemo =
-    new java.util.LinkedHashMap[String, (String, String, IvfIndex)](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (String, String, IvfIndex)]): Boolean = {
-        val evict = size() > IndexMemoMax
-        if (evict) deleteTree(e.getValue._2)
-        evict
-      }
-    }
-
-  /** Cheap driver-side fingerprint of the embeddings files backing a
-    * build (names + sizes + mtimes — the Dedup.corpusStamp doctrine). */
-  private def embStamp(d: String): String = {
-    import java.nio.file.{Files, Path, Paths}
-    val dir = Paths.get(d, "embeddings.parquet")
-    val target = if (Files.isDirectory(dir)) dir else Paths.get(d)
-    if (!Files.exists(target)) return "absent"
-    val s = Files.list(target)
-    try {
-      val entries = new scala.collection.mutable.ArrayBuffer[String]()
-      s.forEach { (p: Path) =>
-        entries += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-      }
-      entries.sorted.mkString(",")
-    } finally s.close()
-  }
+    * the q54/q56 train-once/serve-many split applied to ANN (the shared
+    * [[ServedMemo]] machinery; [[PqIndex]] reuses it for q93). */
+  private val indexMemo = new ServedMemo[IvfIndex](
+    maxEntries = 8,
+    mk = (s, state) => new IvfIndex(s, state),
+    built = _.isBuilt,
+    build = _.build(_))
 
   /** Served-index ANN — q40's exact contract (same probes, same nprobe,
     * same top-3, same oracle) answered from a PERSISTED [[IvfIndex]]:
@@ -228,24 +184,8 @@ object Ivf {
     * policy is the deployment's: a new session (or a fresh StateDir)
     * rebuilds; [[IvfIndexSpec]] pins serve ≡ inline-q40 bit-identically
     * and that the serving plan carries no Lloyd subtree. */
-  def q86ServedAnn(s: SparkSession, d: String): DataFrame = {
-    val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
-    val stamp = embStamp(d)
-    val idx = indexMemo.synchronized {
-      Option(indexMemo.get(key)) match {
-        case Some((st, _, i)) if st == stamp => i
-        case stale =>
-          stale.foreach { case (_, oldRoot, _) => deleteTree(oldRoot) }
-          val root = java.nio.file.Files
-            .createTempDirectory("graft-ivf-index-").toString
-          val i = new IvfIndex(s, new graft.streaming.StateDir(s, root))
-          indexMemo.put(key, (stamp, root, i))
-          i
-      }
-    }
-    idx.synchronized { if (!idx.isBuilt) idx.build(d) }
-    idx.query(ProbeFrom, NProbes)
-  }
+  def q86ServedAnn(s: SparkSession, d: String): DataFrame =
+    indexMemo.get(s, d, "embeddings.parquet").query(ProbeFrom, NProbes)
 
   /** Same answer, same oracle: the index serves q40's results verbatim. */
   def q86Sql: String = q40Sql

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-(session, corpus) persisted-index memo — the train-once/serve-many
+  * split shared by every served-index query (q86's [[IvfIndex]], q93's
+  * [[PqIndex]]): the first call per session+corpus BUILDS the index
+  * (trains the quantizer, publishes its tables to a temp
+  * [[graft.streaming.StateDir]]), and every later call serves from the
+  * persisted tables. Same memo hygiene as the CC label memo
+  * (Dedup.ccMemo): bounded LRU so dead sessions' entries age out, and
+  * each entry carries a STAMP of the corpus files, checked on every
+  * serve — a corpus mutated under a served path retrains instead of
+  * silently serving stale state. Evicted and stamp-stale entries DELETE
+  * their temp root — a long-lived session over a mutating corpus must
+  * not grow /tmp unboundedly.
+  *
+  * `T` is the index type; `mk` builds a fresh (unbuilt) index over a new
+  * temp StateDir, `built`/`build` drive the build-once contract.
+  */
+private[operators] final class ServedMemo[T <: AnyRef](
+    maxEntries: Int,
+    mk: (SparkSession, graft.streaming.StateDir) => T,
+    built: T => Boolean,
+    build: (T, String) => Unit) {
+
+  private def deleteTree(root: String): Unit = {
+    def rec(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val c = java.nio.file.Files.list(p)
+        try c.forEach(rec(_)) finally c.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    try rec(java.nio.file.Paths.get(root)) catch { case _: Throwable => () }
+  }
+
+  // memo value: (corpus stamp, temp StateDir root, index)
+  private val memo =
+    new java.util.LinkedHashMap[String, (String, String, T)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, String, T)]): Boolean = {
+        val evict = size() > maxEntries
+        if (evict) deleteTree(e.getValue._2)
+        evict
+      }
+    }
+
+  /** Cheap driver-side fingerprint of the corpus files backing a build
+    * (names + sizes + mtimes — the Dedup.corpusStamp doctrine). */
+  private def stampOf(d: String, table: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Paths.get(d, table)
+    val target = if (Files.isDirectory(dir)) dir else Paths.get(d)
+    if (!Files.exists(target)) return "absent"
+    val s = Files.list(target)
+    try {
+      val entries = new scala.collection.mutable.ArrayBuffer[String]()
+      s.forEach { (p: Path) =>
+        entries += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      }
+      entries.sorted.mkString(",")
+    } finally s.close()
+  }
+
+  /** The built index for (session, corpus dir), building at most once per
+    * stamp. `stampTable` names the corpus file/dir the stamp watches
+    * (e.g. "embeddings.parquet"). */
+  def get(s: SparkSession, d: String, stampTable: String): T = {
+    val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
+    val stamp = stampOf(d, stampTable)
+    val idx = memo.synchronized {
+      Option(memo.get(key)) match {
+        case Some((st, _, i)) if st == stamp => i
+        case stale =>
+          stale.foreach { case (_, oldRoot, _) => deleteTree(oldRoot) }
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-served-index-").toString
+          val i = mk(s, new graft.streaming.StateDir(s, root))
+          memo.put(key, (stamp, root, i))
+          i
+      }
+    }
+    idx.synchronized { if (!built(idx)) build(idx, d) }
+    idx
+  }
+}
