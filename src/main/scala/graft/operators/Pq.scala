@@ -138,12 +138,25 @@ object Pq {
     val (emb, trained) = Ivf.train(s, d)
     val tagged = Ivf.assignTo(emb, trained).persist()
     val sub = subVectors(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-      .persist() // scanned per Lloyd round + encode + probe LUT
+      .persist() // scanned per Lloyd round + encode
     val cb = trainCodebooks(sub)
     val codes = assignSub(sub, cb).select(col("vec_id"), col("m"), col("code"))
+    serve(tagged, trained, cb, codes, Ivf.ProbeFrom, Ivf.NProbes)
+  }
 
-    val probeRange = col("vec_id") >= Ivf.ProbeFrom &&
-      col("vec_id") < Ivf.ProbeFrom + Ivf.NProbes
+  /** The q92 serving plan over EXISTING coarse-assignment, coarse-centroid,
+    * codebook and code tables: coarse candidates from the probe's nprobe
+    * nearest cells, broadcast ADC lookup table, pivoted M-term ADC sum,
+    * R-row shortlist, exact float re-rank to top-3. Shared by the inline
+    * q92 (which trains everything first) and the persisted [[PqIndex]]
+    * (which reads all four tables from a StateDir) so both are
+    * bit-identical; probe sub-vectors are re-sliced from the probe rows'
+    * floats — the identical literal `slice`/`graft_dot` chain over the
+    * identical arrays, and only nProbes rows of it. */
+  private[operators] def serve(tagged: DataFrame, trained: DataFrame,
+      cb: DataFrame, codes: DataFrame, probeFrom: Long, nProbes: Long): DataFrame = {
+    val probeRange = col("vec_id") >= probeFrom &&
+      col("vec_id") < probeFrom + nProbes
     // coarse candidates: each probe's nprobe nearest cells, exactly q40
     val pcells = Ivf.rankCells(tagged.filter(probeRange), trained, NProbeCells)
       .select(col("vec_id").as("probe_id"), col("cell"))
@@ -154,7 +167,8 @@ object Pq {
 
     // probe ADC lookup table: per (probe, subspace, code) the squared-L2
     // term (pn2m - 2·dot(pv, ce)) + cn2 — M·Ks rows per probe, broadcast
-    val lut = sub.filter(probeRange)
+    val lut = subVectors(tagged.filter(probeRange)
+        .select(col("vec_id"), col("embedding")))
       .select(col("vec_id").as("probe_id"), col("m"),
         col("sv").as("pv"), col("sn2").as("pn2m"))
       .join(broadcast(cb), Seq("m"))
@@ -199,6 +213,32 @@ object Pq {
       .select(col("probe_id"), col("vec_id"), col("adc"), col("l2"), col("rn"))
       .orderBy(col("probe_id"), col("rn"))
   }
+
+  // ---------------------------------------------------------------- q93
+
+  /** Per-(session, corpus) persisted-index memo backing [[q93ServedPqAnn]]
+    * — the same [[ServedMemo]] machinery as q86's, over [[PqIndex]]. */
+  private val pqMemo = new ServedMemo[PqIndex](
+    maxEntries = 8,
+    mk = (s, state) => new PqIndex(s, state),
+    built = _.isBuilt,
+    build = _.build(_))
+
+  /** Served IVF-PQ ANN — q92's exact contract (same probes, same coarse
+    * cells, same codes, same top-3, same oracle) answered from a
+    * PERSISTED [[PqIndex]]: coarse quantizer + codebooks train once per
+    * session+corpus as setup; the declared plan is the SERVE path only —
+    * four state-table scans, probe broadcast, ADC over the code table,
+    * R-row float re-rank. q93 is to q92 what q86 is to q40: the
+    * production read path priced in the open while the inline row keeps
+    * pricing build-AND-serve. [[PqIndexSpec]] pins serve ≡ inline-q92
+    * bit-identically and that the serving plan carries no Lloyd
+    * subtree. */
+  def q93ServedPqAnn(s: SparkSession, d: String): DataFrame =
+    pqMemo.get(s, d, "embeddings.parquet").query(Ivf.ProbeFrom, Ivf.NProbes)
+
+  /** Same answer, same oracle: the index serves q92's results verbatim. */
+  def q93Sql: String = q92Sql
 
   // ------------------------------------------------------------- oracle
 
@@ -287,4 +327,112 @@ object Pq {
        |SELECT probe_id, vec_id, adc, l2, rn FROM ranked
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
   }
+}
+
+/** Train-once / serve-many IVF-PQ — [[IvfIndex]]'s shape with the PQ
+  * memory leg persisted alongside: [[build]] runs q92's identical
+  * deterministic training (coarse Lloyd + per-subspace codebooks) and
+  * PUBLISHES four [[graft.streaming.StateDir]] tables — coarse
+  * centroids, coarse assignment (candidate cells + the floats the
+  * re-rank gathers), PQ codebooks, and the PQ code table (M small ints
+  * per vector: the table a 1e9-vector deployment pins hot while the
+  * float assignment stays cold/columnar — serving reads it only for the
+  * R-row shortlist gather). [[query]] serves purely from those tables,
+  * bit-identical to the inline q92 ([[PqIndexSpec]] pins both).
+  *
+  * The index owns its four table names (no sharing with a co-located
+  * [[IvfIndex]]): the coarse tables are trained identically, but an
+  * IvfIndex handle appending to a shared assignment table would leave
+  * the code table behind — candidates without codes silently vanish
+  * from the ADC stage. Distinct names make the pair impossible to
+  * half-update. */
+final class PqIndex(spark: SparkSession, state: graft.streaming.StateDir) {
+  import PqIndex._
+
+  def build(d: String): Unit = {
+    val (emb, trained) = Ivf.train(spark, d)
+    try {
+      val sub = Pq.subVectors(emb.select(col("vec_id"), col("embedding")))
+        .persist() // scanned per codebook Lloyd round + the final encode
+      try {
+        state.write(CentroidsTable, trained)
+        state.write(AssignTable, Ivf.assignTo(emb, trained))
+        state.write(CodebooksTable, Pq.trainCodebooks(sub))
+        // encode against the PUBLISHED codebooks (a re-read, not the
+        // training plan): the Lloyd chain runs once, and the codes are
+        // guaranteed consistent with the exact table serving reads
+        state.write(CodesTable,
+          Pq.assignSub(sub, state.read(CodebooksTable, CodebooksSchema))
+            .select(col("vec_id"), col("m"), col("code")))
+      } finally { sub.unpersist(); () }
+    } finally { emb.unpersist(); () } // cache hygiene: nothing build
+                                      // persisted survives publication
+  }
+
+  def isBuilt: Boolean = state.exists(CodesTable)
+
+  /** Incremental maintenance — [[IvfIndex.addBatch]]'s contract for the
+    * PQ pair: assign NEW vectors (vec_id, embedding) to the EXISTING
+    * coarse centroids AND encode them against the EXISTING codebooks,
+    * appending BOTH deltas (assignment + codes) — the two tables move
+    * together, so serving never sees a candidate without a code. No
+    * retraining: quantizer and codebooks stay fixed until the owner
+    * rebuilds ([[graft.streaming.DriftStream]] is the retrain monitor).
+    * Both deltas always carry the batch_id column (null for batch
+    * callers) — the compaction-proof replay-guard doctrine
+    * ([[IvfIndex.addBatch]] documents the failure mode). */
+  def addBatch(newEmb: DataFrame, batchId: Option[Long] = None): Unit = {
+    require(isBuilt, "index not built — call build() before addBatch()")
+    val trained = state.read(CentroidsTable, CentroidsSchema)
+    val cb = state.read(CodebooksTable, CodebooksSchema)
+    val emb = newEmb.select(col("vec_id"), col("embedding"),
+      Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+    val tag = batchId.fold(
+      lit(null).cast(org.apache.spark.sql.types.LongType))(id => lit(id))
+    state.append(AssignTable,
+      Ivf.assignTo(emb, trained).withColumn("batch_id", tag))
+    state.append(CodesTable,
+      Pq.assignSub(Pq.subVectors(
+          newEmb.select(col("vec_id"), col("embedding"))), cb)
+        .select(col("vec_id"), col("m"), col("code"))
+        .withColumn("batch_id", tag))
+  }
+
+  /** q92-shaped ANN over the persisted index: ADC shortlist + exact
+    * re-rank, top-3 per probe. */
+  def query(probeFrom: Long, nProbes: Long): DataFrame =
+    Pq.serve(
+      state.read(AssignTable, IvfIndex.AssignSchema),
+      state.read(CentroidsTable, IvfIndex.CentroidsSchema),
+      state.read(CodebooksTable, CodebooksSchema),
+      state.read(CodesTable, CodesSchema),
+      probeFrom, nProbes)
+}
+
+object PqIndex {
+  import org.apache.spark.sql.types._
+
+  val CentroidsTable = "pq_centroids"
+  val AssignTable = "pq_assign"
+  val CodebooksTable = "pq_codebooks"
+  val CodesTable = "pq_codes"
+
+  /** Coarse tables share [[IvfIndex]]'s shapes. */
+  val CentroidsSchema: StructType = IvfIndex.CentroidsSchema
+
+  val CodebooksSchema: StructType = StructType(Seq(
+    StructField("m", IntegerType),
+    StructField("cid", LongType),
+    StructField("ce", ArrayType(FloatType, containsNull = true)),
+    StructField("cn2", DoubleType)))
+
+  val CodesSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("m", IntegerType),
+    StructField("code", LongType)))
+
+  /** [[CodesSchema]] plus the ingest batch tag — the replay-guard read
+    * shape; untagged (build-time) rows surface a null tag. */
+  val TaggedCodesSchema: StructType =
+    StructType(CodesSchema.fields :+ StructField("batch_id", LongType))
 }
