@@ -17,9 +17,15 @@ object Tables {
   /** Session settings every graft entry point applies. The nanos flag makes
     * Spark read parquet TIMESTAMP(NANOS) columns (events.ts) as LongType
     * instead of failing; [[events]] rebuilds a microsecond TimestampType
-    * from it with exact integer arithmetic. */
+    * from it with exact integer arithmetic. The NTZ flag makes naive
+    * (no-timezone) parquet timestamps read as TIMESTAMP (LTZ) rather than
+    * TIMESTAMP_NTZ: with the session timezone pinned to UTC the epoch values
+    * are identical, every epoch-based function (unix_millis, window,
+    * session_window) stays applicable, and the semantics match the DuckDB
+    * oracle, which treats naive timestamps as-written. */
   val sessionConfigs: Seq[(String, String)] = Seq(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true")
 
