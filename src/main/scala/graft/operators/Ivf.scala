@@ -332,7 +332,8 @@ object Ivf {
   * embedding-table scan, bit-identical results to the inline q40
   * (IvfIndexSpec pins both). On a cluster the two state tables are the
   * IVF index files: rebuilt on retrain, read by every query. */
-final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir) {
+final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir)
+    extends AnnIndex {
   import IvfIndex._
 
   def build(d: String): Unit = {
@@ -354,16 +355,15 @@ final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir) {
     * the quantizer stays fixed until the owner rebuilds, the standard
     * IVF deployment contract (cell balance degrades slowly as the
     * distribution drifts; [[graft.streaming.DriftStream]] is the monitor
-    * that tells you when to retrain). Wired under a stream, the caller
-    * applies the [[graft.streaming.DedupStream]] batch-id replay guard —
-    * this method itself appends unconditionally
-    * ([[graft.streaming.IndexStream]] is that wiring). The optional
-    * batchId tags the delta's rows for the guard; serving reads project
-    * the tag away (schema-pruned), so tagged and untagged deltas serve
-    * identically. */
+    * that tells you when to retrain). The optional batchId makes the
+    * append idempotent (the [[AnnIndex]] per-table replay contract —
+    * here one table, so one guard) and tags the delta's rows; serving
+    * reads project the tag away (schema-pruned), so tagged and untagged
+    * deltas serve identically. */
   def addBatch(newEmb: org.apache.spark.sql.DataFrame,
       batchId: Option[Long] = None): Unit = {
     require(isBuilt, "index not built — call build() before addBatch()")
+    if (batchId.exists(hasBatch)) return
     val trained = state.read(CentroidsTable, CentroidsSchema)
     val emb = newEmb.select(
       org.apache.spark.sql.functions.col("vec_id"),
@@ -383,6 +383,14 @@ final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir) {
         .cast(org.apache.spark.sql.types.LongType))(id =>
         org.apache.spark.sql.functions.lit(id))))
   }
+
+  /** The assignment table is the only serving table, so the [[AnnIndex]]
+    * every-table question is one tagged read — a columnar batch_id-only
+    * scan of the chain, metadata-cheap next to the batch's own work. */
+  def hasBatch(batchId: Long): Boolean =
+    !state.read(AssignTable, TaggedAssignSchema)
+      .filter(org.apache.spark.sql.functions.col("batch_id") === batchId)
+      .isEmpty
 
   /** q40-shaped ANN over the persisted index: top-3 per probe from the
     * probe's nprobe nearest cells. */

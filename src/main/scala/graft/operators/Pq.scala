@@ -346,7 +346,8 @@ object Pq {
   * the code table behind — candidates without codes silently vanish
   * from the ADC stage. Distinct names make the pair impossible to
   * half-update. */
-final class PqIndex(spark: SparkSession, state: graft.streaming.StateDir) {
+final class PqIndex(spark: SparkSession, state: graft.streaming.StateDir)
+    extends AnnIndex {
   import PqIndex._
 
   def build(d: String): Unit = {
@@ -380,23 +381,46 @@ final class PqIndex(spark: SparkSession, state: graft.streaming.StateDir) {
     * rebuilds ([[graft.streaming.DriftStream]] is the retrain monitor).
     * Both deltas always carry the batch_id column (null for batch
     * callers) — the compaction-proof replay-guard doctrine
-    * ([[IvfIndex.addBatch]] documents the failure mode). */
+    * ([[IvfIndex.addBatch]] documents the failure mode) — and with a
+    * batchId each table commits AT MOST ONCE per id (the [[AnnIndex]]
+    * per-table idempotence contract): the appends are two separate
+    * atomic publishes, so a crash between them leaves the batch torn —
+    * assignment landed, codes missing — and a re-driven batch must
+    * append exactly the codes half, not duplicate the assignment or
+    * skip outright. [[graft.streaming.PqIndexStreamSpec]] pins the torn
+    * path end-to-end. */
   def addBatch(newEmb: DataFrame, batchId: Option[Long] = None): Unit = {
     require(isBuilt, "index not built — call build() before addBatch()")
-    val trained = state.read(CentroidsTable, CentroidsSchema)
-    val cb = state.read(CodebooksTable, CodebooksSchema)
-    val emb = newEmb.select(col("vec_id"), col("embedding"),
-      Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+    def fresh(table: String, tagged: org.apache.spark.sql.types.StructType) =
+      batchId.forall(id => !tableHas(table, tagged, id))
     val tag = batchId.fold(
       lit(null).cast(org.apache.spark.sql.types.LongType))(id => lit(id))
-    state.append(AssignTable,
-      Ivf.assignTo(emb, trained).withColumn("batch_id", tag))
-    state.append(CodesTable,
-      Pq.assignSub(Pq.subVectors(
-          newEmb.select(col("vec_id"), col("embedding"))), cb)
-        .select(col("vec_id"), col("m"), col("code"))
-        .withColumn("batch_id", tag))
+    if (fresh(AssignTable, IvfIndex.TaggedAssignSchema)) {
+      val trained = state.read(CentroidsTable, CentroidsSchema)
+      val emb = newEmb.select(col("vec_id"), col("embedding"),
+        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+      state.append(AssignTable,
+        Ivf.assignTo(emb, trained).withColumn("batch_id", tag))
+    }
+    if (fresh(CodesTable, TaggedCodesSchema)) {
+      val cb = state.read(CodebooksTable, CodebooksSchema)
+      state.append(CodesTable,
+        Pq.assignSub(Pq.subVectors(
+            newEmb.select(col("vec_id"), col("embedding"))), cb)
+          .select(col("vec_id"), col("m"), col("code"))
+          .withColumn("batch_id", tag))
+    }
   }
+
+  private def tableHas(table: String,
+      tagged: org.apache.spark.sql.types.StructType, id: Long): Boolean =
+    !state.read(table, tagged).filter(col("batch_id") === id).isEmpty
+
+  /** Every-table presence — false for a torn batch until [[addBatch]]
+    * completes it. */
+  def hasBatch(batchId: Long): Boolean =
+    tableHas(AssignTable, IvfIndex.TaggedAssignSchema, batchId) &&
+      tableHas(CodesTable, TaggedCodesSchema, batchId)
 
   /** q92-shaped ANN over the persisted index: ADC shortlist + exact
     * re-rank, top-3 per probe. */
