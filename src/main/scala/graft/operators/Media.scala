@@ -350,6 +350,124 @@ object Media {
       |  max(duration_ms) AS max_duration_ms
       |FROM m GROUP BY 1, 2 ORDER BY width, height""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+
+  /** A real w×h solid-color PNG via ImageIO — PNG because it is
+    * LOSSLESS: the decoded pixels are exactly the synthesized color, so
+    * every pixel statistic downstream is closed-form. (q91's JPEG frames
+    * only need geometry from the decode; q94 needs exact pixels.) */
+  def synthPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb & 0xffffff)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The image geometry+color q94 gives doc `id` — (width, height, rgb),
+    * closed-form so the DuckDB oracle recomputes every probed field
+    * without decoding a byte. The color multiplier is Knuth's 2^32/φ
+    * hash constant: spreads ids across the RGB cube deterministically. */
+  def q94Params(id: Long): (Int, Int, Int) = {
+    val w = Array(20, 28, 36, 44)((id % 4).toInt)
+    val h = Array(16, 24, 32)((id % 3).toInt)
+    val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+    (w, h, rgb)
+  }
+
+  /** q94: the REAL still-image codec behind a driver CORRECTNESS row —
+    * completing the trio (q90 audio, q91 video). Each document gets a
+    * genuine PNG encoded by ImageIO at closed-form geometry and color
+    * ([[q94Params]]); the declared plan then runs ALL THREE production
+    * kernels of [[Multimodal.JdkImageDecoders]] per payload: `decode`
+    * (true pixel decode → dims), `resize` (bilinear re-render to 12×10,
+    * re-encoded PNG), and `features` (the 16-dim pixel-statistic
+    * vector) on the resized image. Solid color makes every statistic
+    * exact: channel means are the color's own integer channels, stddevs
+    * are exactly 0, and the luminance histogram is a single 1.0 spike at
+    * the BT.601 bin — so the DuckDB oracle recomputes means, the peak
+    * bin, and the mass in closed-form integer/IEEE-double arithmetic
+    * without touching an image ([[MediaSpec]] pins the per-doc parity
+    * over the whole parameter space). A regression in any of the three
+    * kernels — dims, resampling, statistics — shifts a column and fails
+    * the hash.
+    *
+    * Plan shape: scan (doc_id only) → ONE fused mapPartitions
+    * (synth → decode → resize → re-decode → features; media bytes never
+    * leave the task, each image decodes exactly twice by design) →
+    * partial agg → exchange on the 12-row geometry key. The fused
+    * kernel is the 100 TB plan: zero payload shuffle, zero duplicate
+    * synth, and the per-partition batch amortizes codec init exactly
+    * like the staged [[Multimodal.extractMeta]]/[[Multimodal.resize]]/
+    * [[Multimodal.extractFeatures]] stages it composes (those remain
+    * the operator surface; q94 is the codec-row witness). */
+  def q94ImageProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.JdkImageDecoders
+    val perDoc = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map { id =>
+        val (w, h, rgb) = q94Params(id)
+        val png = synthPng(w, h, rgb)
+        val (dw, dh) = dec.decode(png)
+        val resized = dec.resize(png, 12, 10)
+        val (rw, rh) = dec.decode(resized)
+        val f = dec.features(resized)
+        val sumRgb = f(0).toInt + f(1).toInt + f(2).toInt
+        val sdMax = math.max(f(3), math.max(f(4), f(5))).toDouble
+        val hist = f.slice(6, 16)
+        val mass = hist.foldLeft(0.0)((a, x) => a + x)
+        val peak = hist.indexWhere(_ > 0.5f)
+        (id, dw, dh, rw == 12 && rh == 10, sumRgb, peak, sdMax, mass)
+      })
+      .toDF("doc_id", "width", "height", "resized_ok", "sum_rgb",
+        "peak_bin", "sd_max", "hist_mass")
+    perDoc.groupBy(col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(when(col("resized_ok"), 1L)
+          .otherwise(0L)).as("n_resized_ok"),
+        org.apache.spark.sql.functions.sum(col("sum_rgb")).as("sum_rgb"),
+        org.apache.spark.sql.functions.sum(col("peak_bin")).as("sum_peak_bin"),
+        org.apache.spark.sql.functions.max(col("sd_max")).as("max_stddev"),
+        org.apache.spark.sql.functions.sum(col("hist_mass")).as("hist_mass"))
+      .orderBy(col("width"), col("height"))
+  }
+
+  /** The oracle never decodes: geometry and color from the id, channel
+    * sums from the color's integer channels, the peak bin from the
+    * BT.601 luma in IEEE double (identical literal/operation order to
+    * the Scala kernel, so the doubles are bit-identical), stddev exactly
+    * 0, histogram mass exactly 1.0 per doc. */
+  def q94Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(CASE doc_id % 4 WHEN 0 THEN 20 WHEN 1 THEN 28
+      |      WHEN 2 THEN 36 ELSE 44 END AS INT) AS width,
+      |    CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 24
+      |      ELSE 32 END AS INT) AS height,
+      |    (doc_id * 2654435761) % 16777216 AS rgb
+      |  FROM documents
+      |), c AS (
+      |  SELECT width, height,
+      |    rgb // 65536 AS r, (rgb // 256) % 256 AS g, rgb % 256 AS b
+      |  FROM p
+      |), m AS (
+      |  SELECT width, height, r + g + b AS sum_rgb,
+      |    LEAST(9, CAST(FLOOR(
+      |      (0.299::DOUBLE * r + 0.587::DOUBLE * g + 0.114::DOUBLE * b)
+      |        / 25.6::DOUBLE) AS INT)) AS peak_bin
+      |  FROM c
+      |)
+      |SELECT width, height, count(*) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_resized_ok,
+      |  CAST(sum(sum_rgb) AS BIGINT) AS sum_rgb,
+      |  CAST(sum(peak_bin) AS BIGINT) AS sum_peak_bin,
+      |  0.0::DOUBLE AS max_stddev,
+      |  CAST(count(*) AS DOUBLE) AS hist_mass
+      |FROM m GROUP BY 1, 2 ORDER BY width, height""".stripMargin
+
   // ---------------------------------------------------------------- video
 
   /** Video decoder surface: container probe + sampled frame extraction.

@@ -171,6 +171,60 @@ class MediaSpec extends AnyFunSuite {
     assert(got.map(_._4).sum == ids.map(id => Media.q91Params(id)._3.toLong).sum)
   }
 
+  test("q94 kernels: decode/resize/features are exact on solid PNGs over the whole space") {
+    // every geometry q94Params can emit × colors spanning the RGB cube
+    // (extremes + the hash spread): the REAL codec chain must reproduce
+    // the closed-form statistics the DuckDB oracle computes — dims from
+    // the container, channel means == the color's channels, stddev == 0,
+    // a single 1.0 histogram spike at the BT.601 luma bin.
+    val colors = Seq(0x000000, 0xffffff, 0x0000ff, 0xff0000) ++
+      (0L until 8L).map(id => Media.q94Params(id)._3)
+    for (w <- Seq(20, 28, 36, 44); h <- Seq(16, 24, 32); rgb <- colors) {
+      val png = Media.synthPng(w, h, rgb)
+      assert(Multimodal.JdkImageDecoders.decode(png) == (w, h))
+      val resized = Multimodal.JdkImageDecoders.resize(png, 12, 10)
+      assert(Multimodal.JdkImageDecoders.decode(resized) == (12, 10))
+      val f = Multimodal.JdkImageDecoders.features(resized)
+      val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      assert((f(0), f(1), f(2)) == (r.toFloat, g.toFloat, b.toFloat),
+        s"color $rgb: means ${f.take(3).toSeq}")
+      assert(f(3) == 0f && f(4) == 0f && f(5) == 0f,
+        s"color $rgb: solid image has nonzero stddev ${f.slice(3, 6).toSeq}")
+      val bin = math.min(9, ((0.299 * r + 0.587 * g + 0.114 * b) / 25.6).toInt)
+      val hist = f.slice(6, 16)
+      assert(hist(bin) == 1.0f && hist.sum == 1.0f,
+        s"color $rgb: hist ${hist.toSeq} expected spike at $bin")
+    }
+  }
+
+  test("q94 == closed-form rollup through the real encode/decode/resize/features chain") {
+    val sf = graft.TestSession.sf
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.groupBy { id =>
+      val (w, h, _) = Media.q94Params(id); (w, h)
+    }.map { case ((w, h), g) =>
+      val rgbs = g.map(id => Media.q94Params(id)._3)
+      val sumRgb = rgbs.map(c =>
+        ((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)).map(_.toLong).sum
+      val sumPeak = rgbs.map { c =>
+        val (r, gg, b) = ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+        math.min(9, ((0.299 * r + 0.587 * gg + 0.114 * b) / 25.6).toInt).toLong
+      }.sum
+      (w, h) -> (g.length.toLong, sumRgb, sumPeak)
+    }
+    val got = Media.q94ImageProbe(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { row =>
+      val (n, sumRgb, sumPeak) = expected((row.getInt(0), row.getInt(1)))
+      assert(row.getLong(2) == n && row.getLong(3) == n, // all resized ok
+        s"row $row expected n=$n")
+      assert(row.getLong(4) == sumRgb && row.getLong(5) == sumPeak, s"row $row")
+      assert(row.getDouble(6) == 0.0 && row.getDouble(7) == n.toDouble,
+        s"row $row: stddev/mass")
+    }
+  }
+
   test("stub video decoder behind the trait == original sampleFrames kernel") {
     val payload = Array.tabulate[Byte](1024)(i => (i % 251).toByte)
     val df = Seq((3L, payload)).toDF("doc_id", "payload")
