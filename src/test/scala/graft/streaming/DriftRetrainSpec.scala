@@ -6,17 +6,20 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSession
-import graft.operators.IvfIndex
+import graft.operators.{AnnIndex, IvfIndex, PqIndex}
 
 /** The drift→retrain loop, CLOSED IN A PINNED TEST instead of prose:
   * [[DriftStream]] is documented as "the retrain monitor" and
-  * [[graft.operators.IvfIndex.addBatch]] fixes the quantizer "until the
-  * owner rebuilds" — this spec is the owner. Documents stream into the
-  * drift monitor while embeddings stream into the live index; while the
-  * report's largest |Δppm| stays under the declared threshold nothing is
-  * rebuilt, and the batch that drags the token distribution across the
-  * threshold triggers `build()` — after which serving is bit-identical
-  * to a freshly trained index on the authoritative corpus.
+  * [[graft.operators.AnnIndex.addBatch]] fixes the quantizers "until the
+  * owner rebuilds" — this spec is the owner, once per index family.
+  * Documents stream into the drift monitor while embeddings stream into
+  * the live index; while the report's largest |Δppm| stays under the
+  * declared threshold nothing is rebuilt, and the batch that drags the
+  * token distribution across the threshold triggers `build()` — after
+  * which serving is bit-identical to a freshly trained index on the
+  * authoritative corpus. The loop is index-agnostic by construction
+  * (the monitor watches the CORPUS, not the index), so the same
+  * sequence must close over [[IvfIndex]] and [[PqIndex]] alike.
   */
 class DriftRetrainSpec extends AnyFunSuite {
   import TestSession.spark
@@ -24,11 +27,15 @@ class DriftRetrainSpec extends AnyFunSuite {
 
   private val sf = TestSession.sf
 
-  test("report crossing the declared Δppm threshold triggers build(); serve == fresh index") {
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  private def retrainLoop(mkIndex: StateDir => AnnIndex): Unit = {
     val drift = new DriftStream(spark,
       new StateDir(spark, Files.createTempDirectory("drift-rt").toString))
-    val is = new IndexStream(spark,
-      new StateDir(spark, Files.createTempDirectory("ix-rt").toString))
+    val ixState = new StateDir(spark,
+      Files.createTempDirectory("ix-rt").toString)
+    val is = new IndexStream(spark, ixState, mkIndex(ixState))
     is.index.build(sf)
 
     // epoch 0: the full fixture corpus. Its parity halves are drawn from
@@ -45,7 +52,7 @@ class DriftRetrainSpec extends AnyFunSuite {
       "threshold just above ambient drift must not trigger a retrain")
 
     // live ingest meanwhile: new vectors enter the SERVING index through
-    // the fixed quantizer (the between-retrains path)
+    // the fixed quantizers (the between-retrains path)
     val clones = graft.Tables.embeddings(spark, sf)
       .filter(col("vec_id").between(490L, 499L))
       .select((col("vec_id") + 9510L).as("vec_id"), col("embedding"))
@@ -61,21 +68,26 @@ class DriftRetrainSpec extends AnyFunSuite {
     assert(drift.shouldRetrain(thresholdPpm),
       "skewed snapshot must cross the declared Δppm threshold")
 
-    // the owner's move on the signal: retrain the quantizer from the
+    // the owner's move on the signal: retrain the quantizers from the
     // authoritative corpus (versioned-swap into the SAME serving state)
     if (drift.shouldRetrain(thresholdPpm)) is.index.build(sf)
 
-    val fresh = new IvfIndex(spark,
-      new StateDir(spark, Files.createTempDirectory("ix-fresh").toString))
+    val fresh = mkIndex(new StateDir(spark,
+      Files.createTempDirectory("ix-fresh").toString))
     fresh.build(sf)
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq
     assert(rows(is.index.query(0L, 10L)) == rows(fresh.query(0L, 10L)),
       "post-retrain serving diverged from a freshly trained index")
     // the rebuild re-trained from the corpus: the incremental clones are
     // gone until re-ingested (the documented rebuild-from-authoritative-
     // corpus semantics; their ids serve zero rows, not stale vectors)
     assert(rows(is.index.query(10000L, 10L)).isEmpty)
+  }
+
+  test("IVF: report crossing the declared Δppm threshold triggers build(); serve == fresh index") {
+    retrainLoop(st => new IvfIndex(spark, st))
+  }
+
+  test("IVF-PQ: the same drift signal retrains quantizer AND codebooks; serve == fresh index") {
+    retrainLoop(st => new PqIndex(spark, st))
   }
 }
