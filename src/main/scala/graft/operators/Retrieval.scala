@@ -6,14 +6,14 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** BM25 top-k retrieval (q95) — the ranked-retrieval leg of the text
-  * family (q22 raw TF → q55 TF-IDF term importance → q95 query-time
-  * document ranking), and the lexical complement of the ANN legs
-  * (q40/q86 float, q92/q93 PQ): a training-data pipeline hunts "which
-  * documents match this probe" by embedding OR by keyword, and this is
-  * the keyword half. Reference scope: the reference ships no retrieval
-  * (nearest analog is the substring matcher, `StreamingApp.scala:415`);
-  * north-star surface like the ANN family.
+/** BM25 top-k retrieval (q95 inline, q96 served) — the ranked-retrieval
+  * leg of the text family (q22 raw TF → q55 TF-IDF term importance →
+  * q95 query-time document ranking), and the lexical complement of the
+  * ANN legs (q40/q86 float, q92/q93 PQ): a training-data pipeline hunts
+  * "which documents match this probe" by embedding OR by keyword, and
+  * this is the keyword half. Reference scope: the reference ships no
+  * retrieval (nearest analog is the substring matcher,
+  * `StreamingApp.scala:415`); north-star surface like the ANN family.
   *
   * Scoring is Robertson BM25 (k1 = 1.2, b = 0.75) re-expressed in EXACT
   * INTEGER MILLIUNITS — the q66/q71 doctrine — because the standard
@@ -27,7 +27,9 @@ import graft.Tables
   *                (tf·(k1+1) / (tf + k1·norm), milli);
   *  - score     = Σ_terms idf·tfp_m — an INTEGER sum, order-free.
   * Every DIV is floor division of non-negatives, so both engines
-  * compute bit-identical BIGINTs end to end.
+  * compute bit-identical BIGINTs end to end — and the same exactness is
+  * what makes the SERVED index's delta-folded statistics (sums of
+  * per-batch integer deltas) bit-identical to the inline aggregates.
   *
   * Queries are derived from the corpus so the surface needs no second
   * fixture: query `qid` (0..9) is the deduplicated first four tokens of
@@ -50,25 +52,46 @@ object Retrieval {
   val QTerms = 4
   val TopK = 5
 
-  def q95Bm25TopK(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val tf = docs
+  /** The one corpus-scale build: per-(doc, term) counts. */
+  private[operators] def tfOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false) // one corpus-scale build, three consumers
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val queries = docs
+
+  private[operators] def dlOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+  /** Per-term document frequency — as a DELTA-shaped table (one new doc
+    * containing the term adds 1), which is why the served index can
+    * append per-batch df rows and fold them with the same sum. */
+  private[operators] def dfOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  private[operators] def statsOf(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+
+  private[operators] def queriesOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("doc_id") % QStride === 0 &&
         expr(s"doc_id DIV $QStride") < NQueries)
       .select(expr(s"doc_id DIV $QStride").as("qid"),
         explode(slice(split(col("text"), " "), 1, QTerms)).as("term"))
       .distinct()
-    // fold df + corpus stats into the tiny query-term table BEFORE the
-    // broadcast: the corpus side then needs no df join at all
-    val qt = dfreq.join(broadcast(queries), Seq("term"))
+
+  /** The q95 scoring plan over EXISTING tf/dl/df/stats/query tables —
+    * shared by the inline q95 (which derives all five from the corpus)
+    * and the persisted [[LexIndex]] (which reads them from a StateDir,
+    * folding the delta-shaped df/stats with the same integer sums) so
+    * both are bit-identical. df + corpus stats fold into the tiny
+    * query-term table BEFORE the broadcast: the corpus side then needs
+    * no df join at all. */
+  private[operators] def serve(tf: DataFrame, dl: DataFrame, df: DataFrame,
+      stats: DataFrame, queries: DataFrame,
+      qidFrom: Long, nQids: Long): DataFrame = {
+    val qsel = queries.filter(col("qid") >= qidFrom &&
+      col("qid") < qidFrom + nQids)
+    val qt = df.join(broadcast(qsel), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf", lit(1) + (length(bin(expr("n_docs DIV df"))) - 1))
       .select(col("qid"), col("term"), col("idf"),
@@ -87,6 +110,40 @@ object Retrieval {
       .select(col("qid"), col("doc_id"), col("score_milli"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  def q95Bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = tfOf(docs)
+      .localCheckpoint(false) // one corpus-scale build, three consumers
+    val dl = dlOf(tf)
+    serve(tf, dl, dfOf(tf), statsOf(dl), queriesOf(docs), 0L, NQueries)
+  }
+
+  // ---------------------------------------------------------------- q96
+
+  /** Per-(session, corpus) persisted-index memo backing [[q96ServedBm25]]
+    * — the same [[ServedMemo]] machinery as q86's/q93's, over
+    * [[LexIndex]]. */
+  private val lexMemo = new ServedMemo[LexIndex](
+    maxEntries = 8,
+    mk = (s, state) => new LexIndex(s, state),
+    built = _.isBuilt,
+    build = _.build(_))
+
+  /** Served BM25 — q95's exact contract (same queries, same scores, same
+    * top-k, same oracle) answered from a PERSISTED [[LexIndex]]: the
+    * posting statistics build once per session+corpus as setup; the
+    * declared plan is the SERVE path only — five state-table scans,
+    * delta folds, query broadcast, scoring join. q96 is to q95 what
+    * q86 is to q40 and q93 to q92: the retrieval index's production
+    * read path priced in the open. [[LexIndexSpec]] pins serve ≡
+    * inline-q95 bit-identically and that the serving plan reads no
+    * document corpus. */
+  def q96ServedBm25(s: SparkSession, d: String): DataFrame =
+    lexMemo.get(s, d, "documents.parquet").query(0L, NQueries)
+
+  /** Same answer, same oracle: the index serves q95's results verbatim. */
+  def q96Sql: String = q95Sql
 
   def q95Sql: String =
     s"""WITH tf AS (
@@ -126,4 +183,134 @@ object Retrieval {
        |)
        |SELECT qid, doc_id, score_milli, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
+}
+
+/** Train-once / serve-many BM25 — the LEXICAL index behind the same
+  * [[AnnIndex]] lifecycle as the float ([[IvfIndex]]) and PQ
+  * ([[PqIndex]]) ANN legs, making the at-ingest index state machine
+  * ([[graft.streaming.IndexStream]]) content-agnostic: what streams in
+  * here is (doc_id, text) rows, and what persists is the posting
+  * statistics — tf (the posting list weights), dl (per-doc lengths),
+  * df and corpus stats as DELTA-shaped tables (a batch of new docs
+  * appends its own term df counts and one (n_docs, total_dl) row;
+  * serving folds the deltas with integer sums, so the merged statistics
+  * are BIT-IDENTICAL to a from-scratch build — BM25's global statistics
+  * are all additive, which is the whole reason a lexical index can
+  * ingest incrementally at all). The fixture-derived query table is
+  * written once at build (queries are part of the declared contract,
+  * not of the corpus statistics).
+  *
+  * `query(qidFrom, nQids)` maps the [[AnnIndex]] probe-range signature
+  * onto query ids. `addBatch` expects NEW doc_ids (the same
+  * append-only contract as the ANN legs; re-ingesting an existing doc
+  * would double its postings — replays are what the per-table batch
+  * guard absorbs). */
+final class LexIndex(spark: SparkSession, state: graft.streaming.StateDir)
+    extends AnnIndex {
+  import LexIndex._
+  import Retrieval.{tfOf, dlOf, dfOf, statsOf, queriesOf}
+
+  def build(d: String): Unit = {
+    val docs = Tables.documents(spark, d)
+    state.write(TfTable, tfOf(docs))
+    // derive the downstream tables from the PUBLISHED tf (a re-read, not
+    // a recompute): dl/df/stats are guaranteed consistent with the exact
+    // postings serving reads
+    val tf = state.read(TfTable, TfSchema)
+    val dl = dlOf(tf)
+    state.write(DlTable, dl)
+    state.write(DfTable, dfOf(tf))
+    state.write(StatsTable, statsOf(dl))
+    state.write(QueriesTable, queriesOf(docs)) // written LAST: isBuilt gate
+  }
+
+  def isBuilt: Boolean = state.exists(QueriesTable)
+
+  /** Incremental maintenance — [[AnnIndex.addBatch]] for the lexical
+    * index: the batch's OWN tf/dl/df/stats deltas append to all four
+    * statistic tables (per-table at-most-once under a batchId — four
+    * tables make the torn-batch window wider than [[PqIndex]]'s two,
+    * and the completion semantics matter more, not less). The query
+    * table is deliberately untouched: it pins the declared contract. */
+  def addBatch(newDocs: DataFrame, batchId: Option[Long] = None): Unit = {
+    require(isBuilt, "index not built — call build() before addBatch()")
+    def fresh(table: String, tagged: org.apache.spark.sql.types.StructType) =
+      batchId.forall(id => !tableHas(table, tagged, id))
+    val tag = batchId.fold(
+      lit(null).cast(org.apache.spark.sql.types.LongType))(id => lit(id))
+    val tf = tfOf(newDocs.select(col("doc_id"), col("text")))
+      .localCheckpoint(false) // four consumers of one batch-scale build
+    val dl = dlOf(tf)
+    if (fresh(TfTable, tagged(TfSchema)))
+      state.append(TfTable, tf.withColumn("batch_id", tag))
+    if (fresh(DlTable, tagged(DlSchema)))
+      state.append(DlTable, dl.withColumn("batch_id", tag))
+    if (fresh(DfTable, tagged(DfSchema)))
+      state.append(DfTable, dfOf(tf).withColumn("batch_id", tag))
+    if (fresh(StatsTable, tagged(StatsSchema)))
+      state.append(StatsTable, statsOf(dl).withColumn("batch_id", tag))
+  }
+
+  private def tableHas(table: String,
+      schema: org.apache.spark.sql.types.StructType, id: Long): Boolean =
+    !state.read(table, schema).filter(col("batch_id") === id).isEmpty
+
+  /** Every-table presence — false for a torn batch until [[addBatch]]
+    * completes it. */
+  def hasBatch(batchId: Long): Boolean =
+    Seq(TfTable -> TfSchema, DlTable -> DlSchema,
+        DfTable -> DfSchema, StatsTable -> StatsSchema)
+      .forall { case (t, s) => tableHas(t, tagged(s), batchId) }
+
+  /** q95-shaped BM25 over the persisted statistics: delta-shaped df and
+    * stats fold with integer sums (bit-identical to inline aggregates),
+    * then the shared scoring plan. The probe range selects query ids. */
+  def query(qidFrom: Long, nQids: Long): DataFrame = {
+    val df = state.read(DfTable, DfSchema)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = state.read(StatsTable, StatsSchema)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+    Retrieval.serve(
+      state.read(TfTable, TfSchema),
+      state.read(DlTable, DlSchema),
+      df, stats,
+      state.read(QueriesTable, QueriesSchema),
+      qidFrom, nQids)
+  }
+}
+
+object LexIndex {
+  import org.apache.spark.sql.types._
+
+  val TfTable = "lex_tf"
+  val DlTable = "lex_dl"
+  val DfTable = "lex_df"
+  val StatsTable = "lex_stats"
+  val QueriesTable = "lex_queries"
+
+  val TfSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("term", StringType),
+    StructField("tf", LongType)))
+
+  val DlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dl", LongType)))
+
+  val DfSchema: StructType = StructType(Seq(
+    StructField("term", StringType),
+    StructField("df", LongType)))
+
+  val StatsSchema: StructType = StructType(Seq(
+    StructField("n_docs", LongType),
+    StructField("total_dl", LongType)))
+
+  val QueriesSchema: StructType = StructType(Seq(
+    StructField("qid", LongType),
+    StructField("term", StringType)))
+
+  /** Schema plus the ingest batch tag — the replay-guard read shape;
+    * untagged (build-time) rows surface a null tag. */
+  def tagged(s: StructType): StructType =
+    StructType(s.fields :+ StructField("batch_id", LongType))
 }

@@ -49,6 +49,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     before("q40_ivf_ann", "q86_served_ann")
     before("q70_winnow_pairs", "q89_dup_spans")
     before("q92_ivfpq_ann", "q93_served_pqann")
+    before("q95_bm25_topk", "q96_served_bm25")
     // and the full declared order is the numeric one — any insertion slip
     // (a new query landing out of place) is caught here, not in a re-priced
     // bench row three rounds later.
