@@ -146,7 +146,14 @@ object Retrieval {
   def q96Sql: String = q95Sql
 
   def q95Sql: String =
-    s"""WITH tf AS (
+    s"""WITH $bm25Ctes
+       |SELECT qid, doc_id, score_milli, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
+
+  /** The q95 CTE chain up to `ranked` — shared verbatim by the q97
+    * hybrid oracle so the lexical leg cannot drift from q95's. */
+  private def bm25Ctes: String =
+    s"""tf AS (
        |  SELECT doc_id, term, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |        FROM documents) t
@@ -180,8 +187,107 @@ object Retrieval {
        |    CAST(row_number() OVER (PARTITION BY qid
        |      ORDER BY score_milli DESC, doc_id) AS INT) AS rn
        |  FROM scored
+       |)""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+
+  /** RRF dampener (Cormack, Clarke & Buettcher 2009's k = 60). */
+  val RrfK = 60
+
+  /** The vector leg of q97: brute exact-cosine top-k per query, probe =
+    * the embedding of the query's SOURCE document (vec_id 17·qid — the
+    * same derivation as the lexical queries, so the two legs rank
+    * against the same information need). q21's plan shape verbatim
+    * (probe broadcast over one corpus scan, native fold dot, sqrt is
+    * IEEE-correctly-rounded so cosine ordering is engine-stable); the
+    * trivial self-match is excluded. Swapping this leg for q40/q92
+    * candidates gives the ANN-accelerated hybrid with the same fusion. */
+  private[operators] def vectorLeg(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.Vectors.dot _
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("n2"))
+    val probes = emb
+      .filter(col("vec_id") % QStride === 0 &&
+        expr(s"vec_id DIV $QStride") < NQueries)
+      .select(expr(s"vec_id DIV $QStride").as("qid"),
+        col("vec_id").as("probe_vec"),
+        col("embedding").as("pe"), col("n2").as("pn2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_vec"))
+      .withColumn("cosine",
+        dot(col("pe"), col("embedding")) / sqrt(col("pn2") * col("n2")))
+      .withColumn("vrn", row_number().over(w))
+      .filter(col("vrn") <= TopK)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("vrn"))
+  }
+
+  /** q97: hybrid retrieval — reciprocal-rank fusion of the lexical
+    * (q95 BM25) and vector (exact-cosine) top-k lists per query, the
+    * standard keyword+embedding hybrid a training-data pipeline runs
+    * when neither leg alone is trusted. RRF works on RANKS only, so the
+    * fusion is EXACT INTEGER arithmetic by construction:
+    * `rrf_milli = Σ_legs 1000000 DIV (60 + rank)` — no score
+    * normalization across incomparable scales (BM25 milliunits vs
+    * cosine), which is RRF's whole point. A document in both legs'
+    * top-k always outranks any single-leg document (min both-legs
+    * contribution 2·⌊1e6/65⌋ > max single ⌊1e6/61⌋ — pinned in
+    * [[RetrievalSpec]]). Plan: the two leg plans (each already
+    * scale-shaped), a ≤2k-row full-outer fusion join, a 10-partition
+    * top-k window. */
+  def q97HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = q95Bm25TopK(s, d)
+      .select(col("qid"), col("doc_id"), col("rn").as("lrn"))
+    val vec = vectorLeg(s, d)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_milli").desc, col("doc_id"))
+    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_milli",
+        expr(s"coalesce(1000000 DIV ($RrfK + lrn), 0) + " +
+          s"coalesce(1000000 DIV ($RrfK + vrn), 0)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("doc_id"), col("rrf_milli"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def q97Sql: String =
+    s"""WITH $bm25Ctes, lex AS (
+       |  SELECT qid, doc_id, rn AS lrn FROM ranked WHERE rn <= $TopK
+       |), vemb AS (
+       |  SELECT vec_id, embedding,
+       |    ${Similarity.duckDotSql("embedding", "embedding")} AS n2
+       |  FROM embeddings
+       |), vprobes AS (
+       |  SELECT vec_id // $QStride AS qid, vec_id AS probe_vec,
+       |    embedding AS pe, n2 AS pn2
+       |  FROM vemb WHERE vec_id % $QStride = 0 AND vec_id // $QStride < $NQueries
+       |), vscored AS (
+       |  SELECT qid, e.vec_id,
+       |    ${Similarity.duckDotSql("pe", "embedding")} / sqrt(pn2 * n2) AS cosine
+       |  FROM vemb e, vprobes WHERE e.vec_id <> probe_vec
+       |), vranked AS (
+       |  SELECT qid, vec_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, vec_id) AS INT) AS vrn
+       |  FROM vscored
+       |), vec AS (
+       |  SELECT qid, doc_id, vrn FROM vranked WHERE vrn <= $TopK
+       |), fused AS (
+       |  SELECT COALESCE(l.qid, v.qid) AS qid,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    CAST(COALESCE(1000000 // ($RrfK + lrn), 0) +
+       |      COALESCE(1000000 // ($RrfK + vrn), 0) AS BIGINT) AS rrf_milli
+       |  FROM lex l FULL JOIN vec v ON l.qid = v.qid AND l.doc_id = v.doc_id
+       |), franked AS (
+       |  SELECT qid, doc_id, rrf_milli,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf_milli DESC, doc_id) AS INT) AS rn
+       |  FROM fused
        |)
-       |SELECT qid, doc_id, score_milli, rn FROM ranked WHERE rn <= $TopK
+       |SELECT qid, doc_id, rrf_milli, rn FROM franked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
 }
 

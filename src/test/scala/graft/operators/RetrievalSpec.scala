@@ -59,6 +59,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("q97 == the sequential RRF fusion of the engine's own two legs") {
+    val lex = Retrieval.q95Bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val vec = Retrieval.vectorLeg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expected = (lex.keySet ++ vec.keySet).toSeq
+      .map { case k @ (qid, docId) =>
+        val s = lex.get(k).map(r => 1000000L / (Retrieval.RrfK + r)).getOrElse(0L) +
+          vec.get(k).map(r => 1000000L / (Retrieval.RrfK + r)).getOrElse(0L)
+        (qid, docId, s)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy { case (_, docId, s) => (-s, docId) }
+          .take(Retrieval.TopK).zipWithIndex
+          .map { case ((qid, docId, s), i) => (qid, docId, s, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+    val got = Retrieval.q97HybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // the RRF consensus guarantee: a doc in BOTH legs' top-k always
+    // outranks any single-leg doc (2*floor(1e6/65) > floor(1e6/61))
+    val both = (lex.keySet intersect vec.keySet)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val ranksOfBoth = rows.filter(r => both((r._1, r._2))).map(_._4)
+      val ranksOfSingle = rows.filter(r => !both((r._1, r._2))).map(_._4)
+      if (ranksOfBoth.nonEmpty && ranksOfSingle.nonEmpty)
+        assert(ranksOfBoth.max < ranksOfSingle.min,
+          s"qid $qid: consensus doc ranked below a single-leg doc")
+    }
+  }
+
   test("the integer surrogate still ranks like BM25 on a planted corpus") {
     // doc 0 is the query source: its terms are "rare common filler pad".
     // 'rare' appears only in docs 0 and 3; 'common' in every doc. BM25
