@@ -332,11 +332,13 @@ object Ivf {
   * embedding-table scan, bit-identical results to the inline q40
   * (IvfIndexSpec pins both). On a cluster the two state tables are the
   * IVF index files: rebuilt on retrain, read by every query. */
-final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir)
-    extends AnnIndex {
+final class IvfIndex(val spark: SparkSession,
+    val state: graft.streaming.StateDir) extends AnnIndex {
   import IvfIndex._
 
-  def build(d: String): Unit = {
+  protected def prefix: String = "ivf"
+
+  protected def publishTables(d: String): Unit = {
     val (emb, trained) = Ivf.train(spark, d)
     try {
       state.write(CentroidsTable, trained)
@@ -344,8 +346,6 @@ final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir)
     } finally emb.unpersist() // cache hygiene: once the index tables are
                               // published, nothing build persisted survives
   }
-
-  def isBuilt: Boolean = state.exists(AssignTable)
 
   /** Incremental maintenance — the live-index path between retrains:
     * assign a batch of NEW vectors (vec_id, embedding) to the EXISTING
@@ -355,46 +355,29 @@ final class IvfIndex(spark: SparkSession, state: graft.streaming.StateDir)
     * the quantizer stays fixed until the owner rebuilds, the standard
     * IVF deployment contract (cell balance degrades slowly as the
     * distribution drifts; [[graft.streaming.DriftStream]] is the monitor
-    * that tells you when to retrain). The optional batchId makes the
-    * append idempotent (the [[AnnIndex]] per-table replay contract —
-    * here one table, so one guard) and tags the delta's rows; serving
-    * reads project the tag away (schema-pruned), so tagged and untagged
-    * deltas serve identically. */
-  def addBatch(newEmb: org.apache.spark.sql.DataFrame,
-      batchId: Option[Long] = None): Unit = {
-    require(isBuilt, "index not built — call build() before addBatch()")
-    if (batchId.exists(hasBatch)) return
-    val trained = state.read(CentroidsTable, CentroidsSchema)
-    val emb = newEmb.select(
-      org.apache.spark.sql.functions.col("vec_id"),
-      org.apache.spark.sql.functions.col("embedding"),
-      graft.functions.Vectors.dot(
+    * that tells you when to retrain). The batch_id column is ALWAYS
+    * written (null for batch callers): StateDir compaction folds the
+    * chain with the INCOMING delta's schema, so an untagged append that
+    * lands on a compaction boundary would fold the chain without
+    * batch_id and silently drop the replay-guard tags. Serving reads
+    * project the tag away regardless. */
+  protected def appendDeltas(newEmb: org.apache.spark.sql.DataFrame,
+      batchId: Option[Long], tag: org.apache.spark.sql.Column): Unit =
+    if (tableFresh(AssignTable, AssignSchema, batchId)) {
+      val trained = state.read(CentroidsTable, CentroidsSchema)
+      val emb = newEmb.select(
+        org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("embedding"),
-        org.apache.spark.sql.functions.col("embedding")).as("n2"))
-    val assigned = Ivf.assignTo(emb, trained)
-    // ALWAYS write the batch_id column (null for batch callers): StateDir
-    // compaction folds the chain with the INCOMING delta's schema, so an
-    // untagged append that lands on a compaction boundary would fold the
-    // chain without batch_id and silently drop IndexStream's replay-guard
-    // tags — a later replayed micro-batch would then pass the guard and
-    // duplicate vectors. Serving reads project the tag away regardless.
-    state.append(AssignTable, assigned.withColumn("batch_id",
-      batchId.fold(org.apache.spark.sql.functions.lit(null)
-        .cast(org.apache.spark.sql.types.LongType))(id =>
-        org.apache.spark.sql.functions.lit(id))))
-  }
-
-  /** The assignment table is the only serving table, so the [[AnnIndex]]
-    * every-table question is one tagged read — a columnar batch_id-only
-    * scan of the chain, metadata-cheap next to the batch's own work. */
-  def hasBatch(batchId: Long): Boolean =
-    !state.read(AssignTable, TaggedAssignSchema)
-      .filter(org.apache.spark.sql.functions.col("batch_id") === batchId)
-      .isEmpty
+        graft.functions.Vectors.dot(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("embedding")).as("n2"))
+      state.append(AssignTable,
+        Ivf.assignTo(emb, trained).withColumn("batch_id", tag))
+    }
 
   /** q40-shaped ANN over the persisted index: top-3 per probe from the
     * probe's nprobe nearest cells. */
-  def query(probeFrom: Long, nProbes: Long): DataFrame =
+  protected def serveTables(probeFrom: Long, nProbes: Long): DataFrame =
     Ivf.serve(
       state.read(AssignTable, AssignSchema),
       state.read(CentroidsTable, CentroidsSchema),

@@ -346,11 +346,13 @@ object Pq {
   * the code table behind — candidates without codes silently vanish
   * from the ADC stage. Distinct names make the pair impossible to
   * half-update. */
-final class PqIndex(spark: SparkSession, state: graft.streaming.StateDir)
-    extends AnnIndex {
+final class PqIndex(val spark: SparkSession,
+    val state: graft.streaming.StateDir) extends AnnIndex {
   import PqIndex._
 
-  def build(d: String): Unit = {
+  protected def prefix: String = "pq"
+
+  protected def publishTables(d: String): Unit = {
     val (emb, trained) = Ivf.train(spark, d)
     try {
       val sub = Pq.subVectors(emb.select(col("vec_id"), col("embedding")))
@@ -370,39 +372,29 @@ final class PqIndex(spark: SparkSession, state: graft.streaming.StateDir)
                                       // persisted survives publication
   }
 
-  def isBuilt: Boolean = state.exists(CodesTable)
-
-  /** Incremental maintenance — [[IvfIndex.addBatch]]'s contract for the
-    * PQ pair: assign NEW vectors (vec_id, embedding) to the EXISTING
-    * coarse centroids AND encode them against the EXISTING codebooks,
-    * appending BOTH deltas (assignment + codes) — the two tables move
-    * together, so serving never sees a candidate without a code. No
-    * retraining: quantizer and codebooks stay fixed until the owner
-    * rebuilds ([[graft.streaming.DriftStream]] is the retrain monitor).
-    * Both deltas always carry the batch_id column (null for batch
-    * callers) — the compaction-proof replay-guard doctrine
-    * ([[IvfIndex.addBatch]] documents the failure mode) — and with a
-    * batchId each table commits AT MOST ONCE per id (the [[AnnIndex]]
-    * per-table idempotence contract): the appends are two separate
-    * atomic publishes, so a crash between them leaves the batch torn —
-    * assignment landed, codes missing — and a re-driven batch must
-    * append exactly the codes half, not duplicate the assignment or
-    * skip outright. [[graft.streaming.PqIndexStreamSpec]] pins the torn
-    * path end-to-end. */
-  def addBatch(newEmb: DataFrame, batchId: Option[Long] = None): Unit = {
-    require(isBuilt, "index not built — call build() before addBatch()")
-    def fresh(table: String, tagged: org.apache.spark.sql.types.StructType) =
-      batchId.forall(id => !tableHas(table, tagged, id))
-    val tag = batchId.fold(
-      lit(null).cast(org.apache.spark.sql.types.LongType))(id => lit(id))
-    if (fresh(AssignTable, IvfIndex.TaggedAssignSchema)) {
+  /** Incremental maintenance — [[IvfIndex]]'s contract for the PQ pair:
+    * assign NEW vectors (vec_id, embedding) to the EXISTING coarse
+    * centroids AND encode them against the EXISTING codebooks, appending
+    * BOTH deltas (assignment + codes) — the two tables move together, so
+    * serving never sees a candidate without a code. No retraining:
+    * quantizer and codebooks stay fixed until the owner rebuilds
+    * ([[graft.streaming.DriftStream]] is the retrain monitor). The
+    * appends are two separate atomic publishes, so a crash between them
+    * leaves the batch torn — assignment landed, codes missing — which is
+    * exactly what the [[AnnIndex]] per-table guards + batch ledger
+    * absorb: the re-drive appends the codes half only, then commits.
+    * [[graft.streaming.PqIndexStreamSpec]] pins the torn path
+    * end-to-end. */
+  protected def appendDeltas(newEmb: DataFrame, batchId: Option[Long],
+      tag: org.apache.spark.sql.Column): Unit = {
+    if (tableFresh(AssignTable, IvfIndex.AssignSchema, batchId)) {
       val trained = state.read(CentroidsTable, CentroidsSchema)
       val emb = newEmb.select(col("vec_id"), col("embedding"),
         Vectors.dot(col("embedding"), col("embedding")).as("n2"))
       state.append(AssignTable,
         Ivf.assignTo(emb, trained).withColumn("batch_id", tag))
     }
-    if (fresh(CodesTable, TaggedCodesSchema)) {
+    if (tableFresh(CodesTable, CodesSchema, batchId)) {
       val cb = state.read(CodebooksTable, CodebooksSchema)
       state.append(CodesTable,
         Pq.assignSub(Pq.subVectors(
@@ -412,19 +404,9 @@ final class PqIndex(spark: SparkSession, state: graft.streaming.StateDir)
     }
   }
 
-  private def tableHas(table: String,
-      tagged: org.apache.spark.sql.types.StructType, id: Long): Boolean =
-    !state.read(table, tagged).filter(col("batch_id") === id).isEmpty
-
-  /** Every-table presence — false for a torn batch until [[addBatch]]
-    * completes it. */
-  def hasBatch(batchId: Long): Boolean =
-    tableHas(AssignTable, IvfIndex.TaggedAssignSchema, batchId) &&
-      tableHas(CodesTable, TaggedCodesSchema, batchId)
-
   /** q92-shaped ANN over the persisted index: ADC shortlist + exact
     * re-rank, top-3 per probe. */
-  def query(probeFrom: Long, nProbes: Long): DataFrame =
+  protected def serveTables(probeFrom: Long, nProbes: Long): DataFrame =
     Pq.serve(
       state.read(AssignTable, IvfIndex.AssignSchema),
       state.read(CentroidsTable, IvfIndex.CentroidsSchema),

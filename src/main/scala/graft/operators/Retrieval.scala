@@ -311,12 +311,14 @@ object Retrieval {
   * append-only contract as the ANN legs; re-ingesting an existing doc
   * would double its postings — replays are what the per-table batch
   * guard absorbs). */
-final class LexIndex(spark: SparkSession, state: graft.streaming.StateDir)
-    extends AnnIndex {
+final class LexIndex(val spark: SparkSession,
+    val state: graft.streaming.StateDir) extends AnnIndex {
   import LexIndex._
   import Retrieval.{tfOf, dlOf, dfOf, statsOf, queriesOf}
 
-  def build(d: String): Unit = {
+  protected def prefix: String = "lex"
+
+  protected def publishTables(d: String): Unit = {
     val docs = Tables.documents(spark, d)
     state.write(TfTable, tfOf(docs))
     // derive the downstream tables from the PUBLISHED tf (a re-read, not
@@ -327,51 +329,34 @@ final class LexIndex(spark: SparkSession, state: graft.streaming.StateDir)
     state.write(DlTable, dl)
     state.write(DfTable, dfOf(tf))
     state.write(StatsTable, statsOf(dl))
-    state.write(QueriesTable, queriesOf(docs)) // written LAST: isBuilt gate
+    state.write(QueriesTable, queriesOf(docs))
   }
 
-  def isBuilt: Boolean = state.exists(QueriesTable)
-
-  /** Incremental maintenance — [[AnnIndex.addBatch]] for the lexical
+  /** Incremental maintenance — [[AnnIndex]]'s contract for the lexical
     * index: the batch's OWN tf/dl/df/stats deltas append to all four
     * statistic tables (per-table at-most-once under a batchId — four
     * tables make the torn-batch window wider than [[PqIndex]]'s two,
     * and the completion semantics matter more, not less). The query
     * table is deliberately untouched: it pins the declared contract. */
-  def addBatch(newDocs: DataFrame, batchId: Option[Long] = None): Unit = {
-    require(isBuilt, "index not built — call build() before addBatch()")
-    def fresh(table: String, tagged: org.apache.spark.sql.types.StructType) =
-      batchId.forall(id => !tableHas(table, tagged, id))
-    val tag = batchId.fold(
-      lit(null).cast(org.apache.spark.sql.types.LongType))(id => lit(id))
+  protected def appendDeltas(newDocs: DataFrame, batchId: Option[Long],
+      tag: org.apache.spark.sql.Column): Unit = {
     val tf = tfOf(newDocs.select(col("doc_id"), col("text")))
       .localCheckpoint(false) // four consumers of one batch-scale build
     val dl = dlOf(tf)
-    if (fresh(TfTable, tagged(TfSchema)))
+    if (tableFresh(TfTable, TfSchema, batchId))
       state.append(TfTable, tf.withColumn("batch_id", tag))
-    if (fresh(DlTable, tagged(DlSchema)))
+    if (tableFresh(DlTable, DlSchema, batchId))
       state.append(DlTable, dl.withColumn("batch_id", tag))
-    if (fresh(DfTable, tagged(DfSchema)))
+    if (tableFresh(DfTable, DfSchema, batchId))
       state.append(DfTable, dfOf(tf).withColumn("batch_id", tag))
-    if (fresh(StatsTable, tagged(StatsSchema)))
+    if (tableFresh(StatsTable, StatsSchema, batchId))
       state.append(StatsTable, statsOf(dl).withColumn("batch_id", tag))
   }
-
-  private def tableHas(table: String,
-      schema: org.apache.spark.sql.types.StructType, id: Long): Boolean =
-    !state.read(table, schema).filter(col("batch_id") === id).isEmpty
-
-  /** Every-table presence — false for a torn batch until [[addBatch]]
-    * completes it. */
-  def hasBatch(batchId: Long): Boolean =
-    Seq(TfTable -> TfSchema, DlTable -> DlSchema,
-        DfTable -> DfSchema, StatsTable -> StatsSchema)
-      .forall { case (t, s) => tableHas(t, tagged(s), batchId) }
 
   /** q95-shaped BM25 over the persisted statistics: delta-shaped df and
     * stats fold with integer sums (bit-identical to inline aggregates),
     * then the shared scoring plan. The probe range selects query ids. */
-  def query(qidFrom: Long, nQids: Long): DataFrame = {
+  protected def serveTables(qidFrom: Long, nQids: Long): DataFrame = {
     val df = state.read(DfTable, DfSchema)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val stats = state.read(StatsTable, StatsSchema)

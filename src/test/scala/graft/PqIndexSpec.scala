@@ -91,6 +91,53 @@ class PqIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a torn REBUILD reads as not-built and serving refuses; a re-drive recovers") {
+    // the mixed-generation hazard: a crash mid-rebuild of a multi-table
+    // index would leave new codebooks over old codes (ADC garbage) or
+    // new tf over old df (wrong BM25) with nothing signaling the tear.
+    // The build-epoch bracket makes the tear LOUD: the tombstone lands
+    // before any table writes, the commit after all of them.
+    val root = Files.createTempDirectory("pq-torn-build-").toString
+    val st = new StateDir(spark, root)
+    val idx = new PqIndex(spark, st)
+    idx.build(sf)
+    assert(idx.isBuilt)
+    val healthy = rows(idx.query(490L, 10L))
+    // simulate the crash: the rebuild's tombstone landed (and, say, one
+    // table of the new generation), then the process died
+    st.write("pq_build", spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(Boolean.box(false))),
+      graft.operators.AnnIndex.BuildMetaSchema))
+    assert(!idx.isBuilt, "torn rebuild must read as not-built")
+    intercept[IllegalArgumentException](idx.query(490L, 10L))
+    intercept[IllegalArgumentException](idx.addBatch(
+      graft.Tables.embeddings(spark, sf).limit(1)))
+    // the owner's recovery: re-drive the build — full generation, serves
+    idx.build(sf)
+    assert(idx.isBuilt)
+    assert(rows(idx.query(490L, 10L)) == healthy)
+  }
+
+  test("a committed-but-EMPTY batch stays committed (no re-drive livelock)") {
+    // presence-by-tagged-rows cannot represent "committed but empty";
+    // the ledger can. A batch whose rows yield an empty delta in every
+    // table (zero input rows here) must still read as committed, or the
+    // stream re-drives it on every restart forever.
+    val root = Files.createTempDirectory("pq-empty-batch-").toString
+    val idx = new PqIndex(spark, new StateDir(spark, root))
+    idx.build(sf)
+    val empty = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 0L)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    idx.addBatch(empty, Some(11L))
+    assert(idx.hasBatch(11L), "empty batch must commit via the ledger")
+    val before = rows(idx.query(490L, 10L))
+    idx.addBatch(empty, Some(11L)) // replay: ledger short-circuits
+    assert(rows(idx.query(490L, 10L)) == before)
+  }
+
   test("q93 serves q92's answer from persisted state, no Lloyd subtree in the plan") {
     val served = Pq.q93ServedPqAnn(spark, sf)
     assert(rows(served) == rows(Pq.q92IvfPqAnn(spark, sf)))

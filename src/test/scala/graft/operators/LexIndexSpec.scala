@@ -126,7 +126,7 @@ class LexIndexSpec extends AnyFunSuite {
     docs.filter(col("doc_id") < cut)
       .write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
     val st = new StateDir(spark, Files.createTempDirectory("lex-is").toString)
-    val is = new IndexStream(spark, st, new LexIndex(spark, st))
+    val is = new IndexStream(spark, new LexIndex(spark, st))
     is.index.build(tmpDir)
     val rest = docs.filter(col("doc_id") >= cut)
     (0 until 3).foreach { i =>

@@ -36,12 +36,14 @@ class RetrievalSpec extends AnyFunSuite {
         toks(id).take(Retrieval.QTerms).distinct).toMap
     queries.toSeq.flatMap { case (qid, terms) =>
       val scored = tf.toSeq.flatMap { case (docId, m) =>
-        val s = terms.flatMap(t => m.get(t).map { f =>
+        // keep MATCHED docs even at a floored-to-zero score — the
+        // engine's inner join and the DuckDB oracle both emit them
+        val matched = terms.flatMap(t => m.get(t).map { f =>
           val normM = 250L + (750000L * dl(docId)) / adlM
           val tfpM = (f * 2200000L) / (f * 1000L + (1200L * normM) / 1000L)
           idf(nDocs, dfreq(t)) * tfpM
-        }).sum
-        if (s > 0) Some((docId, s)) else None
+        })
+        if (matched.nonEmpty) Some((docId, matched.sum)) else None
       }
       scored.sortBy { case (docId, s) => (-s, docId) }
         .take(Retrieval.TopK).zipWithIndex

@@ -35,7 +35,7 @@ class DriftRetrainSpec extends AnyFunSuite {
       new StateDir(spark, Files.createTempDirectory("drift-rt").toString))
     val ixState = new StateDir(spark,
       Files.createTempDirectory("ix-rt").toString)
-    val is = new IndexStream(spark, ixState, mkIndex(ixState))
+    val is = new IndexStream(spark, mkIndex(ixState))
     is.index.build(sf)
 
     // epoch 0: the full fixture corpus. Its parity halves are drawn from

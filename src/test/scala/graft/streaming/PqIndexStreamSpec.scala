@@ -33,7 +33,7 @@ class PqIndexStreamSpec extends AnyFunSuite {
 
   private def pqStream(root: String): IndexStream = {
     val st = new StateDir(spark, root)
-    new IndexStream(spark, st, new PqIndex(spark, st))
+    new IndexStream(spark, new PqIndex(spark, st))
   }
 
   private lazy val expected = {
@@ -73,7 +73,7 @@ class PqIndexStreamSpec extends AnyFunSuite {
     // the per-table guard must come through unchanged.
     val st = new StateDir(spark,
       Files.createTempDirectory("pqc").toString, compactEvery = 2)
-    val is = new IndexStream(spark, st, new PqIndex(spark, st))
+    val is = new IndexStream(spark, new PqIndex(spark, st))
     is.index.build(sf)
     (0 until 5).foreach { i =>
       is.processBatch(clones.filter(col("vec_id") % 5 === i), i.toLong)
@@ -99,7 +99,7 @@ class PqIndexStreamSpec extends AnyFunSuite {
 
     val tornState = new StateDir(spark,
       Files.createTempDirectory("pqt").toString)
-    val is = new IndexStream(spark, tornState, new PqIndex(spark, tornState))
+    val is = new IndexStream(spark, new PqIndex(spark, tornState))
     is.index.build(sf)
     val assignDelta = donorState
       .read(PqIndex.AssignTable, IvfIndex.TaggedAssignSchema)
