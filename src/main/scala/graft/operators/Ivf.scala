@@ -141,14 +141,21 @@ object Ivf {
     * candidates, exact cosine top-3. Shared by the inline q40 and the
     * persisted [[IvfIndex]] so both are bit-identical. */
   private[operators] def serve(tagged: DataFrame, trained: DataFrame,
-      probeFrom: Long, nProbes: Long): DataFrame = {
-    val probeRange = col("vec_id") >= probeFrom && col("vec_id") < probeFrom + nProbes
-    val probes = tagged.filter(probeRange)
+      probeFrom: Long, nProbes: Long): DataFrame =
+    serveWhere(tagged, trained,
+      col("vec_id") >= probeFrom && col("vec_id") < probeFrom + nProbes, 3)
+
+  /** [[serve]] with an arbitrary probe predicate and top-k — the same
+    * plan expression-for-expression (q40/q86's pins ride the delegating
+    * overload); q98's hybrid vector leg probes a strided id set. */
+  private[operators] def serveWhere(tagged: DataFrame, trained: DataFrame,
+      probePred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+    val probes = tagged.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("n2").as("pn2"))
     // each probe's nprobe nearest cells — ranked against the SAME trained
     // centroids, over the probe subset only (tiny)
-    val pcells = rankCells(tagged.filter(probeRange), trained, NProbeCells)
+    val pcells = rankCells(tagged.filter(probePred), trained, NProbeCells)
       .select(col("vec_id").as("probe_id"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -158,7 +165,7 @@ object Ivf {
       .withColumn("cosine",
         Vectors.dot(col("pe"), col("embedding")) / sqrt(col("pn2") * col("n2")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= topK)
       .select(col("probe_id"), col("cell"), col("vec_id"), col("cosine"), col("rn"))
       .orderBy(col("probe_id"), col("rn"))
   }

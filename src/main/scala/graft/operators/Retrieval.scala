@@ -237,10 +237,10 @@ object Retrieval {
     * [[RetrievalSpec]]). Plan: the two leg plans (each already
     * scale-shaped), a ≤2k-row full-outer fusion join, a 10-partition
     * top-k window. */
-  def q97HybridRrf(s: SparkSession, d: String): DataFrame = {
-    val lex = q95Bm25TopK(s, d)
-      .select(col("qid"), col("doc_id"), col("rn").as("lrn"))
-    val vec = vectorLeg(s, d)
+  /** The RRF fusion stage shared by q97 (brute leg) and q98 (ANN leg):
+    * full-outer join of the two (qid, doc_id, rank) lists, integer RRF
+    * sum, top-k. */
+  private def fuseRrf(lex: DataFrame, vec: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rrf_milli").desc, col("doc_id"))
     lex.join(vec, Seq("qid", "doc_id"), "full_outer")
@@ -252,6 +252,76 @@ object Retrieval {
       .select(col("qid"), col("doc_id"), col("rrf_milli"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  def q97HybridRrf(s: SparkSession, d: String): DataFrame =
+    fuseRrf(
+      q95Bm25TopK(s, d).select(col("qid"), col("doc_id"), col("rn").as("lrn")),
+      vectorLeg(s, d))
+
+  // ---------------------------------------------------------------- q98
+
+  /** q98: the ANN-ACCELERATED hybrid — q97's fusion with the vector leg
+    * swapped from the brute corpus scan to q40's trained-IVF candidate
+    * generation (the claim q97's scaladoc makes, now behind a row): the
+    * probe meets only its nprobe nearest cells' members, so the vector
+    * leg's per-probe work is |nprobe·N/K| candidates instead of N — the
+    * leg a 1e9-vector deployment actually runs. Recall is the IVF trade
+    * (the leg may surface fewer/different neighbors than q97's exact
+    * scan; the oracle mirrors the SAME candidate rule, so the row is
+    * exact about what the ANN leg returns). Lexical leg, fusion, and
+    * dampener are q97's verbatim. */
+  def q98HybridAnnRrf(s: SparkSession, d: String): DataFrame = {
+    val (emb, trained) = Ivf.train(s, d)
+    val tagged = Ivf.assignTo(emb, trained).persist()
+    val probePred = col("vec_id") % QStride === 0 &&
+      expr(s"vec_id DIV $QStride") < NQueries
+    val vec = Ivf.serveWhere(tagged, trained, probePred, TopK)
+      .select(expr(s"probe_id DIV $QStride").as("qid"),
+        col("vec_id").as("doc_id"), col("rn").as("vrn"))
+    fuseRrf(
+      q95Bm25TopK(s, d).select(col("qid"), col("doc_id"), col("rn").as("lrn")),
+      vec)
+  }
+
+  def q98Sql: String =
+    s"""${Ivf.trainedCtes}, $bm25Ctes, lex AS (
+       |  SELECT qid, doc_id, rn AS lrn FROM ranked WHERE rn <= $TopK
+       |), aprobes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+       |  FROM tagged WHERE vec_id % $QStride = 0 AND vec_id // $QStride < $NQueries
+       |), apcells AS (
+       |  SELECT vec_id AS probe_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS crn
+       |    FROM sf WHERE vec_id % $QStride = 0 AND vec_id // $QStride < $NQueries) t
+       |  WHERE crn <= ${graft.Dials.IvfNProbeCells}
+       |), acand AS (
+       |  SELECT pc.probe_id, t.vec_id,
+       |    ${Similarity.duckDotSql("pe", "embedding")} / sqrt(pn2 * n2) AS cosine
+       |  FROM tagged t
+       |  JOIN apcells pc ON t.cell = pc.cell
+       |  JOIN aprobes p ON p.probe_id = pc.probe_id AND t.vec_id <> p.probe_id
+       |), avranked AS (
+       |  SELECT probe_id // $QStride AS qid, vec_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, vec_id) AS INT) AS vrn
+       |  FROM acand
+       |), vec AS (
+       |  SELECT qid, doc_id, vrn FROM avranked WHERE vrn <= $TopK
+       |), fused AS (
+       |  SELECT COALESCE(l.qid, v.qid) AS qid,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    CAST(COALESCE(1000000 // ($RrfK + lrn), 0) +
+       |      COALESCE(1000000 // ($RrfK + vrn), 0) AS BIGINT) AS rrf_milli
+       |  FROM lex l FULL JOIN vec v ON l.qid = v.qid AND l.doc_id = v.doc_id
+       |), franked AS (
+       |  SELECT qid, doc_id, rrf_milli,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf_milli DESC, doc_id) AS INT) AS rn
+       |  FROM fused
+       |)
+       |SELECT qid, doc_id, rrf_milli, rn FROM franked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
 
   def q97Sql: String =
     s"""WITH $bm25Ctes, lex AS (

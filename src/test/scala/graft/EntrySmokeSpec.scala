@@ -100,7 +100,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
     // q92 shares the same fold in its per-subspace codebook training
     // (Pq.codebooksOf); its encode/serve path is HOF-free by design.
-    val allowed = Set("q40_ivf_ann", "q75_semantic_dedup", "q92_ivfpq_ann")
+    // q98 trains the coarse quantizer inline for its ANN vector leg
+    val allowed = Set("q40_ivf_ann", "q75_semantic_dedup", "q92_ivfpq_ann",
+      "q98_hybrid_ann")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

@@ -92,6 +92,29 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q98 == q97's fusion with the IVF candidate rule as the vector leg") {
+    // recompute the expected fusion from q95 + the ANN leg DERIVED from
+    // the declared q40-contract plan (serveWhere over the trained
+    // quantizer), then check the integer fusion exactly; and pin the
+    // designed difference from q97 — the vector legs may disagree (IVF
+    // recall trade), the lexical legs may not.
+    val lex = Retrieval.q95Bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val got = Retrieval.q98HybridAnnRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got.nonEmpty)
+    // every fused score must decompose into (lexical rank | absent) +
+    // (some vector rank 1..TopK | absent) contributions
+    val contributions = (1 to Retrieval.TopK)
+      .map(r => 1000000L / (Retrieval.RrfK + r)).toSet
+    got.foreach { case (qid, docId, s, _) =>
+      val lpart = lex.get((qid, docId)).map(r => 1000000L / (Retrieval.RrfK + r))
+      val rest = s - lpart.getOrElse(0L)
+      assert(rest == 0L || contributions(rest),
+        s"($qid,$docId) score $s does not decompose (lex part $lpart)")
+    }
+  }
+
   test("the integer surrogate still ranks like BM25 on a planted corpus") {
     // doc 0 is the query source: its terms are "rare common filler pad".
     // 'rare' appears only in docs 0 and 3; 'common' in every doc. BM25
