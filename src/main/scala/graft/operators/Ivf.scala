@@ -175,7 +175,7 @@ object Ivf {
   /** Per-(session, corpus) persisted-index memo backing [[q86ServedAnn]] —
     * the q54/q56 train-once/serve-many split applied to ANN (the shared
     * [[ServedMemo]] machinery; [[PqIndex]] reuses it for q93). */
-  private val indexMemo = new ServedMemo[IvfIndex](
+  private[operators] val indexMemo = new ServedMemo[IvfIndex](
     maxEntries = 8,
     mk = (s, state) => new IvfIndex(s, state),
     built = _.isBuilt,
@@ -389,6 +389,19 @@ final class IvfIndex(val spark: SparkSession,
       state.read(AssignTable, AssignSchema),
       state.read(CentroidsTable, CentroidsSchema),
       probeFrom, nProbes)
+
+  /** [[Ivf.serveWhere]] over the persisted tables — the arbitrary-probe
+    * form of `query` (q99's served hybrid probes a strided id set);
+    * same epoch refusal as the trait's range form. */
+  def queryWhere(probePred: org.apache.spark.sql.Column,
+      topK: Int): DataFrame = {
+    require(isBuilt,
+      "ivf index not built (or a rebuild was torn) — build() required")
+    Ivf.serveWhere(
+      state.read(AssignTable, AssignSchema),
+      state.read(CentroidsTable, CentroidsSchema),
+      probePred, topK)
+  }
 }
 
 object IvfIndex {

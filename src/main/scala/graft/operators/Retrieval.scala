@@ -283,6 +283,36 @@ object Retrieval {
       vec)
   }
 
+  // ---------------------------------------------------------------- q99
+
+  /** q99: the SERVED hybrid — q98's exact contract (same legs, same
+    * candidate rules, same fusion, same oracle) answered from TWO
+    * persisted indexes: the lexical leg from the [[LexIndex]] q96
+    * serves, the vector leg from the [[IvfIndex]] q86 serves
+    * ([[IvfIndex.queryWhere]] — the strided-probe form of the same
+    * serve plan). This is the production hybrid READ PATH priced in the
+    * open: no corpus scan, no tokenization, no training anywhere in the
+    * declared plan — every input is an index table, which is how a
+    * retrieval deployment actually answers a query. Train-once pricing
+    * rides the session memos q86/q96 already built. */
+  def q99ServedHybrid(s: SparkSession, d: String): DataFrame = {
+    val lexIdx = lexMemo.get(s, d, "documents.parquet")
+    val ivfIdx = Ivf.indexMemo.get(s, d, "embeddings.parquet")
+    val probePred = col("vec_id") % QStride === 0 &&
+      expr(s"vec_id DIV $QStride") < NQueries
+    val vec = ivfIdx.queryWhere(probePred, TopK)
+      .select(expr(s"probe_id DIV $QStride").as("qid"),
+        col("vec_id").as("doc_id"), col("rn").as("vrn"))
+    fuseRrf(
+      lexIdx.query(0L, NQueries)
+        .select(col("qid"), col("doc_id"), col("rn").as("lrn")),
+      vec)
+  }
+
+  /** Same answer, same oracle: the served legs are deterministic twins
+    * of q98's inline ones. */
+  def q99Sql: String = q98Sql
+
   def q98Sql: String =
     s"""${Ivf.trainedCtes}, $bm25Ctes, lex AS (
        |  SELECT qid, doc_id, rn AS lrn FROM ranked WHERE rn <= $TopK

@@ -50,6 +50,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     before("q70_winnow_pairs", "q89_dup_spans")
     before("q92_ivfpq_ann", "q93_served_pqann")
     before("q95_bm25_topk", "q96_served_bm25")
+    // q99 serves from the session memos q86 (IVF) and q96 (lexical) build
+    before("q86_served_ann", "q99_served_hybrid")
+    before("q96_served_bm25", "q99_served_hybrid")
     // and the full declared order is the numeric one — any insertion slip
     // (a new query landing out of place) is caught here, not in a re-priced
     // bench row three rounds later.

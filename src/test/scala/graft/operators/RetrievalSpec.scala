@@ -115,6 +115,24 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 serves q98's answer from two persisted indexes; no corpus in the plan") {
+    val served = Retrieval.q99ServedHybrid(spark, sf)
+    val expected = Retrieval.q98HybridAnnRrf(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served.collect().map(_.toSeq).toSeq == expected)
+    // the production read path: every input is an index table — no
+    // document corpus, no embedding corpus, no training stage anywhere
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "q99's lexical leg scans the document corpus")
+    assert(!plan.contains("embeddings.parquet"),
+      "q99's vector leg scans the embedding corpus")
+    assert(!plan.contains("collect_list") && !plan.contains("zip_with"),
+      "q99's plan retrains a quantizer")
+    // second call serves both memoized indexes — same answer
+    assert(Retrieval.q99ServedHybrid(spark, sf).collect().map(_.toSeq).toSeq
+      == expected)
+  }
+
   test("the integer surrogate still ranks like BM25 on a planted corpus") {
     // doc 0 is the query source: its terms are "rare common filler pad".
     // 'rare' appears only in docs 0 and 3; 'common' in every doc. BM25
