@@ -93,4 +93,15 @@ object Dials {
 
   /** See [[BloomBits]] — the expected-items half of the sizing pair. */
   val BloomItems: Long = 1L << 16
+
+  /** Max staged persists [[graft.operators.StagedCache]] keeps live —
+    * the owner bound for the inline queries' cached intermediates
+    * (training stages, tagged assignments, rank bases). Fixture: 16
+    * entries ≈ all inline stages of one Verify pass over two fixture
+    * dirs. At scale the entries are proportionally larger (a cached
+    * assignment is O(N) rows), so size this by executor storage memory:
+    * entries × largest-staged-plan must fit the storage fraction, and
+    * a serving deployment should prefer the persisted-index path
+    * (q86/q93/q96/q99), which stages nothing. */
+  val StagedPersistCap = 16
 }

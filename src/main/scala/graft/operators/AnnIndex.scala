@@ -79,6 +79,15 @@ trait AnnIndex {
     * for); a crash mid-rebuild leaves the tombstone, not a lie. */
   final def build(d: String): Unit = state.locked {
     state.write(metaTable, oneRow(AnnIndex.BuildMetaSchema, Boolean.box(false)))
+    // Batch ids are scoped to ONE build generation: publishTables fully
+    // rewrites the serving tables (wiping the per-table tag guards), so
+    // the ledger must restart empty too — otherwise a stream restarted
+    // with a fresh checkpoint (batch ids from 0) against retained state
+    // would find stale ledger rows and silently skip its first batches.
+    // Inside the epoch bracket: a crash after this truncate leaves the
+    // tombstone, so nothing serves or appends until a re-driven build.
+    state.write(ledgerTable, spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), AnnIndex.LedgerSchema))
     publishTables(d)
     state.write(metaTable, oneRow(AnnIndex.BuildMetaSchema, Boolean.box(true)))
   }

@@ -109,10 +109,10 @@ object Ivf {
   /** Training: seed = first K vectors, [[Iters]] Lloyd rounds. Returns the
     * (persisted) embedding base and the trained centroid table. */
   private[operators] def train(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val emb = Tables.embeddings(s, d)
+    val emb = StagedCache.stage(d, "ivf_train_emb", Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
-      .persist() // scanned by every training round + the final assignment
+        Vectors.dot(col("embedding"), col("embedding")).as("n2")))
+      // staged: scanned by every training round + the final assignment
     val seed = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
     val trained = (0 until Iters).foldLeft(seed) { (c, _) =>
@@ -133,7 +133,8 @@ object Ivf {
     // window is the expensive stage — without this it executes twice.
     // ([[IvfIndex]] is the production shape: the same assignment persisted
     // once, served many times.)
-    serve(assignTo(emb, trained).persist(), trained, ProbeFrom, NProbes)
+    serve(StagedCache.stage(d, "ivf_q40_tagged", assignTo(emb, trained)),
+      trained, ProbeFrom, NProbes)
   }
 
   /** The q40 serving plan over an EXISTING assignment + centroid table:

@@ -374,7 +374,12 @@ object Media {
   def q94Params(id: Long): (Int, Int, Int) = {
     val w = Array(20, 28, 36, 44)((id % 4).toInt)
     val h = Array(16, 24, 32)((id % 3).toInt)
-    val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+    // id is folded into the 24-bit ring BEFORE the multiply so the
+    // product stays ≤ 2^24 · 2^32 < 2^63 on any Long doc_id — the JVM
+    // side would wrap silently past doc_id ≈ 3.5e9 while the DuckDB
+    // twin raises out-of-range, and % ≠ & on a negative product. Same
+    // reduction in the oracle SQL, so both sides stay exact at any id.
+    val rgb = (((id % 16777216L) * 2654435761L) % 16777216L).toInt
     (w, h, rgb)
   }
 
@@ -447,7 +452,7 @@ object Media {
       |      WHEN 2 THEN 36 ELSE 44 END AS INT) AS width,
       |    CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 24
       |      ELSE 32 END AS INT) AS height,
-      |    (doc_id * 2654435761) % 16777216 AS rgb
+      |    ((doc_id % 16777216) * 2654435761) % 16777216 AS rgb
       |  FROM documents
       |), c AS (
       |  SELECT width, height,

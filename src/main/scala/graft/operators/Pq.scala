@@ -136,9 +136,10 @@ object Pq {
     * probe. [[PqSpec]] pins the floor. */
   def q92IvfPqAnn(s: SparkSession, d: String): DataFrame = {
     val (emb, trained) = Ivf.train(s, d)
-    val tagged = Ivf.assignTo(emb, trained).persist()
-    val sub = subVectors(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-      .persist() // scanned per Lloyd round + encode
+    val tagged = StagedCache.stage(d, "q92_tagged", Ivf.assignTo(emb, trained))
+    val sub = StagedCache.stage(d, "q92_sub",
+      subVectors(Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))))
+      // staged: scanned per Lloyd round + encode
     val cb = trainCodebooks(sub)
     val codes = assignSub(sub, cb).select(col("vec_id"), col("m"), col("code"))
     serve(tagged, trained, cb, codes, Ivf.ProbeFrom, Ivf.NProbes)

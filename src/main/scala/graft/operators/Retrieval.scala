@@ -272,7 +272,7 @@ object Retrieval {
     * dampener are q97's verbatim. */
   def q98HybridAnnRrf(s: SparkSession, d: String): DataFrame = {
     val (emb, trained) = Ivf.train(s, d)
-    val tagged = Ivf.assignTo(emb, trained).persist()
+    val tagged = StagedCache.stage(d, "q98_tagged", Ivf.assignTo(emb, trained))
     val probePred = col("vec_id") % QStride === 0 &&
       expr(s"vec_id DIV $QStride") < NQueries
     val vec = Ivf.serveWhere(tagged, trained, probePred, TopK)

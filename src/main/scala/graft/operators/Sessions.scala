@@ -114,11 +114,11 @@ object Sessions {
     val ev = Tables.events(s, d)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"), col("event_id"))
-    val ranged = ev
+    val ranged = StagedCache.stage(d, "rank_base", ev
       .repartitionByRange(col("event_type"), col("value"), col("event_id"))
       .sortWithinPartitions(col("event_type"), col("value"), col("event_id"))
-      .select(col("event_type"), col("value"))
-      .persist() // pins partition layout AND row order for the mid ranks
+      .select(col("event_type"), col("value")))
+      // staged: pins partition layout AND row order for the mid ranks
       .withColumn("pid", spark_partition_id())
       .withColumn("mid", monotonically_increasing_id())
     // per-(partition, group) slice counts + the slice's first mid: partial

@@ -39,12 +39,15 @@ final class IndexStream(spark: SparkSession, val index: AnnIndex) {
 
   /** One batch: delegate to the index's idempotent, crash-completing
     * append (the lock is reentrant — addBatch re-acquires it). Empty
-    * batches are skipped outright: no deltas, no ledger growth. Public
-    * so a batch driver (or spec) can drive the same code path. */
+    * batches flow through too: their deltas are vacuous but the ledger
+    * row still commits, so [[AnnIndex.hasBatch]] answers true for every
+    * processed batch id — owner logic polling the ledger for completion
+    * sees no permanent hole. Public so a batch driver (or spec) can
+    * drive the same code path. */
   def processBatch(batch: Dataset[Row], batchId: Long): Unit =
     index.state.locked {
       require(index.isBuilt,
         "index not built — train in batch before streaming ingest")
-      if (!batch.isEmpty) index.addBatch(batch.toDF(), Some(batchId))
+      index.addBatch(batch.toDF(), Some(batchId))
     }
 }

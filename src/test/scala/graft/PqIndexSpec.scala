@@ -138,6 +138,30 @@ class PqIndexSpec extends AnyFunSuite {
     assert(rows(idx.query(490L, 10L)) == before)
   }
 
+  test("rebuild clears the batch ledger — batch ids are scoped to one generation") {
+    // publishTables rewrites the serving tables (wiping the per-table tag
+    // guards), so a ledger surviving the rebuild would permanently skip a
+    // batch id committed under the PREVIOUS generation — the fresh-
+    // checkpoint restart (batch ids from 0) against retained state.
+    val root = Files.createTempDirectory("pq-ledger-gen-").toString
+    val idx = new PqIndex(spark, new StateDir(spark, root))
+    idx.build(sf)
+    val clones = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id").between(490L, 499L))
+      .select((org.apache.spark.sql.functions.col("vec_id") + 9510L).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    idx.addBatch(clones, Some(0L))
+    assert(idx.hasBatch(0L))
+    assert(rows(idx.query(10000L, 10L)).nonEmpty)
+    idx.build(sf) // the retrain path: new generation, serving tables rewritten
+    assert(!idx.hasBatch(0L), "stale ledger row survived the rebuild")
+    assert(rows(idx.query(10000L, 10L)).isEmpty) // new generation: no clones yet
+    idx.addBatch(clones, Some(0L)) // same id, new generation — must LAND
+    assert(idx.hasBatch(0L))
+    assert(rows(idx.query(10000L, 10L)).nonEmpty,
+      "first batches of the new generation were silently dropped")
+  }
+
   test("q93 serves q92's answer from persisted state, no Lloyd subtree in the plan") {
     val served = Pq.q93ServedPqAnn(spark, sf)
     assert(rows(served) == rows(Pq.q92IvfPqAnn(spark, sf)))

@@ -59,6 +59,20 @@ class IndexStreamSpec extends AnyFunSuite {
       "replayed batch mutated the index")
   }
 
+  test("an EMPTY batch still commits its ledger row (hasBatch answers true)") {
+    // owner logic polling the ledger for completion must see every
+    // processed batch id — an empty micro-batch skipped before addBatch
+    // would leave a permanent hole.
+    val is = new IndexStream(spark,
+      new StateDir(spark, Files.createTempDirectory("ixe").toString))
+    is.index.build(sf)
+    val before = rows(is.index.query(490L, 10L))
+    is.processBatch(clones.filter(col("vec_id") < 0L), 5L)
+    assert(is.index.hasBatch(5L), "empty batch left no ledger row")
+    assert(rows(is.index.query(490L, 10L)) == before,
+      "empty batch mutated the served rows")
+  }
+
   test("ingest across a compaction boundary: serve and replay guard survive") {
     // the subtle path: the build-time base version has NO batch_id
     // column; compaction unions tagged deltas with null-tagged base rows
