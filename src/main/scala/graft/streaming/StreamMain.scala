@@ -1,0 +1,274 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.{IvfIndex, LexIndex, PqIndex}
+
+/** The runnable ingest executable — the engine's analog of the
+  * reference's launchable apps (`StreamingApp.scala:555-581`'s
+  * `NotSimpleApp.main` and `FileWorkerApp.main`, driven by
+  * `run_local.sh`): everything the streaming fabric does in the specs,
+  * wired behind one `main` a user can point at a directory or a Kafka
+  * topic.
+  *
+  * Two modes, mirroring the reference's positional-args contract
+  * (source, state root, trigger interval — `StreamingApp.scala:561-575`
+  * reads topic/dirs/interval positionally):
+  *
+  * {{{
+  * # the LLM-data fabric: docs stream -> BloomGate -> DedupStream +
+  * #   LexIndex + TelemetryStream + DriftStream (+ embeddings stream ->
+  * #   IvfIndex + PqIndex when --embeddings is given)
+  * runMain graft.streaming.StreamMain docs <docsDir|kafka:host:port/topic> \
+  *     <stateRoot> <intervalMs> [--bench <parquet>] \
+  *     [--bootstrap <fixtureDir>] [--embeddings <dir>] [--once]
+  *
+  * # the reference's chunk pipeline: wire-bytes chunk stream ->
+  * #   ChunkIngest (verified binary sink + metadata + work queue + HW)
+  * runMain graft.streaming.StreamMain chunks <chunkDir|kafka:host:port/topic> \
+  *     <stateRoot> <intervalMs> --case <caseDir> --image-size <bytes> [--once]
+  * }}}
+  *
+  * - `docs` sources: a directory streamed as parquet files of
+  *   (doc_id, source, text) rows, or `kafka:<bootstrap>/<topic>` with
+  *   the same rows JSON-encoded in `value`. ONE foreachBatch fans each
+  *   micro-batch out to every consumer (single source read, one batch-id
+  *   sequence, per-consumer replay guards absorb re-drives).
+  * - `--bench <parquet>`: decontamination benchmark docs; when present,
+  *   arrivals pass through [[BloomGate]] before any state.
+  * - `--bootstrap <fixtureDir>`: builds [[LexIndex]] (and with
+  *   `--embeddings` the [[IvfIndex]]/[[PqIndex]] pair) from this corpus
+  *   before streaming — the train-once half of the index lifecycle.
+  *   Without it the index legs are skipped (gate/dedup/telemetry/drift
+  *   still run; an index cannot ingest before `build`).
+  * - `--once`: `Trigger.AvailableNow` — process everything present,
+  *   checkpoint, and stop gracefully (T7's batch-drain form; the
+  *   `chunks` mode additionally stops as soon as the image completes,
+  *   the reference's own stop condition, `StreamingApp.scala:524-539`).
+  *   Without it, `ProcessingTime(intervalMs)` and run until SIGTERM
+  *   (a shutdown hook stops every query at a batch boundary).
+  *
+  * Exit: prints one JSON summary line (`{"mode":...,"batches":N,...}`)
+  * — the Bench/Verify machine-line contract — then returns. */
+object StreamMain {
+
+  final case class Config(
+      mode: String,
+      source: String,
+      stateRoot: String,
+      intervalMs: Long,
+      bench: Option[String] = None,
+      bootstrap: Option[String] = None,
+      embeddings: Option[String] = None,
+      caseDir: Option[String] = None,
+      imageSize: Long = 0L,
+      once: Boolean = false)
+
+  val DocsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  val EmbeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  def parse(args: Array[String]): Config = {
+    require(args.length >= 4,
+      "usage: StreamMain <docs|chunks> <source> <stateRoot> <intervalMs> " +
+        "[--bench p] [--bootstrap d] [--embeddings d] [--once]")
+    var cfg = Config(args(0), args(1), args(2), args(3).toLong)
+    var i = 4
+    while (i < args.length) {
+      args(i) match {
+        case "--bench"      => cfg = cfg.copy(bench = Some(args(i + 1))); i += 2
+        case "--bootstrap"  => cfg = cfg.copy(bootstrap = Some(args(i + 1))); i += 2
+        case "--embeddings" => cfg = cfg.copy(embeddings = Some(args(i + 1))); i += 2
+        case "--case"       => cfg = cfg.copy(caseDir = Some(args(i + 1))); i += 2
+        case "--image-size" => cfg = cfg.copy(imageSize = args(i + 1).toLong); i += 2
+        case "--once"       => cfg = cfg.copy(once = true); i += 1
+        case other => throw new IllegalArgumentException(s"unknown arg $other")
+      }
+    }
+    require(cfg.mode == "docs" || cfg.mode == "chunks", s"unknown mode ${cfg.mode}")
+    cfg
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream")
+      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 32))
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, cfg)) finally spark.stop()
+  }
+
+  /** Wire, run (to drain under `--once`, to SIGTERM otherwise), and
+    * summarize. Public and session-taking so AppSmokeSpec launches the
+    * EXACT production wiring in-process. */
+  def run(spark: SparkSession, cfg: Config): String = cfg.mode match {
+    case "docs"   => runDocs(spark, cfg)
+    case "chunks" => runChunks(spark, cfg)
+  }
+
+  private def trigger(cfg: Config): Trigger =
+    if (cfg.once) Trigger.AvailableNow()
+    else Trigger.ProcessingTime(cfg.intervalMs)
+
+  /** `kafka:<bootstrap>/<topic>` → Some((bootstrap, topic)). */
+  private def kafkaSpec(source: String): Option[(String, String)] =
+    if (!source.startsWith("kafka:")) None
+    else {
+      val rest = source.stripPrefix("kafka:")
+      val slash = rest.lastIndexOf('/')
+      require(slash > 0, s"kafka source must be kafka:<bootstrap>/<topic>: $source")
+      Some((rest.substring(0, slash), rest.substring(slash + 1)))
+    }
+
+  private def docsStream(spark: SparkSession, source: String): DataFrame =
+    kafkaSpec(source) match {
+      case Some((bootstrap, topic)) =>
+        spark.readStream.format("kafka")
+          .options(Sources.kafkaOptions(bootstrap, topic))
+          .load()
+          .select(from_json(col("value").cast("string"),
+            DocsSchema).as("doc"))
+          .select(col("doc.doc_id"), col("doc.source"), col("doc.text"))
+          .filter(col("doc_id").isNotNull)
+      case None =>
+        spark.readStream.schema(DocsSchema).parquet(source)
+    }
+
+  private def awaitOrDrain(cfg: Config, queries: Seq[StreamingQuery],
+      done: () => Boolean): Unit =
+    if (cfg.once) queries.foreach(_.awaitTermination())
+    else {
+      // run until SIGTERM; stop at a batch boundary (graceful T7), or as
+      // soon as the pipeline reports completion (chunks: image done)
+      val hook = new Thread(() => queries.foreach(q => q.stop()))
+      Runtime.getRuntime.addShutdownHook(hook)
+      while (queries.exists(_.isActive) && !done())
+        Thread.sleep(math.max(50L, cfg.intervalMs / 4))
+      queries.filter(_.isActive).foreach(_.stop())
+      queries.foreach(_.awaitTermination())
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () } // already shutting down
+    }
+
+  private def runDocs(spark: SparkSession, cfg: Config): String = {
+    def st(leg: String) =
+      new StateDir(spark, s"${cfg.stateRoot}/$leg")
+    def ckpt(leg: String) = s"${cfg.stateRoot}/checkpoints/$leg"
+
+    val bloom = cfg.bench.map(p => BloomGate.build(spark.read.parquet(p)))
+
+    val dedup = new DedupStream(spark, st("dedup"))
+    val telemetry = new TelemetryStream(spark, st("telemetry"))
+    val drift = new DriftStream(spark, st("drift"))
+    val lex = cfg.bootstrap.map { d =>
+      val idx = new LexIndex(spark, st("lex"))
+      if (!idx.isBuilt) idx.build(d)
+      new IndexStream(spark, idx)
+    }
+
+    val arrivals = docsStream(spark, cfg.source)
+    val gated = bloom.fold(arrivals)(b => BloomGate.gate(arrivals, b))
+    var batches = 0L
+    val docsQuery = gated
+      .observe("ingest", count(lit(1)).as("n_docs"))
+      .writeStream
+      .trigger(trigger(cfg))
+      .option("checkpointLocation", ckpt("docs"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // one source read per batch: every consumer sees the SAME rows
+        val b = batch.persist()
+        try {
+          dedup.processBatch(b.select("doc_id", "text"), id)
+          telemetry.processBatch(b, id)
+          drift.processBatch(b.select("doc_id", "text"), id)
+          lex.foreach(_.processBatch(b.select("doc_id", "text"), id))
+          batches += 1
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+    // the vector leg: its own arrival stream, its own batch-id sequence;
+    // both ANN families maintained from one source read
+    val vecQuery = for (embDir <- cfg.embeddings; d <- cfg.bootstrap) yield {
+      val ivf = new IvfIndex(spark, st("ivf"))
+      if (!ivf.isBuilt) ivf.build(d)
+      val pq = new PqIndex(spark, st("pq"))
+      if (!pq.isBuilt) pq.build(d)
+      val ivfIs = new IndexStream(spark, ivf)
+      val pqIs = new IndexStream(spark, pq)
+      spark.readStream.schema(EmbeddingsSchema).parquet(embDir)
+        .writeStream
+        .trigger(trigger(cfg))
+        .option("checkpointLocation", ckpt("embeddings"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.persist()
+          try {
+            ivfIs.processBatch(b, id)
+            pqIs.processBatch(b, id)
+          } finally { b.unpersist(); () }
+        }
+        .start()
+    }
+
+    awaitOrDrain(cfg, Seq(docsQuery) ++ vecQuery, () => false)
+
+    val pairs = dedup.pairsSnapshot.count()
+    val sources = telemetry.snapshot.count()
+    val driftRows = drift.report.count()
+    s"""{"mode":"docs","batches":$batches,"dedup_pairs":$pairs,""" +
+      s""""telemetry_sources":$sources,"drift_tokens":$driftRows,""" +
+      s""""lex":${lex.nonEmpty},"ann":${vecQuery.nonEmpty}}"""
+  }
+
+  private def runChunks(spark: SparkSession, cfg: Config): String = {
+    val caseDir = cfg.caseDir.getOrElse(
+      throw new IllegalArgumentException(
+        "chunks mode needs --case <dir> with files/layout/fs_info parquet " +
+          "(the reference's TSK case-prep tables) and --image-size <bytes>"))
+    require(cfg.imageSize > 0, "chunks mode needs --image-size <bytes>")
+    val blocks = kafkaSpec(cfg.source) match {
+      case Some((bootstrap, topic)) =>
+        Sources.kafka(spark, bootstrap, topic)
+      case None =>
+        // file source standing in for the topic: each file is one chunk's
+        // wire bytes (same codec as the Kafka value column). The
+        // binaryFile source's schema is fixed but the streaming reader
+        // still requires it stated.
+        Sources.decodeBlocks(
+          spark.readStream.format("binaryFile")
+            .schema(StructType(Seq(
+              StructField("path", StringType),
+              StructField("modificationTime", TimestampType),
+              StructField("length", LongType),
+              StructField("content", BinaryType))))
+            .load(cfg.source)
+            .select(col("content").as("value")))
+    }
+    val ci = new ChunkIngest(spark,
+      new StateDir(spark, s"${cfg.stateRoot}/chunks"), cfg.imageSize,
+      spark.read.parquet(s"$caseDir/files.parquet"),
+      spark.read.parquet(s"$caseDir/layout.parquet"),
+      spark.read.parquet(s"$caseDir/fs_info.parquet"),
+      chunkSink = Some(s"${cfg.stateRoot}/chunk-sink"))
+    val query = ci.start(blocks, trigger(cfg),
+      s"${cfg.stateRoot}/checkpoints/chunks")
+    awaitOrDrain(cfg, Seq(query), () => ci.isDone)
+    val n = ci.chunksSnapshot.count()
+    val bad = ci.badChunksSnapshot.count()
+    s"""{"mode":"chunks","done":${ci.isDone},"chunks":$n,"bad_chunks":$bad}"""
+  }
+}
