@@ -23,12 +23,16 @@ object Dials {
   val IvfCells = 8
 
   /** IVF nprobe — the recall dial: each probe searches its nprobe
-    * nearest cells. Fixture: 3 of 8 clears the pinned recall floor
-    * (AnnRecallSpec: 1.0 ≥ 0.9) while touching ~3N/K vectors. At scale
+    * nearest cells. Fixture: 4 of 8 measures recall@3 0.867 against the
+    * pinned 0.6 floor (AnnRecallSpec) while touching ~4N/K vectors —
+    * raised from 3 in r9 when the coarse stage was measured as the
+    * BINDING recall ceiling for the PQ leg (at nprobe 3 the true top-3
+    * fell outside the probed cells 1/3 of the time; no codebook can
+    * recover a candidate the coarse stage never surfaces). At scale
     * keep nprobe/cells ratio in the few-percent range and re-measure
     * recall on a held-out probe set; raising it is a pure
     * compute-for-recall trade, no re-index needed. */
-  val IvfNProbeCells = 3
+  val IvfNProbeCells = 4
 
   /** Embedding dimensionality — set by the CORPUS (TESTDATA.md fixes the
     * fixture at 64), not chosen: every vector operator (dot products,
@@ -57,12 +61,15 @@ object Dials {
 
   /** Product-quantization subspace count (q92): the 64-dim embedding
     * splits into M sub-vectors, each quantized independently — codes are
-    * M small ints per vector, the 100 TB ANN MEMORY dial (M bytes/vector
-    * at Ks ≤ 256 vs 4·dim float bytes = 32× compression at the fixture
-    * shape). At scale M=8..16 with SubDim 8..16 is the standard range;
-    * M must divide the embedding dim. Recall is re-measured per corpus
-    * (PqRecallSpec pins the fixture floor). */
-  val PqSubspaces = 8
+    * M small ints per vector, the 100 TB ANN MEMORY dial (M·log₂Ks bits
+    * per vector: 16×4-bit = 8 B vs 256 float B = 32× compression, the
+    * same stored size as the production 8×8-bit shape). Raised 8→16 in
+    * r9: on the near-random fixture, 4-dim subspaces at Ks=16 quantize
+    * tightly enough that ADC reaches the coarse-stage ceiling (recall@3
+    * 0.867 vs 0.600 at M=8, same R, same bytes). At scale M=8..16 with
+    * SubDim 4..16 is the standard range; M must divide the embedding
+    * dim. Recall is re-measured per corpus (PqSpec pins the floor). */
+  val PqSubspaces = 16
 
   /** Per-subspace PQ codebook size (q92). Fixture: 16 centroids (4-bit
     * codes) keeps the unrolled exact oracle tractable; production
@@ -74,11 +81,12 @@ object Dials {
   /** PQ re-rank shortlist size (q92): the ADC scan keeps the R best
     * codes per probe and only THOSE R rows fetch their float vectors
     * for exact re-ranking (Jégou et al.'s IVFADC+R) — the float I/O per
-    * probe is R rows, not a cell. Fixture: 64 (measured recall@3 0.667+
-    * on the near-random synthetic embeddings — the hardest corpus for
-    * PQ; PqSpec pins the floor). At scale R trades float-fetch I/O for
-    * recall and is re-measured per corpus; 10-100× the final k is the
-    * standard range, independent of corpus size. */
+    * probe is R rows, not a cell. Fixture: 64 (measured recall@3 0.867
+    * with residual codes at M=16/nprobe=4 on the near-random synthetic
+    * embeddings — the hardest corpus for PQ; PqSpec pins the 0.6
+    * floor). At scale R trades float-fetch I/O for recall and is
+    * re-measured per corpus; 10-100× the final k is the standard
+    * range, independent of corpus size. */
   val PqRerank = 64
 
   /** Decontamination bloom sizing: bits per filter and the expected

@@ -86,6 +86,76 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_vsub(a, b)`: element-wise difference of two float vectors, as
+  * float — the residual primitive of the IVFADC formulation
+  * ([[graft.operators.Pq]] encodes `embedding − coarse_centroid`, Jégou
+  * et al. 2011 §III). Each element is a single float32 subtraction
+  * (round-to-nearest once), which DuckDB's `REAL - REAL` reproduces
+  * bit-for-bit — so residual arrays are type- and bit-identical across
+  * engines, like [[DotProductFloat]]'s double fold. Null semantics match
+  * graft_dot: length mismatch or a null element nulls the whole result
+  * (zip_with-equivalent), keeping the native and HOF forms
+  * interchangeable. Native rather than `zip_with` so the PQ encode path
+  * stays free of interpreted HigherOrderFunctions (PqSpec pins that).
+  */
+case class SubtractVectorsFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_vsub expects two array<float> args, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_vsub"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      out(i) = x.getFloat(i) - y.getFloat(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  float[] $out = new float[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $out[$i] = $a.getFloat($i) - $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} =
+         |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubtractVectorsFloat =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_md5_48(s)`: the first 48 bits of md5(s) as a long — the dedup
   * family's shared string-hash primitive, natively. Bit-identical to the
   * built-in chain `conv(substring(md5(s), 1, 12), 16, 10)` (the first 12
@@ -140,6 +210,10 @@ object Vectors {
   def dot(a: Column, b: Column): Column =
     shims.column(DotProductFloat(shims.expression(a), shims.expression(b)))
 
+  /** Element-wise float difference (see [[SubtractVectorsFloat]]). */
+  def sub(a: Column, b: Column): Column =
+    shims.column(SubtractVectorsFloat(shims.expression(a), shims.expression(b)))
+
   /** 48-bit md5 prefix of a string column (see [[Md5Prefix48]]). */
   def md5Prefix48(c: Column): Column =
     shims.column(Md5Prefix48(shims.expression(c)))
@@ -159,6 +233,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vsub"),
+      new ExpressionInfo(classOf[SubtractVectorsFloat].getName, "graft_vsub"),
+      (exprs: Seq[Expression]) => SubtractVectorsFloat(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_md5_48"),
       new ExpressionInfo(classOf[Md5Prefix48].getName, "graft_md5_48"),

@@ -50,8 +50,9 @@ object Ivf {
     * standard IVF recall dial (candidates stay one cell-equi-join away —
     * a candidate lives in exactly one cell, so no dedup is needed).
     * nprobe=1 measured 0.30 recall@3 on the fixture (AnnRecallSpec);
-    * 3 of 8 cells clears the floor while the re-rank still touches
-    * ~3N/K vectors, not N. */
+    * 4 of 8 cells measures 0.867 while the re-rank still touches
+    * ~4N/K vectors, not N (see [[graft.Dials.IvfNProbeCells]] for the
+    * r9 3→4 rationale). */
   private val NProbeCells = graft.Dials.IvfNProbeCells
 
   /** Nearest-centroid assignment: (vec_id, embedding, n2, cell). A
@@ -106,19 +107,36 @@ object Ivf {
         expr("transform(sums, s -> CAST(s / cnt AS FLOAT))").as("ce"))
       .withColumn("cn2", Vectors.dot(col("ce"), col("ce")))
 
-  /** Training: seed = first K vectors, [[Iters]] Lloyd rounds. Returns the
-    * (persisted) embedding base and the trained centroid table. */
-  private[operators] def train(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** Training: seed = first K vectors (or `seed0` — a warm-start
+    * centroid table from a previous generation, [[IvfIndex]]'s retrain
+    * path), [[Iters]] Lloyd rounds. Returns the (persisted) embedding
+    * base and the trained centroid table. */
+  private[operators] def train(s: SparkSession, d: String,
+      seed0: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val emb = StagedCache.stage(d, "ivf_train_emb", Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Vectors.dot(col("embedding"), col("embedding")).as("n2")))
       // staged: scanned by every training round + the final assignment
-    val seed = emb.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+    val seed = seed0.getOrElse(emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2")))
     val trained = (0 until Iters).foldLeft(seed) { (c, _) =>
       centroidsOf(assignTo(emb, c))
     }
     (emb, trained)
+  }
+
+  /** Validate a previous generation's (localized) centroid snapshot as a
+    * warm-start seed: non-empty, at most K rows (a K dial shrink makes
+    * the old generation over-provisioned — cold-seed instead), every
+    * centroid exactly [[Dim]] floats (an embedding-dimension change is a
+    * different space). Returns None → the caller cold-seeds. */
+  private[graft] def warmSeed(df: DataFrame): Option[DataFrame] = {
+    val rows = df.collect()
+    val ok = rows.nonEmpty && rows.length <= K && rows.forall { r =>
+      val ce = r.getAs[scala.collection.Seq[Float]]("ce")
+      ce != null && ce.length == Dim
+    }
+    if (ok) Some(df) else None
   }
 
   // ---------------------------------------------------------------- q40
@@ -220,6 +238,11 @@ object Ivf {
        |  SELECT cid, ce, ${duckDot("ce", "ce")} AS cn2 FROM (
        |    SELECT cell AS cid, list(cv ORDER BY dim) AS ce FROM d$t GROUP BY cell) t
        |)""".stripMargin
+
+  /** Name of the final trained-centroid CTE inside [[trainedCtes]] —
+    * q92's residual chain joins it to re-derive each vector's coarse
+    * centroid. */
+  private[operators] def finalCentroidCte: String = s"c$Iters"
 
   /** Shared oracle CTE chain: seed → unrolled Lloyd rounds → final scores
     * (`sf`) → trained cell assignment (`tagged`), plus the normed `emb`
@@ -346,8 +369,15 @@ final class IvfIndex(val spark: SparkSession,
 
   protected def prefix: String = "ivf"
 
-  protected def publishTables(d: String): Unit = {
-    val (emb, trained) = Ivf.train(spark, d)
+  /** Warm rebuilds snapshot the previous centroids and seed Lloyd from
+    * them (geometry validated by [[Ivf.warmSeed]]; cold fallback). */
+  override protected def warmStartTables: Seq[(String, org.apache.spark.sql.types.StructType)] =
+    Seq(CentroidsTable -> CentroidsSchema)
+
+  protected def publishTables(d: String,
+      warm: Map[String, org.apache.spark.sql.DataFrame]): Unit = {
+    val (emb, trained) =
+      Ivf.train(spark, d, warm.get(CentroidsTable).flatMap(Ivf.warmSeed))
     try {
       state.write(CentroidsTable, trained)
       state.write(AssignTable, Ivf.assignTo(emb, trained))

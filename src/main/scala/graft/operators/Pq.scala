@@ -13,17 +13,24 @@ import graft.functions.Vectors
   * PQ is its memory leg the way [[Ivf]] is its compute leg.
   *
   * The shape (Jégou, Douze, Schmid, "Product Quantization for Nearest
-  * Neighbor Search", TPAMI 2011 — the IVFADC system): split each
-  * [[graft.Dials.EmbeddingDim]]-dim vector into [[graft.Dials.PqSubspaces]]
+  * Neighbor Search", TPAMI 2011 — the IVFADC system, §III's residual
+  * formulation): quantize each vector's RESIDUAL against its coarse
+  * centroid, `r(y) = y − c(cell(y))` — residuals have far less energy
+  * than raw vectors, so the same codebook budget spends its centroids on
+  * a tighter distribution (recall at fixed M/Ks rises; PqSpec pins the
+  * lift). Split each residual into [[graft.Dials.PqSubspaces]]
   * sub-vectors; k-means each subspace independently into
   * [[graft.Dials.PqCodebook]] centroids; a vector's CODE is its M argmin
-  * centroid ids — M small ints instead of dim floats (fixture: 8×4-bit
-  * codes vs 256 float bytes = 32× smaller; production 8×8-bit vs the
-  * same = still 32×, see Dials). Serving never touches the float
-  * corpus: a probe precomputes an M×Ks lookup table of per-subspace
-  * squared-L2 terms against the codebooks, and each candidate's
-  * asymmetric distance (ADC) is M table lookups summed — here a
-  * broadcast-join + fixed 8-term sum over the code table.
+  * centroid ids — M small ints instead of dim floats (fixture: 16×4-bit
+  * codes = 8 B/vector vs 256 float bytes = 32× smaller; the production
+  * 8×8-bit shape is the same 8 B, see Dials). Serving never touches the
+  * float
+  * corpus: a probe precomputes, PER PROBED CELL, an M×Ks lookup table of
+  * per-subspace squared-L2 terms between its own residual w.r.t. that
+  * cell's centroid and the codebooks, and each candidate's asymmetric
+  * distance (ADC) is M table lookups summed — here a broadcast-join +
+  * fixed 8-term sum over the code table (the LUT is nprobe×M×Ks rows
+  * per probe, still trivially broadcastable).
   *
   * Candidates come from the SAME trained coarse quantizer as q40
   * ([[Ivf.train]]), nprobe nearest cells per probe — so the expensive
@@ -35,8 +42,12 @@ import graft.functions.Vectors
   *
   * Bit-exactness contract (oracle = the same computation unrolled in
   * DuckDB SQL):
+  *  - residuals are `graft_vsub` (one float32 subtraction per element,
+  *    codegen'd) ↔ DuckDB `CAST(embedding[i] - ce[i] AS REAL)` — both
+  *    round the exact difference to float once, so the arrays are
+  *    bit-identical;
   *  - sub-vector slices are literal `slice` calls (1-based, SubDim
-  *    long) ↔ DuckDB `embedding[a:b]` — no HOF in the encode path;
+  *    long) ↔ DuckDB `remb[a:b]` — no HOF in the encode path;
   *  - every dot product is `graft_dot` (double left-fold from 0.0) ↔
   *    `list_reduce(list_transform(...))` (left-fold from the first
   *    element; IEEE `0.0 + x == x` makes them identical);
@@ -55,6 +66,7 @@ import graft.functions.Vectors
 object Pq {
 
   private val M = graft.Dials.PqSubspaces
+  private val Dim = graft.Dials.EmbeddingDim
   private val SubDim = graft.Dials.EmbeddingDim / M
   private val Ks = graft.Dials.PqCodebook
   private val Iters = 2 // deterministic Lloyd rounds, same as the coarse quantizer
@@ -63,16 +75,35 @@ object Pq {
   require(graft.Dials.EmbeddingDim % M == 0,
     s"PqSubspaces ($M) must divide EmbeddingDim (${graft.Dials.EmbeddingDim})")
 
-  /** (vec_id, m, sv, sn2): the corpus exploded into M sub-vectors per
-    * vector. The slice list is a literal array of M codegen'd `slice`
-    * calls — posexplode_outer keeps InferFiltersFromGenerate from
-    * re-deriving the computed array into the scan filters. */
-  private[graft] def subVectors(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), posexplode_outer(array((0 until M).map { m =>
-        slice(col("embedding"), m * SubDim + 1, SubDim)
-      }: _*)))
-      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+  /** (keys..., m, sv, sn2): `vec` exploded into M sub-vectors per row.
+    * The slice list is a literal array of M codegen'd `slice` calls —
+    * posexplode_outer keeps InferFiltersFromGenerate from re-deriving
+    * the computed array into the scan filters. */
+  private[graft] def subVectorsKeyed(df: DataFrame, keys: Seq[String],
+      vec: String): DataFrame =
+    df.select(keys.map(col) :+ posexplode_outer(array((0 until M).map { m =>
+        slice(col(vec), m * SubDim + 1, SubDim)
+      }: _*)): _*)
+      .select(keys.map(col) :+ col("pos").as("m") :+ col("col").as("sv"): _*)
       .withColumn("sn2", Vectors.dot(col("sv"), col("sv")))
+
+  /** (vec_id, m, sv, sn2): per-vector sub-vectors of a raw embedding —
+    * the non-residual form (kept for [[PqSpec]]'s structural gates and
+    * any caller quantizing an un-centered space). */
+  private[graft] def subVectors(emb: DataFrame): DataFrame =
+    subVectorsKeyed(emb, Seq("vec_id"), "embedding")
+
+  /** (vec_id, m, sv, sn2): each assigned vector's RESIDUAL against its
+    * own cell's coarse centroid, exploded into sub-vectors — the IVFADC
+    * encode input. One broadcast join (K centroid rows) + one codegen'd
+    * float subtraction per element; no HOF. */
+  private[graft] def residualSubVectors(tagged: DataFrame,
+      trained: DataFrame): DataFrame =
+    subVectorsKeyed(
+      tagged.join(broadcast(trained.select(col("cid").as("cell"), col("ce"))),
+          Seq("cell"))
+        .select(col("vec_id"), Vectors.sub(col("embedding"), col("ce")).as("remb")),
+      Seq("vec_id"), "remb")
 
   /** Nearest-codebook-entry assignment for every (vector, subspace) —
     * same map-side `min_by` collapse as [[Ivf.assignTo]] (the broadcast
@@ -108,12 +139,28 @@ object Pq {
 
   /** Codebook training: seed = the first Ks vectors' sub-vectors (one
     * seed table serves all M subspaces — subspace is a column, so the M
-    * independent k-means runs are ONE job per round, not M). */
-  private[graft] def trainCodebooks(sub: DataFrame): DataFrame = {
-    val seed = sub.filter(col("vec_id") < Ks)
+    * independent k-means runs are ONE job per round, not M), or `seed0`
+    * — a previous generation's codebook table on [[PqIndex]]'s warm
+    * retrain path. */
+  private[graft] def trainCodebooks(sub: DataFrame,
+      seed0: Option[DataFrame] = None): DataFrame = {
+    val seed = seed0.getOrElse(sub.filter(col("vec_id") < Ks)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("ce"),
-        col("sn2").as("cn2"))
+        col("sn2").as("cn2")))
     (0 until Iters).foldLeft(seed) { (c, _) => codebooksOf(assignSub(sub, c)) }
+  }
+
+  /** Validate a previous generation's (localized) codebook snapshot as a
+    * warm-start seed — [[Ivf.warmSeed]]'s contract for the subspace
+    * geometry: non-empty, at most M·Ks rows, every entry exactly
+    * [[SubDim]] floats. None → cold seed. */
+  private[graft] def warmSeed(df: DataFrame): Option[DataFrame] = {
+    val rows = df.collect()
+    val ok = rows.nonEmpty && rows.length <= M * Ks && rows.forall { r =>
+      val ce = r.getAs[scala.collection.Seq[Float]]("ce")
+      ce != null && ce.length == SubDim
+    }
+    if (ok) Some(df) else None
   }
 
   // ---------------------------------------------------------------- q92
@@ -137,8 +184,8 @@ object Pq {
   def q92IvfPqAnn(s: SparkSession, d: String): DataFrame = {
     val (emb, trained) = Ivf.train(s, d)
     val tagged = StagedCache.stage(d, "q92_tagged", Ivf.assignTo(emb, trained))
-    val sub = StagedCache.stage(d, "q92_sub",
-      subVectors(Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))))
+    val sub = StagedCache.stage(d, "q92_rsub",
+      residualSubVectors(tagged, trained))
       // staged: scanned per Lloyd round + encode
     val cb = trainCodebooks(sub)
     val codes = assignSub(sub, cb).select(col("vec_id"), col("m"), col("code"))
@@ -151,9 +198,10 @@ object Pq {
     * R-row shortlist, exact float re-rank to top-3. Shared by the inline
     * q92 (which trains everything first) and the persisted [[PqIndex]]
     * (which reads all four tables from a StateDir) so both are
-    * bit-identical; probe sub-vectors are re-sliced from the probe rows'
-    * floats — the identical literal `slice`/`graft_dot` chain over the
-    * identical arrays, and only nProbes rows of it. */
+    * bit-identical; probe residuals are re-derived from the probe rows'
+    * floats and the centroid table — the identical literal
+    * `graft_vsub`/`slice`/`graft_dot` chain over the identical arrays,
+    * and only nProbes·nprobe rows of it. */
   private[operators] def serve(tagged: DataFrame, trained: DataFrame,
       cb: DataFrame, codes: DataFrame, probeFrom: Long, nProbes: Long): DataFrame = {
     val probeRange = col("vec_id") >= probeFrom &&
@@ -164,24 +212,34 @@ object Pq {
     val cand = tagged.select(col("vec_id"), col("cell"))
       .join(broadcast(pcells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
+      .select(col("probe_id"), col("cell"), col("vec_id"))
 
-    // probe ADC lookup table: per (probe, subspace, code) the squared-L2
-    // term (pn2m - 2·dot(pv, ce)) + cn2 — M·Ks rows per probe, broadcast
-    val lut = subVectors(tagged.filter(probeRange)
-        .select(col("vec_id"), col("embedding")))
-      .select(col("vec_id").as("probe_id"), col("m"),
+    // probe ADC lookup table, PER PROBED CELL: the probe's residual
+    // w.r.t. that cell's centroid, sub-sliced, scored against the
+    // codebooks — (probe, cell, subspace, code) → squared-L2 term
+    // (pn2m - 2·dot(pv, ce)) + cn2. nprobe·M·Ks rows per probe, broadcast.
+    val pres = tagged.filter(probeRange)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+      .join(broadcast(pcells), Seq("probe_id"))
+      .join(broadcast(trained.select(col("cid").as("cell"), col("ce"))),
+        Seq("cell"))
+      .select(col("probe_id"), col("cell"),
+        Vectors.sub(col("embedding"), col("ce")).as("remb"))
+    val lut = subVectorsKeyed(pres, Seq("probe_id", "cell"), "remb")
+      .select(col("probe_id"), col("cell"), col("m"),
         col("sv").as("pv"), col("sn2").as("pn2m"))
       .join(broadcast(cb), Seq("m"))
-      .select(col("probe_id"), col("m"), col("cid").as("code"),
+      .select(col("probe_id"), col("cell"), col("m"), col("cid").as("code"),
         (col("pn2m") - lit(2.0) * Vectors.dot(col("pv"), col("ce")) + col("cn2"))
           .as("t"))
 
-    // ADC: M lookups per candidate, pivoted to fixed columns so the sum
-    // is the literal left-to-right expression t0+...+t{M-1} (map-side
-    // partial agg collapses the M rows per (probe, candidate))
+    // ADC: M lookups per candidate against ITS cell's probe LUT, pivoted
+    // to fixed columns so the sum is the literal left-to-right expression
+    // t0+...+t{M-1} (map-side partial agg collapses the M rows per
+    // (probe, candidate); a candidate lives in exactly one cell, so the
+    // cell key adds no fan-out)
     val pivoted = cand.join(codes, Seq("vec_id"))
-      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .join(broadcast(lut), Seq("probe_id", "cell", "m", "code"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(max(when(col("m") === 0, col("t"))).as("t0"),
         (1 until M).map(j =>
@@ -271,13 +329,18 @@ object Pq {
        |)""".stripMargin
 
   def q92Sql: String = {
-    val slice = s"embedding[m*$SubDim+1 : m*$SubDim+$SubDim]"
+    val resid = s"list_transform(range(1, ${Dim + 1}), " +
+      "i -> CAST(t.embedding[i] - c.ce[i] AS REAL))"
+    val slice = s"remb[m*$SubDim+1 : m*$SubDim+$SubDim]"
     val pivots = (0 until M).map(j =>
       s"max(CASE WHEN k.m = $j THEN l.t END) AS t$j").mkString(", ")
     val adcSum = (0 until M).map(j => s"t$j").mkString(" + ")
-    s"""${Ivf.trainedCtes}, psub AS (
+    s"""${Ivf.trainedCtes}, rsub AS (
+       |  SELECT t.vec_id, $resid AS remb
+       |  FROM tagged t JOIN ${Ivf.finalCentroidCte} c ON t.cell = c.cid
+       |), psub AS (
        |  SELECT vec_id, m, sv, ${duckDot("sv", "sv")} AS sn2 FROM (
-       |    SELECT vec_id, m, $slice AS sv FROM embeddings, $msTable) t
+       |    SELECT vec_id, m, $slice AS sv FROM rsub, $msTable) t
        |), pc0 AS (
        |  SELECT m, vec_id AS cid, sv AS ce, sn2 AS cn2 FROM psub WHERE vec_id < $Ks
        |)${(0 until Iters).map(pqIterSql).mkString}, pqsf AS (
@@ -294,20 +357,27 @@ object Pq {
        |    FROM sf WHERE vec_id >= ${Ivf.ProbeFrom} AND vec_id < ${Ivf.ProbeFrom + Ivf.NProbes}) t
        |  WHERE crn <= $NProbeCells
        |), cand AS (
-       |  SELECT pc.probe_id, t.vec_id
+       |  SELECT pc.probe_id, t.cell, t.vec_id
        |  FROM tagged t JOIN pcells pc ON t.cell = pc.cell
        |  WHERE t.vec_id <> pc.probe_id
+       |), prr AS (
+       |  SELECT pc.probe_id, pc.cell, $resid AS remb
+       |  FROM pcells pc
+       |  JOIN tagged t ON t.vec_id = pc.probe_id
+       |  JOIN ${Ivf.finalCentroidCte} c ON c.cid = pc.cell
+       |), prsub AS (
+       |  SELECT probe_id, cell, m, sv, ${duckDot("sv", "sv")} AS pn2m FROM (
+       |    SELECT probe_id, cell, m, $slice AS sv FROM prr, $msTable) t
        |), lut AS (
-       |  SELECT p.vec_id AS probe_id, c.m, c.cid AS code,
-       |    p.sn2 - 2 * ${duckDot("p.sv", "c.ce")} + c.cn2 AS t
-       |  FROM psub p JOIN pc$Iters c ON p.m = c.m
-       |  WHERE p.vec_id >= ${Ivf.ProbeFrom} AND p.vec_id < ${Ivf.ProbeFrom + Ivf.NProbes}
+       |  SELECT p.probe_id, p.cell, c.m, c.cid AS code,
+       |    p.pn2m - 2 * ${duckDot("p.sv", "c.ce")} + c.cn2 AS t
+       |  FROM prsub p JOIN pc$Iters c ON p.m = c.m
        |), sc AS (
        |  SELECT cd.probe_id, cd.vec_id,
        |    $pivots
        |  FROM cand cd
        |  JOIN codes k ON k.vec_id = cd.vec_id
-       |  JOIN lut l ON l.probe_id = cd.probe_id AND l.m = k.m AND l.code = k.code
+       |  JOIN lut l ON l.probe_id = cd.probe_id AND l.cell = cd.cell AND l.m = k.m AND l.code = k.code
        |  GROUP BY cd.probe_id, cd.vec_id
        |), shortlist AS (
        |  SELECT probe_id, vec_id, adc FROM (
@@ -353,18 +423,29 @@ final class PqIndex(val spark: SparkSession,
 
   protected def prefix: String = "pq"
 
-  protected def publishTables(d: String): Unit = {
-    val (emb, trained) = Ivf.train(spark, d)
+  /** Warm rebuilds seed BOTH trainers from the previous generation —
+    * coarse Lloyd from the old centroids, subspace Lloyd from the old
+    * codebooks (each independently geometry-validated, cold fallback). */
+  override protected def warmStartTables: Seq[(String, org.apache.spark.sql.types.StructType)] =
+    Seq(CentroidsTable -> CentroidsSchema, CodebooksTable -> CodebooksSchema)
+
+  protected def publishTables(d: String,
+      warm: Map[String, org.apache.spark.sql.DataFrame]): Unit = {
+    val (emb, trained) =
+      Ivf.train(spark, d, warm.get(CentroidsTable).flatMap(Ivf.warmSeed))
     try {
-      val sub = Pq.subVectors(emb.select(col("vec_id"), col("embedding")))
+      state.write(CentroidsTable, trained)
+      state.write(AssignTable, Ivf.assignTo(emb, trained))
+      // residuals come from the PUBLISHED assignment + centroid tables
+      // (a re-read, not the training plan): codes are guaranteed
+      // consistent with the exact tables serving reads
+      val sub = Pq.residualSubVectors(
+          state.read(AssignTable, IvfIndex.AssignSchema),
+          state.read(CentroidsTable, CentroidsSchema))
         .persist() // scanned per codebook Lloyd round + the final encode
       try {
-        state.write(CentroidsTable, trained)
-        state.write(AssignTable, Ivf.assignTo(emb, trained))
-        state.write(CodebooksTable, Pq.trainCodebooks(sub))
-        // encode against the PUBLISHED codebooks (a re-read, not the
-        // training plan): the Lloyd chain runs once, and the codes are
-        // guaranteed consistent with the exact table serving reads
+        state.write(CodebooksTable, Pq.trainCodebooks(sub,
+          warm.get(CodebooksTable).flatMap(Pq.warmSeed)))
         state.write(CodesTable,
           Pq.assignSub(sub, state.read(CodebooksTable, CodebooksSchema))
             .select(col("vec_id"), col("m"), col("code")))
@@ -396,10 +477,16 @@ final class PqIndex(val spark: SparkSession,
         Ivf.assignTo(emb, trained).withColumn("batch_id", tag))
     }
     if (tableFresh(CodesTable, CodesSchema, batchId)) {
+      val trained = state.read(CentroidsTable, CentroidsSchema)
       val cb = state.read(CodebooksTable, CodebooksSchema)
+      // re-derive the batch's cell assignment (deterministic — identical
+      // to the assignment half's rows) so codes quantize the residual
+      // against the same centroid serving will subtract
+      val emb = newEmb.select(col("vec_id"), col("embedding"),
+        Vectors.dot(col("embedding"), col("embedding")).as("n2"))
       state.append(CodesTable,
-        Pq.assignSub(Pq.subVectors(
-            newEmb.select(col("vec_id"), col("embedding"))), cb)
+        Pq.assignSub(
+            Pq.residualSubVectors(Ivf.assignTo(emb, trained), trained), cb)
           .select(col("vec_id"), col("m"), col("code"))
           .withColumn("batch_id", tag))
     }

@@ -60,14 +60,16 @@ class PqSpec extends AnyFunSuite {
     }.sum
     val recall = hits.toDouble / want.valuesIterator.map(_.size).sum
     info(f"q92 IVF-PQ recall@3 = $recall%.3f")
-    // measured 0.500 on the fixture: the coarse nprobe stage is q40's
-    // (recall 1.0 there), so all loss is the PQ stage — ADC shortlist
-    // noise at M=8/Ks=16 on near-random unit vectors (PQ's hardest
-    // corpus; raw ADC top-3 without the re-rank measures 0.03, random
-    // 0.02). The production dials trade Ks/R up for recall
-    // (Dials.PqCodebook / Dials.PqRerank). Floor sits below measurement
-    // so a codebook/ADC/re-rank regression fails, fixture noise does not.
-    assert(recall >= 0.35, f"q92 recall@3 $recall%.3f under the 0.35 floor")
+    // measured 0.867 on the fixture (r9: residual codes per IVFADC §III
+    // + M=16 subspaces + nprobe=4 — up from 0.500 with raw-subvector
+    // codes at M=8/nprobe=3). The loss decomposes as: coarse stage
+    // ceiling 0.867 at nprobe=4 (the true top-3 outside every probed
+    // cell is unrecoverable downstream), ADC+re-rank at M=16 reaching
+    // that ceiling exactly — so the remaining loss is ALL nprobe, the
+    // dial a deployment turns without re-indexing. Floor sits below
+    // measurement so a codebook/ADC/re-rank regression fails, fixture
+    // noise does not.
+    assert(recall >= 0.6, f"q92 recall@3 $recall%.3f under the 0.6 floor")
   }
 
   test("codes form a complete M-per-vector table with ids inside [0, Ks)") {
