@@ -52,9 +52,19 @@ trait AnnIndex {
     * co-located index families cannot collide. */
   protected def prefix: String
 
-  /** Publish every serving table for corpus `d` (invoked by [[build]]
-    * inside the epoch bracket; deterministic training). */
-  protected def publishTables(d: String): Unit
+  /** Publish every serving table for corpus `d` (invoked by [[build]] /
+    * [[rebuildWarm]] inside the epoch bracket; deterministic training).
+    * `warm` is empty on a cold build; on a warm rebuild it carries the
+    * previous generation's snapshot of every [[warmStartTables]] entry,
+    * localized BEFORE the tombstone — trainers seed from it instead of
+    * their cold seed when the geometry still fits. */
+  protected def publishTables(d: String, warm: Map[String, DataFrame]): Unit
+
+  /** Which tables a warm rebuild snapshots from the previous generation
+    * (name → read schema). Default: none — a family with no trainer
+    * ([[Retrieval.LexIndex]]: BM25 statistics are corpus functions, not
+    * fitted state) rebuilds identically warm or cold. */
+  protected def warmStartTables: Seq[(String, StructType)] = Nil
 
   /** Append the batch's delta to every serving table, each append
     * guarded by [[tableFresh]] (invoked by [[addBatch]] after the
@@ -77,7 +87,33 @@ trait AnnIndex {
     * the build-epoch bracket. Rebuilding re-trains from the current
     * corpus (the retrain path [[graft.streaming.DriftStream]] signals
     * for); a crash mid-rebuild leaves the tombstone, not a lie. */
-  final def build(d: String): Unit = state.locked {
+  final def build(d: String): Unit = buildImpl(d, warm = false)
+
+  /** [[build]] seeded from the PREVIOUS generation's trained state —
+    * the production retrain path at 1e9 vectors: Lloyd started from the
+    * old centroids converges in fewer/equal rounds than a cold
+    * first-K-rows seed, and the old centroids are already near the
+    * drifted optimum (the drift that triggered the retrain moved the
+    * distribution, not replaced it). Falls back to a cold build when
+    * nothing is built yet or the previous state no longer fits the
+    * family's geometry (a family validates its own snapshot — dimension
+    * change, empty table). Crash-safety is identical to [[build]]: the
+    * snapshot is LOCALIZED (collected off the state tables) before the
+    * tombstone lands, so a torn warm rebuild leaves the tombstone and a
+    * re-drive (warm or cold) proceeds from clean state. */
+  final def rebuildWarm(d: String): Unit = buildImpl(d, warm = true)
+
+  private def buildImpl(d: String, warm: Boolean): Unit = state.locked {
+    // snapshot BEFORE the tombstone: after it, this generation's tables
+    // are fair game for overwrite, and a lazy read would see the new rows
+    val seeds: Map[String, DataFrame] =
+      if (warm && isBuilt) warmStartTables.flatMap { case (name, schema) =>
+        val rows = state.read(name, schema).collect()
+        if (rows.isEmpty) None
+        else Some(name -> spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema))
+      }.toMap
+      else Map.empty
     state.write(metaTable, oneRow(AnnIndex.BuildMetaSchema, Boolean.box(false)))
     // Batch ids are scoped to ONE build generation: publishTables fully
     // rewrites the serving tables (wiping the per-table tag guards), so
@@ -88,7 +124,7 @@ trait AnnIndex {
     // tombstone, so nothing serves or appends until a re-driven build.
     state.write(ledgerTable, spark.createDataFrame(
       java.util.Collections.emptyList[Row](), AnnIndex.LedgerSchema))
-    publishTables(d)
+    publishTables(d, seeds)
     state.write(metaTable, oneRow(AnnIndex.BuildMetaSchema, Boolean.box(true)))
   }
 

@@ -418,7 +418,11 @@ final class LexIndex(val spark: SparkSession,
 
   protected def prefix: String = "lex"
 
-  protected def publishTables(d: String): Unit = {
+  /** `warm` unused: BM25 statistics are exact corpus functions with no
+    * fitted state, so a warm rebuild IS a cold rebuild (the trait's
+    * default [[warmStartTables]] = none snapshots nothing). */
+  protected def publishTables(d: String,
+      warm: Map[String, DataFrame]): Unit = {
     val docs = Tables.documents(spark, d)
     state.write(TfTable, tfOf(docs))
     // derive the downstream tables from the PUBLISHED tf (a re-read, not
