@@ -409,26 +409,26 @@ object Media {
     * like the staged [[Multimodal.extractMeta]]/[[Multimodal.resize]]/
     * [[Multimodal.extractFeatures]] stages it composes (those remain
     * the operator surface; q94 is the codec-row witness). */
-  def q94ImageProbe(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val dec = Multimodal.JdkImageDecoders
-    val perDoc = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions(it => it.map { id =>
-        val (w, h, rgb) = q94Params(id)
-        val png = synthPng(w, h, rgb)
-        val (dw, dh) = dec.decode(png)
-        val resized = dec.resize(png, 12, 10)
-        val (rw, rh) = dec.decode(resized)
-        val f = dec.features(resized)
-        val sumRgb = f(0).toInt + f(1).toInt + f(2).toInt
-        val sdMax = math.max(f(3), math.max(f(4), f(5))).toDouble
-        val hist = f.slice(6, 16)
-        val mass = hist.foldLeft(0.0)((a, x) => a + x)
-        val peak = hist.indexWhere(_ > 0.5f)
-        (id, dw, dh, rw == 12 && rh == 10, sumRgb, peak, sdMax, mass)
-      })
-      .toDF("doc_id", "width", "height", "resized_ok", "sum_rgb",
-        "peak_bin", "sd_max", "hist_mass")
+  /** The q94 per-payload kernel — decode, resize, re-decode, features —
+    * shared verbatim by q94 (in-plan synthesis) and q100 (payload read
+    * from a STORED parquet binary column): both rows must price the
+    * identical codec work, differing only in where the bytes come from. */
+  private def probePng(dec: Multimodal.MediaDecoders, id: Long,
+      png: Array[Byte]): (Long, Int, Int, Boolean, Int, Int, Double, Double) = {
+    val (dw, dh) = dec.decode(png)
+    val resized = dec.resize(png, 12, 10)
+    val (rw, rh) = dec.decode(resized)
+    val f = dec.features(resized)
+    val sumRgb = f(0).toInt + f(1).toInt + f(2).toInt
+    val sdMax = math.max(f(3), math.max(f(4), f(5))).toDouble
+    val hist = f.slice(6, 16)
+    val mass = hist.foldLeft(0.0)((a, x) => a + x)
+    val peak = hist.indexWhere(_ > 0.5f)
+    (id, dw, dh, rw == 12 && rh == 10, sumRgb, peak, sdMax, mass)
+  }
+
+  /** The q94/q100 shared rollup over the per-doc probe tuples. */
+  private def imageRollup(perDoc: DataFrame): DataFrame =
     perDoc.groupBy(col("width"), col("height"))
       .agg(count(lit(1)).as("n_docs"),
         org.apache.spark.sql.functions.sum(when(col("resized_ok"), 1L)
@@ -438,6 +438,18 @@ object Media {
         org.apache.spark.sql.functions.max(col("sd_max")).as("max_stddev"),
         org.apache.spark.sql.functions.sum(col("hist_mass")).as("hist_mass"))
       .orderBy(col("width"), col("height"))
+
+  def q94ImageProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.JdkImageDecoders
+    val perDoc = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map { id =>
+        val (w, h, rgb) = q94Params(id)
+        probePng(dec, id, synthPng(w, h, rgb))
+      })
+      .toDF("doc_id", "width", "height", "resized_ok", "sum_rgb",
+        "peak_bin", "sd_max", "hist_mass")
+    imageRollup(perDoc)
   }
 
   /** The oracle never decodes: geometry and color from the id, channel
@@ -472,6 +484,69 @@ object Media {
       |  0.0::DOUBLE AS max_stddev,
       |  CAST(count(*) AS DOUBLE) AS hist_mass
       |FROM m GROUP BY 1, 2 ORDER BY width, height""".stripMargin
+
+  // ---------------------------------------------------------------- q100
+
+  /** Deterministic on-disk location of the stored-media fixture for
+    * corpus `d` (keyed by the corpus' absolute path, so every process on
+    * the box — Verify, Bench, specs — converges on one materialization
+    * per corpus). */
+  def mediaFixturePath(d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_media_$key").toString
+  }
+
+  /** Materialize the media fixture once per corpus: a parquet table
+    * (doc_id, payload binary) whose payloads are q94's closed-form PNGs
+    * encoded through the production encoder at GENERATION time — the
+    * payload column a real deployment would have ingested. Idempotent
+    * (parquet `_SUCCESS` is the done marker); synchronized so one
+    * session's concurrent queries write it once. */
+  def ensureMediaFixture(s: SparkSession, d: String): String = this.synchronized {
+    val path = mediaFixturePath(d)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      import s.implicits._
+      graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(it => it.map { id =>
+          val (w, h, rgb) = q94Params(id)
+          (id, synthPng(w, h, rgb))
+        }).toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** q100: q94's exact image-codec contract with the payloads read from
+    * a STORED parquet binary column instead of synthesized in-plan —
+    * the production IO path priced honestly (VERDICT r8 gap #4): the
+    * declared plan is scan(doc_id, payload) over the media fixture →
+    * the identical fused [[probePng]] kernel (decode → resize →
+    * re-decode → features; bytes never shuffle) → the identical rollup.
+    * Fixture materialization is session setup (the q86/q93/q96 build
+    * doctrine — built once, served many), and because the stored
+    * payloads are the SAME closed-form containers q94 synthesizes, the
+    * DuckDB oracle is q94's verbatim: it recomputes every field from
+    * doc_id without touching a byte — a corrupted stored payload, a
+    * codec regression, or a fixture/corpus drift all fail the hash.
+    * [[MediaSpec]] pins that the declared plan carries a parquet scan of
+    * the payload column and no synthesis stage. */
+  def q100StoredMediaProbe(s: SparkSession, d: String): DataFrame = {
+    val path = ensureMediaFixture(s, d)
+    import s.implicits._
+    val dec = Multimodal.JdkImageDecoders
+    val perDoc = s.read.parquet(path)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, png) => probePng(dec, id, png) })
+      .toDF("doc_id", "width", "height", "resized_ok", "sum_rgb",
+        "peak_bin", "sd_max", "hist_mass")
+    imageRollup(perDoc)
+  }
+
+  /** Same answer, same oracle: the stored payloads ARE q94's containers. */
+  def q100Sql: String = q94Sql
 
   // ---------------------------------------------------------------- video
 

@@ -55,8 +55,10 @@ class EntrySmokeSpec extends AnyFunSuite {
     before("q96_served_bm25", "q99_served_hybrid")
     // and the full declared order is the numeric one — any insertion slip
     // (a new query landing out of place) is caught here, not in a re-priced
-    // bench row three rounds later.
-    assert(order == order.sortBy(identity), "queries must stay in q-number order")
+    // bench row three rounds later. (Numeric, not lexicographic: q100
+    // follows q99.)
+    def qNum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
+    assert(order == order.sortBy(qNum), "queries must stay in q-number order")
   }
 
   test("plan contract: no non-atomic top-level column in any declared output") {

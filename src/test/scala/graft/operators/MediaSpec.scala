@@ -315,4 +315,27 @@ class MediaSpec extends AnyFunSuite {
     val (fw, fh) = Multimodal.JdkImageDecoders.decode(frames.head._3)
     assert(fw == 64 && fh == 48)
   }
+
+  test("q100 == q94 from the STORED payload column; plan scans parquet binary, no synth") {
+    val sf = graft.TestSession.sf
+    // identical answer: the stored payloads ARE q94's containers
+    assert(Media.q100StoredMediaProbe(spark, sf).collect().map(_.toSeq).toSeq ==
+      Media.q94ImageProbe(spark, sf).collect().map(_.toSeq).toSeq)
+    // the declared plan reads the payload column from parquet storage —
+    // the production IO shape (q94's plan, by contrast, scans doc_id only
+    // and synthesizes in the task)
+    val plan = Media.q100StoredMediaProbe(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("payload"), "q100 plan must read the payload column")
+    assert(plan.toLowerCase.contains("parquet"),
+      "q100 payloads must come from a parquet scan")
+    val fixturePath = Media.mediaFixturePath(sf)
+    assert(plan.contains(new java.io.File(fixturePath).getName),
+      "q100 must scan the media fixture table")
+    // and the fixture on disk really carries binary payloads
+    val stored = spark.read.parquet(fixturePath)
+    assert(stored.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(stored.count() == graft.Tables.documents(spark, sf).count())
+  }
 }
