@@ -39,8 +39,17 @@ object Relational {
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
           .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
-          * (lit(1).cast(DecimalType(18, 2)) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        // sum_charge in exact integer MICRO-units (the q66/q95 integer
+        // doctrine): the scale-6 decimal sum's unscaled value crosses
+        // 2^53 at sf1 (~2.8e16), where DuckDB's decimal→double cast
+        // (unscaled-int ÷ 10^6, two roundings) diverges from Spark's
+        // once-rounded BigDecimal.doubleValue by one ulp — caught by the
+        // sf1 oracle compare. The decimal sum itself is exact on both
+        // engines at any sf, and ×10^6 → BIGINT carries it losslessly
+        // (to ~sf300k); no float rounding exists on this column at all.
+        (sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+          * (lit(1).cast(DecimalType(18, 2)) + dec(col("l_tax")))) * lit(1000000))
+          .cast("long").as("sum_charge_micro"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -51,7 +60,7 @@ object Relational {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) * 1000000 AS BIGINT) AS sum_charge_micro,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
       |  count(*) AS count_order
