@@ -107,19 +107,28 @@ object Ivf {
         expr("transform(sums, s -> CAST(s / cnt AS FLOAT))").as("ce"))
       .withColumn("cn2", Vectors.dot(col("ce"), col("ce")))
 
+  /** Lloyd rounds a WARM-seeded build runs: the previous generation's
+    * centroids are already a converged solution for a nearby
+    * distribution, so one refinement round suffices where the cold
+    * first-K seed needs [[Iters]] — the whole point of warm restart at
+    * 1e9 vectors, where each round is a full corpus pass. */
+  private[operators] val WarmIters = 1
+
   /** Training: seed = first K vectors (or `seed0` — a warm-start
     * centroid table from a previous generation, [[IvfIndex]]'s retrain
-    * path), [[Iters]] Lloyd rounds. Returns the (persisted) embedding
-    * base and the trained centroid table. */
+    * path), `rounds` Lloyd rounds ([[Iters]] cold, [[WarmIters]] warm).
+    * Returns the (persisted) embedding base and the trained centroid
+    * table. */
   private[operators] def train(s: SparkSession, d: String,
-      seed0: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      seed0: Option[DataFrame] = None,
+      rounds: Int = Iters): (DataFrame, DataFrame) = {
     val emb = StagedCache.stage(d, "ivf_train_emb", Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Vectors.dot(col("embedding"), col("embedding")).as("n2")))
       // staged: scanned by every training round + the final assignment
     val seed = seed0.getOrElse(emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2")))
-    val trained = (0 until Iters).foldLeft(seed) { (c, _) =>
+    val trained = (0 until rounds).foldLeft(seed) { (c, _) =>
       centroidsOf(assignTo(emb, c))
     }
     (emb, trained)
@@ -376,8 +385,10 @@ final class IvfIndex(val spark: SparkSession,
 
   protected def publishTables(d: String,
       warm: Map[String, org.apache.spark.sql.DataFrame]): Unit = {
+    val seed = warm.get(CentroidsTable).flatMap(Ivf.warmSeed)
     val (emb, trained) =
-      Ivf.train(spark, d, warm.get(CentroidsTable).flatMap(Ivf.warmSeed))
+      if (seed.isDefined) Ivf.train(spark, d, seed, Ivf.WarmIters)
+      else Ivf.train(spark, d)
     try {
       state.write(CentroidsTable, trained)
       state.write(AssignTable, Ivf.assignTo(emb, trained))

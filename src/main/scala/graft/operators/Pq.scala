@@ -142,12 +142,17 @@ object Pq {
     * independent k-means runs are ONE job per round, not M), or `seed0`
     * — a previous generation's codebook table on [[PqIndex]]'s warm
     * retrain path. */
+  /** Lloyd rounds a WARM-seeded codebook build runs — [[Ivf.WarmIters]]'s
+    * rationale at the subspace level. */
+  private[operators] val WarmIters = 1
+
   private[graft] def trainCodebooks(sub: DataFrame,
-      seed0: Option[DataFrame] = None): DataFrame = {
+      seed0: Option[DataFrame] = None,
+      rounds: Int = Iters): DataFrame = {
     val seed = seed0.getOrElse(sub.filter(col("vec_id") < Ks)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("ce"),
         col("sn2").as("cn2")))
-    (0 until Iters).foldLeft(seed) { (c, _) => codebooksOf(assignSub(sub, c)) }
+    (0 until rounds).foldLeft(seed) { (c, _) => codebooksOf(assignSub(sub, c)) }
   }
 
   /** Validate a previous generation's (localized) codebook snapshot as a
@@ -431,8 +436,10 @@ final class PqIndex(val spark: SparkSession,
 
   protected def publishTables(d: String,
       warm: Map[String, org.apache.spark.sql.DataFrame]): Unit = {
+    val coarseSeed = warm.get(CentroidsTable).flatMap(Ivf.warmSeed)
     val (emb, trained) =
-      Ivf.train(spark, d, warm.get(CentroidsTable).flatMap(Ivf.warmSeed))
+      if (coarseSeed.isDefined) Ivf.train(spark, d, coarseSeed, Ivf.WarmIters)
+      else Ivf.train(spark, d)
     try {
       state.write(CentroidsTable, trained)
       state.write(AssignTable, Ivf.assignTo(emb, trained))
@@ -444,8 +451,10 @@ final class PqIndex(val spark: SparkSession,
           state.read(CentroidsTable, CentroidsSchema))
         .persist() // scanned per codebook Lloyd round + the final encode
       try {
-        state.write(CodebooksTable, Pq.trainCodebooks(sub,
-          warm.get(CodebooksTable).flatMap(Pq.warmSeed)))
+        val cbSeed = warm.get(CodebooksTable).flatMap(Pq.warmSeed)
+        state.write(CodebooksTable,
+          if (cbSeed.isDefined) Pq.trainCodebooks(sub, cbSeed, Pq.WarmIters)
+          else Pq.trainCodebooks(sub))
         state.write(CodesTable,
           Pq.assignSub(sub, state.read(CodebooksTable, CodebooksSchema))
             .select(col("vec_id"), col("m"), col("code")))
