@@ -230,20 +230,20 @@ object Ivf {
   /** One unrolled Lloyd iteration in DuckDB SQL: score against c`t`,
     * argmax-assign, per-(cell, dim) ordered-fold mean, rebuild c`t+1`. */
   private def iterSql(t: Int): String =
-    s""", s$t AS (
+    s""", s$t AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, e.n2, c.cid,
        |    ${duckDot("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn2) AS ccos
        |  FROM emb e, c$t c
-       |), a$t AS (
+       |), a$t AS MATERIALIZED (
        |  SELECT vec_id, embedding, n2, cid AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
        |    FROM s$t) t WHERE crn = 1
-       |), d$t AS (
+       |), d$t AS MATERIALIZED (
        |  SELECT cell, dim,
        |    CAST(list_reduce(list(embedding[dim]::DOUBLE ORDER BY vec_id), (acc, x) -> acc + x) / count(*) AS REAL) AS cv
        |  FROM a$t, (SELECT unnest(range(1, ${Dim + 1})) AS dim) dims
        |  GROUP BY cell, dim
-       |), c${t + 1} AS (
+       |), c${t + 1} AS MATERIALIZED (
        |  SELECT cid, ce, ${duckDot("ce", "ce")} AS cn2 FROM (
        |    SELECT cell AS cid, list(cv ORDER BY dim) AS ce FROM d$t GROUP BY cell) t
        |)""".stripMargin
@@ -258,15 +258,15 @@ object Ivf {
     * view. Used by q40 (ANN serve), q75 (semantic dedup) and q92
     * (IVF-PQ, which appends its own product-quantizer chain). */
   private[operators] def trainedCtes: String =
-    s"""WITH emb AS (
+    s"""WITH emb AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM embeddings
-       |), c0 AS (
+       |), c0 AS MATERIALIZED (
        |  SELECT vec_id AS cid, embedding AS ce, n2 AS cn2 FROM emb WHERE vec_id < $K
-       |)${(0 until Iters).map(iterSql).mkString}, sf AS (
+       |)${(0 until Iters).map(iterSql).mkString}, sf AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, e.n2, c.cid,
        |    ${duckDot("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn2) AS ccos
        |  FROM emb e, c$Iters c
-       |), tagged AS (
+       |), tagged AS MATERIALIZED (
        |  SELECT vec_id, embedding, n2, cid AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
        |    FROM sf) t WHERE crn = 1

@@ -315,20 +315,20 @@ object Pq {
     * (m, code, dim), rebuild pc`t+1`. The coarse chain's twin
     * ([[Ivf.iterSql]]) with the subspace as a data column. */
   private def pqIterSql(t: Int): String =
-    s""", pqs$t AS (
+    s""", pqs$t AS MATERIALIZED (
        |  SELECT e.vec_id, e.m, e.sv, e.sn2, c.cid,
        |    e.sn2 - 2 * ${duckDot("e.sv", "c.ce")} + c.cn2 AS d2
        |  FROM psub e JOIN pc$t c ON e.m = c.m
-       |), pqa$t AS (
+       |), pqa$t AS MATERIALIZED (
        |  SELECT vec_id, m, sv, sn2, cid AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS crn
        |    FROM pqs$t) t WHERE crn = 1
-       |), pqd$t AS (
+       |), pqd$t AS MATERIALIZED (
        |  SELECT m, code, dim,
        |    CAST(list_reduce(list(sv[dim]::DOUBLE ORDER BY vec_id), (acc, x) -> acc + x) / count(*) AS REAL) AS cv
        |  FROM pqa$t, (SELECT unnest(range(1, ${SubDim + 1})) AS dim) dims
        |  GROUP BY m, code, dim
-       |), pc${t + 1} AS (
+       |), pc${t + 1} AS MATERIALIZED (
        |  SELECT m, cid, ce, ${duckDot("ce", "ce")} AS cn2 FROM (
        |    SELECT m, code AS cid, list(cv ORDER BY dim) AS ce FROM pqd$t GROUP BY m, code) t
        |)""".stripMargin
@@ -340,62 +340,62 @@ object Pq {
     val pivots = (0 until M).map(j =>
       s"max(CASE WHEN k.m = $j THEN l.t END) AS t$j").mkString(", ")
     val adcSum = (0 until M).map(j => s"t$j").mkString(" + ")
-    s"""${Ivf.trainedCtes}, rsub AS (
+    s"""${Ivf.trainedCtes}, rsub AS MATERIALIZED (
        |  SELECT t.vec_id, $resid AS remb
        |  FROM tagged t JOIN ${Ivf.finalCentroidCte} c ON t.cell = c.cid
-       |), psub AS (
+       |), psub AS MATERIALIZED (
        |  SELECT vec_id, m, sv, ${duckDot("sv", "sv")} AS sn2 FROM (
        |    SELECT vec_id, m, $slice AS sv FROM rsub, $msTable) t
-       |), pc0 AS (
+       |), pc0 AS MATERIALIZED (
        |  SELECT m, vec_id AS cid, sv AS ce, sn2 AS cn2 FROM psub WHERE vec_id < $Ks
-       |)${(0 until Iters).map(pqIterSql).mkString}, pqsf AS (
+       |)${(0 until Iters).map(pqIterSql).mkString}, pqsf AS MATERIALIZED (
        |  SELECT e.vec_id, e.m, c.cid,
        |    e.sn2 - 2 * ${duckDot("e.sv", "c.ce")} + c.cn2 AS d2
        |  FROM psub e JOIN pc$Iters c ON e.m = c.m
-       |), codes AS (
+       |), codes AS MATERIALIZED (
        |  SELECT vec_id, m, cid AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS crn
        |    FROM pqsf) t WHERE crn = 1
-       |), pcells AS (
+       |), pcells AS MATERIALIZED (
        |  SELECT vec_id AS probe_id, cid AS cell FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
        |    FROM sf WHERE vec_id >= ${Ivf.ProbeFrom} AND vec_id < ${Ivf.ProbeFrom + Ivf.NProbes}) t
        |  WHERE crn <= $NProbeCells
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  SELECT pc.probe_id, t.cell, t.vec_id
        |  FROM tagged t JOIN pcells pc ON t.cell = pc.cell
        |  WHERE t.vec_id <> pc.probe_id
-       |), prr AS (
+       |), prr AS MATERIALIZED (
        |  SELECT pc.probe_id, pc.cell, $resid AS remb
        |  FROM pcells pc
        |  JOIN tagged t ON t.vec_id = pc.probe_id
        |  JOIN ${Ivf.finalCentroidCte} c ON c.cid = pc.cell
-       |), prsub AS (
+       |), prsub AS MATERIALIZED (
        |  SELECT probe_id, cell, m, sv, ${duckDot("sv", "sv")} AS pn2m FROM (
        |    SELECT probe_id, cell, m, $slice AS sv FROM prr, $msTable) t
-       |), lut AS (
+       |), lut AS MATERIALIZED (
        |  SELECT p.probe_id, p.cell, c.m, c.cid AS code,
        |    p.pn2m - 2 * ${duckDot("p.sv", "c.ce")} + c.cn2 AS t
        |  FROM prsub p JOIN pc$Iters c ON p.m = c.m
-       |), sc AS (
+       |), sc AS MATERIALIZED (
        |  SELECT cd.probe_id, cd.vec_id,
        |    $pivots
        |  FROM cand cd
        |  JOIN codes k ON k.vec_id = cd.vec_id
        |  JOIN lut l ON l.probe_id = cd.probe_id AND l.cell = cd.cell AND l.m = k.m AND l.code = k.code
        |  GROUP BY cd.probe_id, cd.vec_id
-       |), shortlist AS (
+       |), shortlist AS MATERIALIZED (
        |  SELECT probe_id, vec_id, adc FROM (
        |    SELECT probe_id, vec_id, $adcSum AS adc,
        |      row_number() OVER (PARTITION BY probe_id ORDER BY $adcSum, vec_id) AS arn
        |    FROM sc) t WHERE arn <= $R
-       |), rr AS (
+       |), rr AS MATERIALIZED (
        |  SELECT s.probe_id, s.vec_id, s.adc,
        |    p.n2 - 2 * ${duckDot("p.embedding", "e.embedding")} + e.n2 AS l2
        |  FROM shortlist s
        |  JOIN emb e ON e.vec_id = s.vec_id
        |  JOIN emb p ON p.vec_id = s.probe_id
-       |), ranked AS (
+       |), ranked AS MATERIALIZED (
        |  SELECT probe_id, vec_id, adc, l2,
        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY l2, vec_id) AS INT) AS rn
        |  FROM rr

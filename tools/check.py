@@ -7,6 +7,13 @@ import sys, os, json, duckdb, pandas as pd, numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# Large-fixture runs: bound DuckDB's parallelism/memory so a multi-hour
+# recursive-CTE oracle doesn't starve concurrent engine benches
+# (GRAFT_DUCK_THREADS=8 GRAFT_DUCK_MEM=32GB tools/check.py sf1dir out).
+if os.environ.get("GRAFT_DUCK_THREADS"):
+    con.sql(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
+if os.environ.get("GRAFT_DUCK_MEM"):
+    con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
