@@ -62,13 +62,45 @@ final class DriftStream(spark: SparkSession, state: StateDir) {
     * recomputed beyond the O(state) report merge. DriftRetrainSpec pins
     * the full loop: threshold crossing → [[graft.operators.IvfIndex
     * .build]] → serving ≡ a fresh index. */
-  def shouldRetrain(thresholdPpm: Long): Boolean =
-    state.exists(Table) && report.limit(1).collect()
-      .headOption.exists(r => math.abs(r.getAs[Long]("delta_ppm")) >= thresholdPpm)
+  def shouldRetrain(thresholdPpm: Long,
+      minTokens: Long = DriftStream.MinSignalTokens): Boolean =
+    state.exists(Table) && {
+      // volume gate: right after a [[resetBaseline]] the state holds only
+      // a batch or two, and per-token rates over a tiny sample swing by
+      // construction (one doc flips a rare token's half-rate from 0 to
+      // thousands of ppm) — a retrain signal read off that noise would
+      // re-fire immediately after every retrain. The ppm comparison only
+      // counts once the new epoch has accumulated a meaningful corpus.
+      val vol = state.read(Table, Schema)
+        .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+      vol >= minTokens && report.limit(1).collect()
+        .headOption.exists(r => math.abs(r.getAs[Long]("delta_ppm")) >= thresholdPpm)
+    }
+
+  /** Start a new drift-measurement epoch: truncate the token state. The
+    * owner calls this AFTER acting on [[shouldRetrain]] (retraining
+    * absorbs the drift measured so far into the new index generation —
+    * without the reset the crossed threshold would re-fire on every
+    * subsequent batch and retrain forever). Under the state lock so a
+    * concurrent `processBatch` can't interleave between read and
+    * truncate. */
+  def resetBaseline(): Unit = state.locked {
+    if (state.exists(Table))
+      state.write(Table, spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), Schema))
+  }
 }
 
 object DriftStream {
   val Table = "drift_tokens"
+
+  /** Default [[DriftStream.shouldRetrain]] volume gate: the token count
+    * a new measurement epoch must accumulate before its ppm deltas are
+    * trusted. Fixture-sized (the sf0.001 corpus carries ~20k tokens, a
+    * post-reset micro-batch ~1k); at scale, size to the volume where a
+    * one-doc rate swing is below the declared ppm budget
+    * (≈ 1e6·max_doc_tokens / thresholdPpm). */
+  val MinSignalTokens = 5000L
   val Schema: StructType = StructType(Seq(
     StructField("half", LongType),
     StructField("tok", StringType),

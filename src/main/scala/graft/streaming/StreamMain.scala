@@ -24,7 +24,8 @@ import graft.operators.{IvfIndex, LexIndex, PqIndex}
   * #   IvfIndex + PqIndex when --embeddings is given)
   * runMain graft.streaming.StreamMain docs <docsDir|kafka:host:port/topic> \
   *     <stateRoot> <intervalMs> [--bench <parquet>] \
-  *     [--bootstrap <fixtureDir>] [--embeddings <dir>] [--once]
+  *     [--bootstrap <fixtureDir>] [--embeddings <dir>] \
+  *     [--retrain-ppm <budget>] [--once]
   *
   * # the reference's chunk pipeline: wire-bytes chunk stream ->
   * #   ChunkIngest (verified binary sink + metadata + work queue + HW)
@@ -44,6 +45,13 @@ import graft.operators.{IvfIndex, LexIndex, PqIndex}
   *   before streaming — the train-once half of the index lifecycle.
   *   Without it the index legs are skipped (gate/dedup/telemetry/drift
   *   still run; an index cannot ingest before `build`).
+  * - `--retrain-ppm <budget>`: the drift→retrain loop, live — after
+  *   each docs batch, if [[DriftStream.shouldRetrain]] reports the
+  *   largest |Δppm| at/over the budget, every built index family
+  *   warm-rebuilds from the `--bootstrap` corpus
+  *   ([[graft.operators.AnnIndex.rebuildWarm]]) and the drift baseline
+  *   resets (a new measurement epoch). Without it the monitor only
+  *   reports; the owner polls `shouldRetrain` out of band.
   * - `--once`: `Trigger.AvailableNow` — process everything present,
   *   checkpoint, and stop gracefully (T7's batch-drain form; the
   *   `chunks` mode additionally stops as soon as the image completes,
@@ -65,7 +73,8 @@ object StreamMain {
       embeddings: Option[String] = None,
       caseDir: Option[String] = None,
       imageSize: Long = 0L,
-      once: Boolean = false)
+      once: Boolean = false,
+      retrainPpm: Option[Long] = None)
 
   val DocsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -90,6 +99,8 @@ object StreamMain {
         case "--case"       => cfg = cfg.copy(caseDir = Some(args(i + 1))); i += 2
         case "--image-size" => cfg = cfg.copy(imageSize = args(i + 1).toLong); i += 2
         case "--once"       => cfg = cfg.copy(once = true); i += 1
+        case "--retrain-ppm" =>
+          cfg = cfg.copy(retrainPpm = Some(args(i + 1).toLong)); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg $other")
       }
     }
@@ -174,15 +185,26 @@ object StreamMain {
     val dedup = new DedupStream(spark, st("dedup"))
     val telemetry = new TelemetryStream(spark, st("telemetry"))
     val drift = new DriftStream(spark, st("drift"))
-    val lex = cfg.bootstrap.map { d =>
+    val lexIdx = cfg.bootstrap.map { d =>
       val idx = new LexIndex(spark, st("lex"))
       if (!idx.isBuilt) idx.build(d)
-      new IndexStream(spark, idx)
+      idx
+    }
+    val lex = lexIdx.map(new IndexStream(spark, _))
+    // ANN pair hoisted out of the embeddings-stream scope so the
+    // drift→retrain hook below can rebuild every index family
+    val annPair = for (_ <- cfg.embeddings; d <- cfg.bootstrap) yield {
+      val ivf = new IvfIndex(spark, st("ivf"))
+      if (!ivf.isBuilt) ivf.build(d)
+      val pq = new PqIndex(spark, st("pq"))
+      if (!pq.isBuilt) pq.build(d)
+      (ivf, pq)
     }
 
     val arrivals = docsStream(spark, cfg.source)
     val gated = bloom.fold(arrivals)(b => BloomGate.gate(arrivals, b))
     var batches = 0L
+    var retrains = 0L
     val docsQuery = gated
       .observe("ingest", count(lit(1)).as("n_docs"))
       .writeStream
@@ -198,19 +220,35 @@ object StreamMain {
           lex.foreach(_.processBatch(b.select("doc_id", "text"), id))
           batches += 1
         } finally { b.unpersist(); () }
+        // the drift→retrain loop, closed IN the executable: when the
+        // report's largest |Δppm| crosses the declared budget, every
+        // index family warm-rebuilds from the authoritative corpus
+        // (previous-generation seeds, the fast path), and the drift
+        // baseline resets so the absorbed shift doesn't re-fire forever.
+        // Rebuild-from-corpus semantics: rows live-ingested since the
+        // last build are dropped until re-ingested (DriftRetrainSpec's
+        // pinned contract). Index/state locks serialize against any
+        // concurrent embeddings batch.
+        for (thr <- cfg.retrainPpm; d <- cfg.bootstrap) {
+          if (drift.shouldRetrain(thr)) {
+            lexIdx.foreach(_.rebuildWarm(d))
+            annPair.foreach { case (ivf, pq) =>
+              ivf.rebuildWarm(d); pq.rebuildWarm(d)
+            }
+            drift.resetBaseline()
+            retrains += 1
+          }
+        }
       }
       .start()
 
     // the vector leg: its own arrival stream, its own batch-id sequence;
     // both ANN families maintained from one source read
-    val vecQuery = for (embDir <- cfg.embeddings; d <- cfg.bootstrap) yield {
-      val ivf = new IvfIndex(spark, st("ivf"))
-      if (!ivf.isBuilt) ivf.build(d)
-      val pq = new PqIndex(spark, st("pq"))
-      if (!pq.isBuilt) pq.build(d)
+    val vecQuery = annPair.map { case (ivf, pq) =>
       val ivfIs = new IndexStream(spark, ivf)
       val pqIs = new IndexStream(spark, pq)
-      spark.readStream.schema(EmbeddingsSchema).parquet(embDir)
+      spark.readStream.schema(EmbeddingsSchema)
+        .parquet(cfg.embeddings.get)
         .writeStream
         .trigger(trigger(cfg))
         .option("checkpointLocation", ckpt("embeddings"))
@@ -229,7 +267,8 @@ object StreamMain {
     val pairs = dedup.pairsSnapshot.count()
     val sources = telemetry.snapshot.count()
     val driftRows = drift.report.count()
-    s"""{"mode":"docs","batches":$batches,"dedup_pairs":$pairs,""" +
+    s"""{"mode":"docs","batches":$batches,"retrains":$retrains,""" +
+      s""""dedup_pairs":$pairs,""" +
       s""""telemetry_sources":$sources,"drift_tokens":$driftRows,""" +
       s""""lex":${lex.nonEmpty},"ann":${vecQuery.nonEmpty}}"""
   }

@@ -134,6 +134,71 @@ class AppSmokeSpec extends AnyFunSuite {
       "app pq index != batch twin")
   }
 
+  test("docs mode --retrain-ppm: drift crossing warm-rebuilds every index live") {
+    val docs = graft.Tables.documents(spark, sf)
+    val bootstrapDir = tmp("rt-boot-")
+    docs.filter(col("doc_id") < 100)
+      .write.parquet(s"$bootstrapDir/documents.parquet")
+    graft.Tables.embeddings(spark, sf)
+      .write.parquet(s"$bootstrapDir/embeddings.parquet")
+
+    val srcDir = tmp("rt-src-")
+    val embDir = tmp("rt-emb-")
+    val stateRoot = tmp("rt-state-")
+    val clones = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").between(490L, 499L))
+      .select((col("vec_id") + 9510L).as("vec_id"), col("embedding"))
+
+    def cfg(ppm: Long) = StreamMain.Config("docs", srcDir, stateRoot, 0L,
+      bootstrap = Some(bootstrapDir), embeddings = Some(embDir),
+      once = true, retrainPpm = Some(ppm))
+
+    // epoch 0: the balanced corpus + live clone ingest, with the budget
+    // far above ambient — no retrain fires, the clones serve
+    docs.filter(col("doc_id") >= 100).select("doc_id", "source", "text")
+      .write.mode("append").parquet(srcDir)
+    clones.write.mode("append").parquet(embDir)
+    val s1 = StreamMain.run(spark, cfg(1000000L))
+    assert(s1.contains("\"retrains\":0"), s1)
+    val appIvf = new IvfIndex(spark, new StateDir(spark, s"$stateRoot/ivf"))
+    assert(appIvf.query(10000L, 10L).count() > 0, "clones must serve pre-retrain")
+
+    // the budget for epoch 1 sits just above the measured ambient drift
+    val drift = new DriftStream(spark, new StateDir(spark, s"$stateRoot/drift"))
+    val ambient = drift.report.limit(1).collect()
+      .headOption.map(r => math.abs(r.getAs[Long]("delta_ppm"))).getOrElse(0L)
+
+    // epoch 1: a skewed snapshot (odd half hammers one token) crosses
+    // the budget → the app warm-rebuilds lex + both ANN families and
+    // resets the drift baseline
+    (0 until 50).map(i => (200001L + 2 * i, "skew",
+        Seq.fill(40)("driftTokenXq").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("append").parquet(srcDir)
+    val s2 = StreamMain.run(spark, cfg(ambient + 1))
+    assert(!s2.contains("\"retrains\":0"), s"retrain must fire: $s2")
+
+    // rebuild-from-authoritative-corpus: the live-ingested clones are
+    // gone until re-ingested; the index itself serves (built epoch)
+    assert(appIvf.isBuilt)
+    assert(appIvf.query(10000L, 10L).isEmpty,
+      "warm rebuild must drop live-ingested rows")
+    assert(appIvf.query(490L, 10L).count() > 0, "rebuilt index must serve")
+    val appPq = new PqIndex(spark, new StateDir(spark, s"$stateRoot/pq"))
+    assert(appPq.isBuilt && appPq.query(490L, 10L).count() > 0)
+    val appLex = new LexIndex(spark, new StateDir(spark, s"$stateRoot/lex"))
+    assert(appLex.isBuilt &&
+      appLex.query(0L, Retrieval.NQueries.toLong).count() > 0)
+    // the baseline reset: the crossed threshold must not re-fire on the
+    // next (benign) batch
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("source"), col("text"))
+      .write.mode("append").parquet(srcDir)
+    val s3 = StreamMain.run(spark, cfg(ambient + 1))
+    assert(s3.contains("\"retrains\":0"),
+      s"absorbed drift must not re-fire after the baseline reset: $s3")
+  }
+
   test("chunks mode: wire-bytes files -> ChunkIngest to completion (T7)") {
     // the ChunkIngestSpec fixture: 8 chunks sized 10..80 (image 360),
     // synthetic TSK tables (FIXTURES.md §2) as the --case parquet dir
