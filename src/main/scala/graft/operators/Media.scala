@@ -509,12 +509,28 @@ object Media {
     val path = mediaFixturePath(d)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       import s.implicits._
+      // stage under a process-unique name, publish by rename: two
+      // processes racing (a Verify next to a Bench) each build their own
+      // staging dir and the loser discards — no partially-written table
+      // is ever visible at `path` (the content is deterministic, so
+      // whichever wins is correct)
+      val staging = s"$path.tmp.${ProcessHandle.current().pid()}"
       graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions(it => it.map { id =>
           val (w, h, rgb) = q94Params(id)
           (id, synthPng(w, h, rgb))
         }).toDF("doc_id", "payload")
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(staging)
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        try java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+          java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          () // lost the publish race — the winner's table is identical
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      ()
     }
     path
   }
