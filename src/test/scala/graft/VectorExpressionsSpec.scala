@@ -92,4 +92,43 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("graft_vsub == zip_with float subtraction on every fixture embedding") {
+    // the residual primitive must be bit-identical to the HOF form: one
+    // float32 subtraction per element (q92's oracle contract relies on
+    // both engines rounding the exact difference to float once)
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val a = emb.select(col("vec_id"), col("embedding").as("ea"))
+    val b = emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("eb"))
+    val diff = a.join(b, "vec_id")
+      .select(Vectors.sub(col("ea"), col("eb")).as("native"),
+        expr("zip_with(ea, eb, (x, y) -> x - y)").as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("graft_vsub null semantics: length mismatch and null elements go null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Option(1.5f), Option(2.25f)), Seq(Option(0.25f), Option(1.0f))),
+      (2L, Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f))), // length mismatch
+      (3L, Seq(Option(1.0f), None), Seq(Option(3.0f), Option(4.0f))) // null element
+    ).toDF("id", "a", "b")
+      .select(col("id"), Vectors.sub(col("a"), col("b")).as("r"))
+      .orderBy("id").collect()
+    assert(df(0).getAs[scala.collection.Seq[Float]]("r") == Seq(1.25f, 1.25f))
+    assert(df(1).isNullAt(1), "length mismatch must null the result")
+    assert(df(2).isNullAt(1), "a null element must null the result")
+  }
+
+  test("graft_vsub interpreted fallback equals codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val mk = (xs: Array[Float]) =>
+      Literal.create(ArrayData.toArrayData(xs), ArrayType(FloatType, false))
+    val e = graft.functions.SubtractVectorsFloat(
+      mk(Array(1.5f, 0.1f, -2.0f)), mk(Array(0.25f, 0.3f, 1.0f)))
+    val got = e.eval(null).asInstanceOf[ArrayData].toFloatArray()
+    assert(got.toSeq == Seq(1.5f - 0.25f, 0.1f - 0.3f, -2.0f - 1.0f))
+  }
 }
