@@ -18,8 +18,13 @@ object Dials {
     * vectors ≈ 600 vectors/cell. At scale the standard sizing is
     * ~√N cells (1e9 vectors → ~32k cells): per-cell candidate lists stay
     * executor-sized and the centroid table stays broadcastable (32k ×
-    * dim floats ≈ 8 MB at dim 64). Retrain cadence is DriftStream's
-    * signal, not a dial. */
+    * dim floats ≈ 8 MB at dim 64). MEASURED caveat (BASELINE §sf1): the
+    * √N guidance presumes clusterable embeddings — on the near-random
+    * synthetic corpus, recall tracks the CANDIDATE FRACTION (nprobe/K)
+    * rather than cell quality (K=141 at sf1 needed nprobe≈70 to match
+    * K=8/nprobe=4), so K and [[IvfNProbeCells]] move TOGETHER against a
+    * measured recall floor on the real corpus, never independently.
+    * Retrain cadence is DriftStream's signal, not a dial. */
   val IvfCells = 8
 
   /** IVF nprobe — the recall dial: each probe searches its nprobe
