@@ -190,7 +190,13 @@ object Dedup {
 
   /** Shared oracle CTE chain (toks → shingles → hash → signature → bands →
     * candidates) — q20 and q27 diverge only after `cand`, so the
-    * load-bearing arithmetic lives in exactly one place. */
+    * load-bearing arithmetic lives in exactly one place. The
+    * multiply-referenced stages (`sh`, `sig`, `tagged`, `cand`) carry
+    * `AS MATERIALIZED`: DuckDB re-inlines a CTE per reference, and here
+    * every reference re-runs the full shingle→md5→minhash chain — at sf1
+    * that turned each downstream consumer into an hour-plus solve (the
+    * q92 OOM finding's sibling; DuckDB-dialect hint, Spark never parses
+    * oracle strings). */
   private[operators] def lshCtes: String = {
     val sigCols = (0 until R)
       .map(j => s"min((${2 * j + 1}*x + ${17 * j + 3}) % $P) AS m$j").mkString(",\n    ")
@@ -200,13 +206,13 @@ object Dedup {
     }.mkString(" ")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
-       |), sh AS (
+       |), sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS s
        |  FROM toks WHERE len(t) >= 2
        |), hx AS (
        |  SELECT doc_id, ('0x' || substr(md5(s),1,12))::BIGINT AS x FROM sh
-       |), sig AS (
+       |), sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $sigCols
        |  FROM hx GROUP BY doc_id
@@ -217,10 +223,10 @@ object Dedup {
        |), sized AS (
        |  SELECT band, key, count(*) AS bsize, min(doc_id) AS hub
        |  FROM bands GROUP BY band, key
-       |), tagged AS (
+       |), tagged AS MATERIALIZED (
        |  SELECT b.doc_id, b.band, b.key, s.bsize, s.hub
        |  FROM bands b JOIN sized s USING (band, key)
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  -- same guard as guardedBandPairs: all-pairs below the cap,
        |  -- linear hub pairs above it
        |  SELECT DISTINCT doc_a, doc_b FROM (
@@ -607,25 +613,37 @@ object Dedup {
 
   /** Oracle CTE suffix turning `cand`+`sig` (from [[lshCtes]]) into
     * `comp(v, lbl)` — the q20 pair graph transitively closed via a
-    * recursive CTE: reach(v, lbl) enumerates every label that can reach v,
-    * the component is min(lbl). Exponentially-sized only in cluster
-    * diameter × size, bounded on the fixture (largest cluster ~30 docs).
-    * Shared by q54 (cluster stats) and q56 (curation drop list); callers
-    * must RECURSIVE-prefix the WITH. */
+    * recursive CTE: reach(v, lbl) collects, per vertex, every LOCAL-MINIMUM
+    * label that can reach it; the component is min(lbl). Seeding from local
+    * minima only (u smaller than all its neighbors) is result-identical to
+    * seeding from every vertex — a component's global minimum is a local
+    * minimum and reaches every member, so min(lbl) per v is unchanged —
+    * but it collapses the recursion from Σ|C|² rows to ≈ Σ|C|·|minima|:
+    * the sf1 hub-star clusters (hot-bucket guard engaged, |C| in the
+    * thousands, hub = bucket min = the ONE local min) made the every-vertex
+    * form a ≥1 h solve and make this form linear. `pairs`/`edges` are
+    * MATERIALIZED for the same re-inlining reason as [[lshCtes]].
+    * Shared by q54/q56/q65/q67/q68/q84; callers must RECURSIVE-prefix the
+    * WITH. */
   private[operators] def ccCtes: String = {
     val matchSum = (0 until R).map(j => s"CAST(sa.m$j = sb.m$j AS INT)").mkString(" + ")
-    s""", pairs AS (
+    s""", pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b
        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
        |  WHERE (($matchSum) / 12.0) >= 0.5
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS u, doc_a AS v FROM pairs
+       |), seeds AS MATERIALIZED (
+       |  SELECT u FROM edges GROUP BY u HAVING u < min(v)
        |), reach(v, lbl) AS (
-       |  SELECT DISTINCT u AS v, u AS lbl FROM edges
+       |  SELECT u AS v, u AS lbl FROM seeds
        |  UNION
+       |  -- lbl > v proves lbl is not its component's min (the component
+       |  -- holds v < lbl), so the label can stop spreading entirely
        |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.v
+       |  WHERE r.lbl < e.v
        |), comp AS (
        |  SELECT v, min(lbl) AS lbl FROM reach GROUP BY v
        |)""".stripMargin

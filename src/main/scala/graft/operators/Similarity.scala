@@ -263,7 +263,7 @@ object Similarity {
     val bitsPerBand = NdPlanes / NdBands
     s"""WITH planes(plane_id, w) AS (VALUES
        |    $planeRows
-       |), emb AS (
+       |), emb AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM embeddings
        |), bits AS (
        |  SELECT vec_id, plane_id,
@@ -278,7 +278,7 @@ object Similarity {
        |), tagged AS (
        |  SELECT k.vec_id, k.band, k.key, s.bsize, s.hub
        |  FROM keys k JOIN sized s USING (band, key)
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  -- same guard as guardedBandPairs: with only 2^$bitsPerBand keys
        |  -- per band, buckets WILL cross the cap at moderate scale
        |  SELECT DISTINCT vec_a, vec_b FROM (
@@ -355,7 +355,12 @@ object Similarity {
   }
 
   /** Oracle CTE chain ending in `knn(vec_id, neighbor)` — the SQL twin of
-    * [[knnEdges]] (`ranked` stays in scope for q74's cosine/rn columns). */
+    * [[knnEdges]] (`ranked` stays in scope for q74's cosine/rn columns).
+    * `ranked`/`knn` are MATERIALIZED: the graph consumers (q80's rounds,
+    * q82's deg + per-round joins) reference `knn` 4+ times, and DuckDB's
+    * per-reference re-inlining re-ran the entire banded-candidate × dot
+    * chain each time — the reason q82's sf1 oracle ran ≥1 h while q74's
+    * (one reference) finished. */
   private[operators] def knnSqlCtes: String =
     s"""$ndCandCtes, sym AS (
        |  SELECT vec_a AS v, vec_b AS nb FROM cand
@@ -367,11 +372,11 @@ object Similarity {
        |  FROM sym s
        |  JOIN emb ea ON ea.vec_id = s.v
        |  JOIN emb eb ON eb.vec_id = s.nb
-       |), ranked AS (
+       |), ranked AS MATERIALIZED (
        |  SELECT v, nb, cosine,
        |    CAST(row_number() OVER (PARTITION BY v ORDER BY cosine DESC, nb) AS INT) AS rn
        |  FROM scored
-       |), knn AS (
+       |), knn AS MATERIALIZED (
        |  SELECT v AS vec_id, nb AS neighbor FROM ranked WHERE rn <= $KnnK
        |)""".stripMargin
 
