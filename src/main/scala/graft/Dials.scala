@@ -18,13 +18,20 @@ object Dials {
     * vectors ≈ 600 vectors/cell. At scale the standard sizing is
     * ~√N cells (1e9 vectors → ~32k cells): per-cell candidate lists stay
     * executor-sized and the centroid table stays broadcastable (32k ×
-    * dim floats ≈ 8 MB at dim 64). MEASURED caveat (BASELINE §sf1): the
-    * √N guidance presumes clusterable embeddings — on the near-random
-    * synthetic corpus, recall tracks the CANDIDATE FRACTION (nprobe/K)
-    * rather than cell quality (K=141 at sf1 needed nprobe≈70 to match
-    * K=8/nprobe=4), so K and [[IvfNProbeCells]] move TOGETHER against a
-    * measured recall floor on the real corpus, never independently.
-    * Retrain cadence is DriftStream's signal, not a dial. */
+    * dim floats ≈ 8 MB at dim 64). MEASURED clusterability story
+    * (BASELINE §sf1; reproduce with `graft.tools.AnnDialSweep` — run it
+    * FIRST on any new corpus): the √N guidance presumes clusterable
+    * embeddings, and the sf1 three-corpus sweep brackets it — on a
+    * PLANTED-cluster corpus (same-cluster cos ≈ 0.7, the realistic
+    * case) √N cells reach recall@3 = 1.0 at nprobe 1 (1% of the corpus
+    * per probe, 28× less work than the fixture dials for better
+    * recall); on a hard-overlap corpus (cos ≈ 0.28) recall degrades
+    * gracefully (0.47 @ nprobe 4 → 0.67 @ 16); only on NEAR-RANDOM
+    * vectors does recall collapse to tracking the candidate fraction
+    * (0.133 @ nprobe 4). So K and [[IvfNProbeCells]] move TOGETHER
+    * against a measured recall floor on the real corpus, never
+    * independently. Retrain cadence is DriftStream's signal, not a
+    * dial. */
   val IvfCells = 8
 
   /** IVF nprobe — the recall dial: each probe searches its nprobe

@@ -62,7 +62,7 @@ object Ivf {
     * sort/shuffle ever materializes. Ties break on the smaller cid
     * (lexicographic struct order on (ccos, -cid)), identical to the
     * oracle's `row_number() ... ORDER BY ccos DESC, cid`. */
-  private[operators] def assignTo(emb: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def assignTo(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .withColumn("ccos",
         Vectors.dot(col("embedding"), col("ce")) / sqrt(col("n2") * col("cn2")))
@@ -75,7 +75,7 @@ object Ivf {
 
   /** Per-vector centroid ranking, `keep` nearest kept — the window form,
     * used only over the tiny probe subset (nprobe cells per probe). */
-  private[operators] def rankCells(emb: DataFrame, centroids: DataFrame,
+  private[graft] def rankCells(emb: DataFrame, centroids: DataFrame,
       keep: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
@@ -118,15 +118,17 @@ object Ivf {
     * centroid table from a previous generation, [[IvfIndex]]'s retrain
     * path), `rounds` Lloyd rounds ([[Iters]] cold, [[WarmIters]] warm).
     * Returns the (persisted) embedding base and the trained centroid
-    * table. */
-  private[operators] def train(s: SparkSession, d: String,
+    * table. `k` defaults to the production dial; only the
+    * [[graft.tools.AnnDialSweep]] measurement harness passes another
+    * value (every declared query trains at [[graft.Dials.IvfCells]]). */
+  private[graft] def train(s: SparkSession, d: String,
       seed0: Option[DataFrame] = None,
-      rounds: Int = Iters): (DataFrame, DataFrame) = {
+      rounds: Int = Iters, k: Int = K): (DataFrame, DataFrame) = {
     val emb = StagedCache.stage(d, "ivf_train_emb", Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Vectors.dot(col("embedding"), col("embedding")).as("n2")))
       // staged: scanned by every training round + the final assignment
-    val seed = seed0.getOrElse(emb.filter(col("vec_id") < K)
+    val seed = seed0.getOrElse(emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2")))
     val trained = (0 until rounds).foldLeft(seed) { (c, _) =>
       centroidsOf(assignTo(emb, c))
@@ -176,14 +178,15 @@ object Ivf {
   /** [[serve]] with an arbitrary probe predicate and top-k — the same
     * plan expression-for-expression (q40/q86's pins ride the delegating
     * overload); q98's hybrid vector leg probes a strided id set. */
-  private[operators] def serveWhere(tagged: DataFrame, trained: DataFrame,
-      probePred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+  private[graft] def serveWhere(tagged: DataFrame, trained: DataFrame,
+      probePred: org.apache.spark.sql.Column, topK: Int,
+      nCells: Int = NProbeCells): DataFrame = {
     val probes = tagged.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("n2").as("pn2"))
     // each probe's nprobe nearest cells — ranked against the SAME trained
     // centroids, over the probe subset only (tiny)
-    val pcells = rankCells(tagged.filter(probePred), trained, NProbeCells)
+    val pcells = rankCells(tagged.filter(probePred), trained, nCells)
       .select(col("vec_id").as("probe_id"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))

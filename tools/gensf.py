@@ -45,7 +45,7 @@ def ts_us(int64_us):
     return pa.array(int64_us, type=pa.timestamp('us'))
 
 
-def gen(outdir, sf=1.0):
+def gen(outdir, sf=1.0, clusters=0, sigma=0.08):
     os.makedirs(outdir, exist_ok=True)
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -154,8 +154,22 @@ def gen(outdir, sf=1.0):
         'n_chars': pa.array([len(t) for t in texts], type=pa.int64())}))
 
     r = np.random.RandomState(SEED + 7)
-    # unit-norm float32[64] embeddings, uniform labels
-    v = r.normal(size=(n_vec, 64)).astype(np.float32)
+    if clusters:
+        # CLUSTERABLE variant (--clusters K): planted Gaussian clusters on
+        # the unit sphere — center + sigma*noise, renormalized. Real
+        # embedding corpora are clusterable (that's why IVF works); the
+        # default near-random variant is the pathological floor for ANN
+        # recall, this is the realistic case the sqrt(N)-cells guidance
+        # presumes. Per-dim sigma=0.08 -> 64-dim noise norm ~0.64 against
+        # unit centers: same-cluster cosine ~0.7, distinct-center cosine
+        # ~0 -- separable but overlapping, like real embedding corpora.
+        centers = r.normal(size=(clusters, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        asn = r.randint(0, clusters, n_vec)
+        v = (centers[asn] + sigma * r.normal(size=(n_vec, 64))).astype(np.float32)
+    else:
+        # unit-norm float32[64] embeddings, uniform labels
+        v = r.normal(size=(n_vec, 64)).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     write(outdir, 'embeddings', pa.table({
         'vec_id': np.arange(n_vec, dtype=np.int64),
@@ -166,4 +180,10 @@ def gen(outdir, sf=1.0):
 if __name__ == '__main__':
     out = sys.argv[1]
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
-    gen(out, sf)
+    clusters, sigma = 0, 0.08
+    for a in sys.argv[3:]:
+        if a.startswith('--clusters='):
+            clusters = int(a.split('=')[1])
+        elif a.startswith('--sigma='):
+            sigma = float(a.split('=')[1])
+    gen(out, sf, clusters, sigma)
