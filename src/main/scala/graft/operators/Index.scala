@@ -22,6 +22,13 @@ import graft.Tables
   */
 object Index {
 
+  // The band is ABSOLUTE document counts — declared semantics, mirrored
+  // by the oracle. Consequence at growing sf (measured): the fixture's
+  // 30-word vocab pushes every term's df past DfHi at sf >= 1, so the
+  // index is legitimately EMPTY there (0 rows, both engines agree). A
+  // production deployment sizes the band relative to corpus cardinality
+  // (e.g. df in [0.01%, 1%] of |docs|) — the plan shape is unchanged;
+  // only these two constants move.
   private[operators] val DfLo = 5
   private[operators] val DfHi = 60
 
