@@ -101,6 +101,17 @@ object Dials {
     * range, independent of corpus size. */
   val PqRerank = 64
 
+  /** SQ8 shortlist size (q102): the integer-code brute scan keeps the R
+    * best codes per probe and only those fetch floats for exact
+    * re-ranking — same IVFADC+R shape as [[PqRerank]], different code.
+    * SQ8 at 8 bits/dim is far higher-fidelity than PQ (measured
+    * recall@3 1.0 on the near-random fixture corpus at R=64, vs PQ's
+    * 0.867 — Sq8Spec pins 0.9), so R stays at the small end of the
+    * 10-100×-k range; 4× memory (64 B vs 8 B per vector) buys the
+    * recall headroom. At scale R follows the same re-measure-per-corpus
+    * rule as PqRerank. */
+  val SqRerank = 64
+
   /** Decontamination bloom sizing: bits per filter and the expected
     * distinct-shingle count it is sized for. Fixture: 2^22 bits /
     * 2^16 items ≈ 64 bits/item → fp ≈ 1e-5 at 512 KB per filter.

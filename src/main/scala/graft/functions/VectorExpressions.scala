@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shims
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the embedding hot path (SURVEY.md §7.4:
@@ -203,6 +203,143 @@ object Md5Prefix48 {
   }
 }
 
+/** `graft_sq8(v, mins, maxs)`: scalar (SQ8) quantization of a float
+  * vector against per-dimension corpus bounds — q_i =
+  * min(255, ⌊((v_i − mn_i) · 255) / (mx_i − mn_i)⌋), emitted CENTERED
+  * (q_i − 128) as one SIGNED byte per dimension. Bytes because the
+  * 4×-smaller representation is the whole point ([[graft.operators.Sq]]
+  * scans 64 B/vector where floats are 256 B); centered because the
+  * shortlist scorer is a raw integer dot over codes, and for near-
+  * centered embedding dimensions (mid_d = (mn_d+mx_d)/2 ≈ 0, true of
+  * any whitened/normalized corpus) Σ(q_p−128)(q_c−128) is proportional
+  * to the true dot, while the UNcentered Σ q_p·q_c carries a per-
+  * candidate bias term mn·Σv_c that can dominate the signal — the
+  * standard symmetric-quantization formulation. Every step is a
+  * correctly-rounded IEEE double op in a fixed order (widen, subtract,
+  * ×255.0, divide, floor), so DuckDB's
+  * `floor(((v − mn) * 255.0) / (mx − mn)) − 128` over the same floats
+  * yields the same integer on both engines — the code table is
+  * cross-engine deterministic without any float aggregation. A flat
+  * dimension (mx = mn) quantizes to −128 rather than dividing by zero;
+  * the upper clamp guards v = mx landing exactly on 255.0. Null
+  * semantics match graft_dot: length mismatch or null element nulls
+  * the result. */
+case class Sq8Encode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (Seq(first, second, third).forall(e => isFloatArray(e.dataType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8 expects three array<float> args, got " +
+        s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_sq8"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any, mn: Any, mx: Any): Any =
+    Sq8Encode.encode(v.asInstanceOf[ArrayData], mn.asInstanceOf[ArrayData],
+      mx.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, mx) => {
+      s"""
+         |${ev.value} = graft.functions.Sq8Encode.encode($v, $mn, $mx);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Encode =
+    copy(first = f, second = s, third = t)
+}
+
+object Sq8Encode {
+  /** Shared by codegen and interpreted eval — one body, zero drift. */
+  def encode(v: ArrayData, mn: ArrayData, mx: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    if (mn.numElements() != n || mx.numElements() != n) return null
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i) || mn.isNullAt(i) || mx.isNullAt(i)) return null
+      val lo = mn.getFloat(i).toDouble
+      val hi = mx.getFloat(i).toDouble
+      val c =
+        if (hi == lo) 0L
+        else {
+          val q = math.floor((v.getFloat(i).toDouble - lo) * 255.0 / (hi - lo)).toLong
+          if (q > 255L) 255L else if (q < 0L) 0L else q
+        }
+      out(i) = (c - 128L).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** `graft_doti(a, b)`: integer dot product of two SQ8 code vectors
+  * (signed centered bytes — [[Sq8Encode]]'s output), as a long — the
+  * shortlist scorer of [[graft.operators.Sq]]. 64 signed-byte products
+  * summed in int64: ORDER-FREE exactness (max term 128² · 64 dims ≪
+  * 2⁶³), so unlike the float paths no fold-order contract is needed —
+  * any engine summing the same codes gets the same integer. Native for
+  * the same reason as graft_dot: the code scan is the hot brute loop
+  * (N × dim byte reads per probe), and codegen keeps it a tight
+  * primitive loop inside the enclosing WholeStageCodegen stage. Length
+  * mismatch nulls the result (mirrors graft_dot). */
+case class DotProductBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_doti expects two binary args, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_doti"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < x.length) {
+      acc += x(i).toLong * y(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += (long)$a[$i] * (long)$b[$i];
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductBytes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL-registry front doors for the vector expressions. */
 object Vectors {
 
@@ -217,6 +354,16 @@ object Vectors {
   /** 48-bit md5 prefix of a string column (see [[Md5Prefix48]]). */
   def md5Prefix48(c: Column): Column =
     shims.column(Md5Prefix48(shims.expression(c)))
+
+  /** SQ8 byte codes of a float vector against per-dim bounds
+    * (see [[Sq8Encode]]). */
+  def sq8(v: Column, mins: Column, maxs: Column): Column =
+    shims.column(Sq8Encode(shims.expression(v), shims.expression(mins),
+      shims.expression(maxs)))
+
+  /** Integer dot of two SQ8 code vectors (see [[DotProductBytes]]). */
+  def doti(a: Column, b: Column): Column =
+    shims.column(DotProductBytes(shims.expression(a), shims.expression(b)))
 
   /** Session-scoped SQL registration: `SELECT graft_dot(a, b)`. */
   def register(spark: SparkSession): Unit =
@@ -270,6 +417,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Fingerprint48].getName, "graft_fingerprint48"),
       (exprs: Seq[Expression]) => Fingerprint48(exprs.head,
         exprs(1).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8"),
+      new ExpressionInfo(classOf[Sq8Encode].getName, "graft_sq8"),
+      (exprs: Seq[Expression]) => Sq8Encode(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_doti"),
+      new ExpressionInfo(classOf[DotProductBytes].getName, "graft_doti"),
+      (exprs: Seq[Expression]) => DotProductBytes(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),

@@ -228,6 +228,88 @@ object Ivf {
   /** Same answer, same oracle: the index serves q40's results verbatim. */
   def q86Sql: String = q40Sql
 
+  // ---------------------------------------------------------------- q101
+
+  /** Filtered-search nprobe: the attribute filter discards ~(1 − 1/|labels|)
+    * of every probed cell, so the probe searches 2× the cells to hold the
+    * post-filter candidate count — the standard filtered-ANN recall dial
+    * (probe wider, not scan more). With the fixture's label fan this keeps
+    * ≥ R candidates per probe at the same per-probe cost ORDER; at scale
+    * the multiplier follows the filter's selectivity (a 1% filter wants
+    * nprobe ≈ 100× or a partitioned per-attribute index — see the
+    * scaladoc below). */
+  private[graft] val FilteredNProbeCells = 2 * NProbeCells
+
+  /** q101: FILTERED ANN — q40's IVF search constrained to candidates
+    * sharing the probe's `label` (the production "vector search WHERE
+    * metadata = x" shape: same-language neighbors, same-source dedup,
+    * per-tenant retrieval). The attribute is joined into the assignment
+    * at BUILD time (one co-partitioned equi-join, amortized across every
+    * serve — the attribute-in-index design: a production [[IvfIndex]]
+    * stores the label as one extra column of the persisted assignment
+    * table and serves this plan with NO corpus access), so the serve
+    * path filters candidates with a codegen'd predicate instead of a
+    * corpus join, and the filter lands BEFORE the top-k window — wrong
+    * answers (post-filtering top-k then discarding) never enter the
+    * plan. North-star surface; no reference analog (the reference's
+    * nearest filter-join is `StreamingApp.scala:253`'s banded release).
+    * Output carries the label so the constraint is visible in the row. */
+  def q101FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val (emb, trained) = train(s, d)
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val tagged = StagedCache.stage(d, "ivf_q101_ltagged",
+      assignTo(emb, trained).join(labels, Seq("vec_id")))
+    // staged: feeds the probe broadcast AND the candidate scan
+    val probeRange = col("vec_id") >= ProbeFrom &&
+      col("vec_id") < ProbeFrom + NProbes
+    val probes = tagged.filter(probeRange)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"), col("label").as("plabel"))
+    val pcells = rankCells(tagged.filter(probeRange), trained,
+      FilteredNProbeCells)
+      .select(col("vec_id").as("probe_id"), col("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    tagged.join(broadcast(pcells), Seq("cell"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id") &&
+        col("label") === col("plabel"))
+      .withColumn("cosine",
+        Vectors.dot(col("pe"), col("embedding")) / sqrt(col("pn2") * col("n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("plabel").as("label"), col("vec_id"),
+        col("cosine"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  def q101Sql: String =
+    s"""$trainedCtes, ltagged AS (
+       |  SELECT t.vec_id, t.embedding, t.n2, t.cell, l.label
+       |  FROM tagged t JOIN embeddings l USING (vec_id)
+       |), fprobes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2, label AS plabel
+       |  FROM ltagged WHERE vec_id >= $ProbeFrom AND vec_id < ${ProbeFrom + NProbes}
+       |), fpcells AS (
+       |  SELECT vec_id AS probe_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |    FROM sf WHERE vec_id >= $ProbeFrom AND vec_id < ${ProbeFrom + NProbes}) t
+       |  WHERE crn <= $FilteredNProbeCells
+       |), fcand AS (
+       |  SELECT pc.probe_id, p.plabel, t.vec_id,
+       |    ${duckDot("pe", "embedding")} / sqrt(pn2 * n2) AS cosine
+       |  FROM ltagged t
+       |  JOIN fpcells pc ON t.cell = pc.cell
+       |  JOIN fprobes p ON p.probe_id = pc.probe_id AND t.vec_id <> p.probe_id
+       |    AND t.label = p.plabel
+       |), franked AS (
+       |  SELECT probe_id, plabel, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+       |  FROM fcand
+       |)
+       |SELECT probe_id, plabel AS label, vec_id, cosine, rn FROM franked
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+
   private def duckDot(a: String, b: String): String = Similarity.duckDotSql(a, b)
 
   /** One unrolled Lloyd iteration in DuckDB SQL: score against c`t`,

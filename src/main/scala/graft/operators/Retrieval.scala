@@ -88,7 +88,7 @@ object Retrieval {
     * no df join at all. */
   private[operators] def serve(tf: DataFrame, dl: DataFrame, df: DataFrame,
       stats: DataFrame, queries: DataFrame,
-      qidFrom: Long, nQids: Long): DataFrame = {
+      qidFrom: Long, nQids: Long, depth: Int = TopK): DataFrame = {
     val qsel = queries.filter(col("qid") >= qidFrom &&
       col("qid") < qidFrom + nQids)
     val qt = df.join(broadcast(qsel), Seq("term"))
@@ -106,7 +106,7 @@ object Retrieval {
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("idf") * col("tfp_m")).as("score_milli"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
+      .filter(col("rn") <= depth)
       .select(col("qid"), col("doc_id"), col("score_milli"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
@@ -389,6 +389,77 @@ object Retrieval {
        |)
        |SELECT qid, doc_id, rrf_milli, rn FROM franked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
+
+  // --------------------------------------------------------------- q103
+
+  /** Pre-dedup retrieval depth: the ranked list is taken 4× deeper than
+    * the answer so collapsing a near-dup cluster to its best member
+    * still leaves ≥ [[TopK]] distinct clusters to return. */
+  val PreDedupK = 20
+
+  /** q103: SEARCH-RESULT DEDUP — BM25 retrieval composed with the
+    * near-dup cluster map (q54's connected components): the ranked list
+    * is fetched [[PreDedupK]] deep, every hit is tagged with its
+    * cluster (unclustered docs are their own cluster), each (query,
+    * cluster) keeps only its best-ranked member, and the survivors
+    * re-rank to the final top-[[TopK]]. This is the production search
+    * page over a crawled corpus — without it a near-dup family eats
+    * result slots (the fixture's planted dup chains reach q95's top-5
+    * for real: DedupRetrievalSpec measures and pins > 0 intra-cluster
+    * dup slots there). Cluster labels ride [[Dedup.clusterLabels]] — the memoized
+    * serve path (or the live ingest snapshot when a
+    * [[graft.streaming.DedupStream]] owns the corpus); q54 remains the
+    * solver that prices the fixpoint. Scale shape of the dedup join:
+    * the label table is corpus-scale, so it is never shuffled or
+    * broadcast whole — a broadcast SEMI-join against the ≤
+    * NQueries·PreDedupK result ids prunes it to result-sized in one
+    * scan, and only that pruned table broadcasts into the left join. */
+  def q103DedupRetrieval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = tfOf(docs).localCheckpoint(false)
+    val dl = dlOf(tf)
+    val deep = serve(tf, dl, dfOf(tf), statsOf(dl), queriesOf(docs),
+      0L, NQueries, PreDedupK)
+      .localCheckpoint(false) // feeds the semi filter AND the outer join
+    val labels = Dedup.clusterLabels(s, d)
+      .select(col("v").as("doc_id"), col("lbl"))
+    val hitLabels = labels.join(
+      broadcast(deep.select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    val wC = Window.partitionBy(col("qid"), col("cluster"))
+      .orderBy(col("rn"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("rn"))
+    deep
+      .join(broadcast(hitLabels).as("lb"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("crn", row_number().over(wC))
+      .filter(col("crn") === 1)
+      .withColumn("drn", row_number().over(wR))
+      .filter(col("drn") <= TopK)
+      .select(col("qid"), col("doc_id"), col("cluster"), col("score_milli"),
+        col("drn").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def q103Sql: String =
+    s"""${Dedup.lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}${Dedup.ccCtes}, $bm25Ctes, deep AS (
+       |  SELECT qid, doc_id, score_milli, rn FROM ranked WHERE rn <= $PreDedupK
+       |), clustered AS (
+       |  SELECT d.qid, d.doc_id, d.score_milli, d.rn,
+       |    coalesce(c.lbl, d.doc_id) AS cluster
+       |  FROM deep d LEFT JOIN comp c ON c.v = d.doc_id
+       |), best AS (
+       |  SELECT qid, doc_id, cluster, score_milli, rn AS orn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid, cluster
+       |      ORDER BY rn) AS crn
+       |    FROM clustered) t
+       |  WHERE crn = 1
+       |)
+       |SELECT qid, doc_id, cluster, score_milli, rn FROM (
+       |  SELECT qid, doc_id, cluster, score_milli,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY orn) AS INT) AS rn
+       |  FROM best) t
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 }
 
 /** Train-once / serve-many BM25 — the LEXICAL index behind the same

@@ -106,8 +106,10 @@ class EntrySmokeSpec extends AnyFunSuite {
     // q92 shares the same fold in its per-subspace codebook training
     // (Pq.codebooksOf); its encode/serve path is HOF-free by design.
     // q98 trains the coarse quantizer inline for its ANN vector leg
+    // q101 trains the coarse quantizer inline like q40 (label-filtered
+    // serve over the same trained assignment)
     val allowed = Set("q40_ivf_ann", "q75_semantic_dedup", "q92_ivfpq_ann",
-      "q98_hybrid_ann")
+      "q98_hybrid_ann", "q101_filtered_ann")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
