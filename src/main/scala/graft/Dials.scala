@@ -96,10 +96,32 @@ object Dials {
     * probe is R rows, not a cell. Fixture: 64 (measured recall@3 0.867
     * with residual codes at M=16/nprobe=4 on the near-random synthetic
     * embeddings — the hardest corpus for PQ; PqSpec pins the 0.6
-    * floor). At scale R trades float-fetch I/O for recall and is
-    * re-measured per corpus; 10-100× the final k is the standard
-    * range, independent of corpus size. */
+    * floor). At scale R trades float-fetch I/O for recall — and the r9
+    * sf1 probe measured exactly HOW: the PQ gap under its own coarse
+    * ceiling widens with CELL size (at sf1's 2,500-vector cells the
+    * R=64 shortlist covers 10× less of each cell than at sf0.01, and
+    * recall drops with it). So R is no longer a fixed constant: the
+    * serve plan computes R(N) = max(PqRerank, ⌈N / [[PqRerankDiv]]⌉)
+    * IN-PLAN (a one-row broadcast scalar; the oracle mirrors it with a
+    * scalar subquery), holding the shortlist's average-cell coverage
+    * ≥ 25% at every corpus size. This floor is the small-corpus value. */
   val PqRerank = 64
+
+  /** The divisor of the adaptive re-rank rule: R(N) = max([[PqRerank]],
+    * ⌈N / PqRerankDiv⌉) with PqRerankDiv = [[IvfCells]]·4 — i.e. the
+    * shortlist is sized to ≥ 1/4 of the average cell (N/K), the
+    * coverage at which the sf0.01 fixture measured ADC reaching its
+    * coarse-stage ceiling exactly. Division by a power of two keeps
+    * ⌈N/32.0⌉ an EXACT double op on both engines (no rounding
+    * divergence in the dial itself). At 1e9 vectors and K re-dialed to
+    * √N ≈ 32k cells this yields R ≈ 7.8k — still a per-probe float
+    * gather, not a corpus scan. */
+  val PqRerankDiv: Int = IvfCells * 4
+
+  /** Scala twin of the in-plan adaptive-R rule (tools + specs; the
+    * declared plans compute the same value in-plan). */
+  def pqRerankFor(n: Long): Long =
+    math.max(PqRerank.toLong, math.ceil(n / PqRerankDiv.toDouble).toLong)
 
   /** SQ8 shortlist size (q102): the integer-code brute scan keeps the R
     * best codes per probe and only those fetch floats for exact

@@ -251,14 +251,22 @@ object Pq {
           max(when(col("m") === j, col("t"))).as(s"t$j")): _*)
     val adcExpr = (1 until M).foldLeft(col("t0")) { (acc, j) => acc + col(s"t$j") }
 
-    // shortlist: R best codes per probe — the only rows that ever read
-    // a float vector again
+    // shortlist: R(N) best codes per probe — the only rows that ever
+    // read a float vector again. R is the ADAPTIVE dial computed
+    // in-plan from the corpus size (Dials.pqRerankFor's rule as a
+    // one-row broadcast scalar): ⌈N/32.0⌉ is exact in double (power-of-
+    // two divisor), so the dial itself can never hash-diverge.
+    val rdial = tagged
+      .agg(greatest(lit(R.toLong),
+        ceil(count(lit(1)) / lit(graft.Dials.PqRerankDiv.toDouble)))
+        .as("rdial"))
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").asc, col("vec_id"))
     val shortlist = pivoted
       .withColumn("adc", adcExpr)
       .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= R)
+      .crossJoin(broadcast(rdial))
+      .filter(col("arn") <= col("rdial"))
       .select(col("probe_id"), col("vec_id"), col("adc"))
 
     // exact re-rank: squared L2 over the R-row float gather per probe
@@ -384,11 +392,14 @@ object Pq {
        |  JOIN codes k ON k.vec_id = cd.vec_id
        |  JOIN lut l ON l.probe_id = cd.probe_id AND l.cell = cd.cell AND l.m = k.m AND l.code = k.code
        |  GROUP BY cd.probe_id, cd.vec_id
+       |), rd AS (
+       |  SELECT greatest($R, CAST(ceil(count(*) / ${graft.Dials.PqRerankDiv}.0) AS BIGINT)) AS rdial
+       |  FROM tagged
        |), shortlist AS MATERIALIZED (
        |  SELECT probe_id, vec_id, adc FROM (
        |    SELECT probe_id, vec_id, $adcSum AS adc,
        |      row_number() OVER (PARTITION BY probe_id ORDER BY $adcSum, vec_id) AS arn
-       |    FROM sc) t WHERE arn <= $R
+       |    FROM sc) t WHERE arn <= (SELECT rdial FROM rd)
        |), rr AS MATERIALIZED (
        |  SELECT s.probe_id, s.vec_id, s.adc,
        |    p.n2 - 2 * ${duckDot("p.embedding", "e.embedding")} + e.n2 AS l2

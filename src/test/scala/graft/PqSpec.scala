@@ -107,4 +107,20 @@ class PqSpec extends AnyFunSuite {
       .flatten
     assert(hofs.isEmpty, s"interpreted HOFs in the PQ encode path: $hofs")
   }
+
+  test("adaptive re-rank rule: floor below the knee, N/(K·4) above it") {
+    // The in-plan dial mirrors Dials.pqRerankFor (the serve plan
+    // computes the same greatest/ceil over the assignment count; the
+    // oracle mirrors it with a scalar subquery — all three share one
+    // formula, this pins the Scala twin's values at the corners).
+    assert(Dials.pqRerankFor(200L) == 64L)     // sf0.01: rule inactive
+    assert(Dials.pqRerankFor(2048L) == 64L)    // exactly at the knee
+    assert(Dials.pqRerankFor(2049L) == 65L)    // first step above it
+    assert(Dials.pqRerankFor(20000L) == 625L)  // sf1: 10× the floor
+    // shortlist coverage of the average cell stays >= 1/4 at any N
+    Seq(1000L, 100000L, 1000000000L).foreach { n =>
+      assert(Dials.pqRerankFor(n).toDouble / (n.toDouble / Dials.IvfCells) >= 0.25 - 1e-9
+        || Dials.pqRerankFor(n) == Dials.PqRerank.toLong)
+    }
+  }
 }
