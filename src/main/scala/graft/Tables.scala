@@ -27,7 +27,19 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // Big shuffles START fine-grained and AQE coalesces the small ones
+    // back down (target spark.sql.shuffle.partitions stays the core
+    // count): at 100× fixture scale a 32-way shuffle stage hands each
+    // task GBs, which under a bounded heap degenerates into hundreds of
+    // tiny sorter spills per task — and the spill-MERGE phase then OOMs
+    // on its per-file read-ahead buffers (the r9 sf10 q27 wall: Java
+    // heap exhausted in "read-ahead" threads, not in the sort itself).
+    // 512 initial partitions keep per-task shuffle input bounded at any
+    // measured sf while AQE keeps fixture-scale plans as coarse as
+    // before — measured: sf10 q27 completes at the default 8 GB heap
+    // with this dial, OOMs without it (BASELINE §sf10).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "512")
 
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")

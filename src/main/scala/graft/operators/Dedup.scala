@@ -210,7 +210,7 @@ object Dedup {
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS s
        |  FROM toks WHERE len(t) >= 2
-       |), hx AS (
+       |), hx AS MATERIALIZED (
        |  SELECT doc_id, ('0x' || substr(md5(s),1,12))::BIGINT AS x FROM sh
        |), sig AS MATERIALIZED (
        |  SELECT doc_id,
@@ -660,19 +660,39 @@ object Dedup {
     * 2-shingle Jaccard verifies them (|∩| / |∪| over distinct shingle sets,
     * integer ratio ⇒ exact double). This is the production near-dup shape:
     * approximate recall from banding, exact precision from verification —
-    * still never all-pairs. */
+    * still never all-pairs.
+    *
+    * The verify arms intersect 48-bit shingle FINGERPRINTS (the same
+    * `graft_md5_48` values the MinHash stage already derives), not raw
+    * shingle strings — the standard shingle-hashing formulation (Broder
+    * 1997 operates on hashed shingles throughout). Cross-engine
+    * exactness is unconditional (both engines hash identically, so they
+    * count identical intersections, collisions included); the distance
+    * to STRING-shingle Jaccard is a within-doc-pair 48-bit collision,
+    * ≈ (shingles/doc)²/2⁴⁸ ≲ 10⁻¹⁰ per pair. What it buys at scale is
+    * the difference between the engine's heaviest shuffle carrying
+    * fixed-width longs (radix-sortable, 8 B keys) vs ~20-byte strings:
+    * the r9 sf10 probe OOM'd the default 8 GB heap in exactly this
+    * join's spill-merge; the fingerprint form runs it at 8 GB (measured
+    * — BASELINE §sf10). */
   def q27NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // sh feeds both exact-intersection arms AND the per-doc counts; sig
-    // feeds the band pipeline. Materialize each once (see q20).
+    // hx feeds both exact-intersection arms AND the per-doc counts; sig
+    // feeds the band pipeline. Materialize each once (see q20). hx is the
+    // ONE shingle-level (not doc-level) staged table in the engine —
+    // StagedCache (compressed columnar, evictable) rather than
+    // localCheckpoint (raw pinned rows): two longs per shingle column-
+    // compress ~10×, and under memory pressure the cache spills/evicts
+    // where checkpoint blocks starved the sf10 run's execution pool.
     val sig = signature(docs).localCheckpoint(eager = false)
-    val sh = shingles(docs).localCheckpoint(eager = false)
-    val counts = sh.groupBy("doc_id")
+    val hx = StagedCache.stage(d, "q27_hx", shingles(docs)
+      .select(col("doc_id"), hex12(col("s")).as("x")))
+    val counts = hx.groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh")) // shingles() is already distinct
     val inter = candidates(sig)
-      .join(sh.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(sh.as("gb"),
-        col("doc_b") === col("gb.doc_id") && col("ga.s") === col("gb.s"))
+      .join(hx.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(hx.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.x") === col("gb.x"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_int"))
     inter
@@ -687,10 +707,10 @@ object Dedup {
 
   def q27Sql: String =
     s"""$lshCtes, counts AS (
-       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+       |  SELECT doc_id, count(*) AS n_sh FROM hx GROUP BY doc_id
        |), inter AS (
        |  SELECT doc_a, doc_b, count(*) AS n_int
-       |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+       |  FROM cand JOIN hx a ON a.doc_id = doc_a JOIN hx b ON b.doc_id = doc_b AND a.x = b.x
        |  GROUP BY doc_a, doc_b
        |)
        |SELECT doc_a, doc_b,

@@ -12,7 +12,9 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_LOG=INFO surfaces DAGScheduler stage names when
+    // chasing a stage-numbered failure at scale
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "ERROR"))
     SparkEntry.entry(spark).count() // warmup: JIT + codegen + parquet path
     args.foreach { name =>
       val t0 = System.nanoTime()
