@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.operators.{IvfIndex, LexIndex, PqIndex}
+import graft.operators.{IvfIndex, LexIndex, PqIndex, Sq8Index}
 
 /** The runnable ingest executable — the engine's analog of the
   * reference's launchable apps (`StreamingApp.scala:555-581`'s
@@ -21,7 +21,7 @@ import graft.operators.{IvfIndex, LexIndex, PqIndex}
   * {{{
   * # the LLM-data fabric: docs stream -> BloomGate -> DedupStream +
   * #   LexIndex + TelemetryStream + DriftStream (+ embeddings stream ->
-  * #   IvfIndex + PqIndex when --embeddings is given)
+  * #   IvfIndex + PqIndex + Sq8Index when --embeddings is given)
   * runMain graft.streaming.StreamMain docs <docsDir|kafka:host:port/topic> \
   *     <stateRoot> <intervalMs> [--bench <parquet>] \
   *     [--bootstrap <fixtureDir>] [--embeddings <dir>] \
@@ -41,7 +41,7 @@ import graft.operators.{IvfIndex, LexIndex, PqIndex}
   * - `--bench <parquet>`: decontamination benchmark docs; when present,
   *   arrivals pass through [[BloomGate]] before any state.
   * - `--bootstrap <fixtureDir>`: builds [[LexIndex]] (and with
-  *   `--embeddings` the [[IvfIndex]]/[[PqIndex]] pair) from this corpus
+  *   `--embeddings` the [[IvfIndex]]/[[PqIndex]]/[[Sq8Index]] trio) from this corpus
   *   before streaming — the train-once half of the index lifecycle.
   *   Without it the index legs are skipped (gate/dedup/telemetry/drift
   *   still run; an index cannot ingest before `build`).
@@ -191,14 +191,16 @@ object StreamMain {
       idx
     }
     val lex = lexIdx.map(new IndexStream(spark, _))
-    // ANN pair hoisted out of the embeddings-stream scope so the
+    // ANN trio hoisted out of the embeddings-stream scope so the
     // drift→retrain hook below can rebuild every index family
-    val annPair = for (_ <- cfg.embeddings; d <- cfg.bootstrap) yield {
+    val annTrio = for (_ <- cfg.embeddings; d <- cfg.bootstrap) yield {
       val ivf = new IvfIndex(spark, st("ivf"))
       if (!ivf.isBuilt) ivf.build(d)
       val pq = new PqIndex(spark, st("pq"))
       if (!pq.isBuilt) pq.build(d)
-      (ivf, pq)
+      val sq = new Sq8Index(spark, st("sq"))
+      if (!sq.isBuilt) sq.build(d)
+      (ivf, pq, sq)
     }
 
     val arrivals = docsStream(spark, cfg.source)
@@ -232,8 +234,8 @@ object StreamMain {
         for (thr <- cfg.retrainPpm; d <- cfg.bootstrap) {
           if (drift.shouldRetrain(thr)) {
             lexIdx.foreach(_.rebuildWarm(d))
-            annPair.foreach { case (ivf, pq) =>
-              ivf.rebuildWarm(d); pq.rebuildWarm(d)
+            annTrio.foreach { case (ivf, pq, sq) =>
+              ivf.rebuildWarm(d); pq.rebuildWarm(d); sq.rebuildWarm(d)
             }
             drift.resetBaseline()
             retrains += 1
@@ -243,10 +245,11 @@ object StreamMain {
       .start()
 
     // the vector leg: its own arrival stream, its own batch-id sequence;
-    // both ANN families maintained from one source read
-    val vecQuery = annPair.map { case (ivf, pq) =>
+    // all three ANN families maintained from one source read
+    val vecQuery = annTrio.map { case (ivf, pq, sq) =>
       val ivfIs = new IndexStream(spark, ivf)
       val pqIs = new IndexStream(spark, pq)
+      val sqIs = new IndexStream(spark, sq)
       spark.readStream.schema(EmbeddingsSchema)
         .parquet(cfg.embeddings.get)
         .writeStream
@@ -257,6 +260,7 @@ object StreamMain {
           try {
             ivfIs.processBatch(b, id)
             pqIs.processBatch(b, id)
+            sqIs.processBatch(b, id)
           } finally { b.unpersist(); () }
         }
         .start()

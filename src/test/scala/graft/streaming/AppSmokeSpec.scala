@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSession
 import graft.operators.{Decontamination, Dedup, Drift, IvfIndex, LexIndex,
-  PqIndex, Retrieval, Telemetry}
+  PqIndex, Retrieval, Sq8Index, Telemetry}
 
 /** The runnable app end-to-end: [[StreamMain.run]] (the exact wiring
   * `main` launches, minus only the session construction) pointed at
@@ -169,8 +169,8 @@ class AppSmokeSpec extends AnyFunSuite {
       .headOption.map(r => math.abs(r.getAs[Long]("delta_ppm"))).getOrElse(0L)
 
     // epoch 1: a skewed snapshot (odd half hammers one token) crosses
-    // the budget → the app warm-rebuilds lex + both ANN families and
-    // resets the drift baseline
+    // the budget → the app warm-rebuilds lex + all three ANN families
+    // and resets the drift baseline
     (0 until 50).map(i => (200001L + 2 * i, "skew",
         Seq.fill(40)("driftTokenXq").mkString(" ")))
       .toDF("doc_id", "source", "text")
@@ -186,6 +186,8 @@ class AppSmokeSpec extends AnyFunSuite {
     assert(appIvf.query(490L, 10L).count() > 0, "rebuilt index must serve")
     val appPq = new PqIndex(spark, new StateDir(spark, s"$stateRoot/pq"))
     assert(appPq.isBuilt && appPq.query(490L, 10L).count() > 0)
+    val appSq = new Sq8Index(spark, new StateDir(spark, s"$stateRoot/sq"))
+    assert(appSq.isBuilt && appSq.query(490L, 10L).count() > 0)
     val appLex = new LexIndex(spark, new StateDir(spark, s"$stateRoot/lex"))
     assert(appLex.isBuilt &&
       appLex.query(0L, Retrieval.NQueries.toLong).count() > 0)
