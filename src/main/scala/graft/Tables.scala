@@ -28,18 +28,44 @@ object Tables {
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
-    // Big shuffles START fine-grained and AQE coalesces the small ones
-    // back down (target spark.sql.shuffle.partitions stays the core
-    // count): at 100× fixture scale a 32-way shuffle stage hands each
-    // task GBs, which under a bounded heap degenerates into hundreds of
-    // tiny sorter spills per task — and the spill-MERGE phase then OOMs
-    // on its per-file read-ahead buffers (the r9 sf10 q27 wall: Java
-    // heap exhausted in "read-ahead" threads, not in the sort itself).
-    // 512 initial partitions keep per-task shuffle input bounded at any
-    // measured sf while AQE keeps fixture-scale plans as coarse as
-    // before — measured: sf10 q27 completes at the default 8 GB heap
-    // with this dial, OOMs without it (BASELINE §sf10).
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "512")
+    // Spill readers need no read-ahead double-buffer: the r9 sf10 q27
+    // wall OOM'd the 8 GB heap in exactly those threads (a spill MERGE
+    // opens every spill file at once — 32 tasks × hundreds of files ×
+    // 2 MB each), and disabling read-ahead halves that constant at zero
+    // cost to spill-free fixture runs. The other half of the fix is
+    // [[initPartsFor]]: fewer spill files per task in the first place.
+    "spark.unsafe.sorter.spill.read.ahead.enabled" -> "false")
+
+  /** Shuffle start-granularity for a corpus dir — the scale half of the
+    * sf10 spill-merge fix. Fixture-scale inputs keep core-count
+    * partitioning (32: AQE coalescing from anything finer taxes every
+    * multi-stage query ~30% in stage overhead — measured on the r10
+    * bench); at GB+ inputs shuffles START at 512 AQE partitions so a
+    * bounded heap sees bounded per-task shuffle input and the spill
+    * merge opens dozens of files, not hundreds (AQE still coalesces
+    * small stages back to size). Every main that knows its corpus dir
+    * passes this through; SPARK_GRAFT_INIT_PARTS overrides for
+    * measurement. On a real cluster the same dial is per-job
+    * configuration — this is the single-box automation of it. */
+  def initPartsFor(dir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", {
+      val sz =
+        try {
+          val p = java.nio.file.Paths.get(dir)
+          if (!java.nio.file.Files.isDirectory(p)) 0L
+          else {
+            val s = java.nio.file.Files.list(p)
+            try s.mapToLong { f =>
+              try java.nio.file.Files.size(f) catch { case _: Throwable => 0L }
+            }.sum
+            finally s.close()
+          }
+        } catch { case _: Throwable => 0L }
+      if (sz > (1L << 30)) "512" else "32"
+    })
+
+  /** The config key [[initPartsFor]] feeds. */
+  val InitPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
