@@ -353,8 +353,12 @@ object Retrieval {
        |SELECT qid, doc_id, rrf_milli, rn FROM franked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
 
-  def q97Sql: String =
-    s"""WITH $bm25Ctes, lex AS (
+  /** The q97 hybrid CTE chain (lexical top-k → brute vector leg → RRF
+    * fusion → `franked`) — shared verbatim by the q105 eval oracle so
+    * the evaluated run cannot drift from the declared q97. Callers
+    * prepend `WITH $bm25Ctes, `. */
+  private def hybridCtes: String =
+    s"""lex AS (
        |  SELECT qid, doc_id, rn AS lrn FROM ranked WHERE rn <= $TopK
        |), vemb AS (
        |  SELECT vec_id, embedding,
@@ -386,7 +390,10 @@ object Retrieval {
        |    CAST(row_number() OVER (PARTITION BY qid
        |      ORDER BY rrf_milli DESC, doc_id) AS INT) AS rn
        |  FROM fused
-       |)
+       |)""".stripMargin
+
+  def q97Sql: String =
+    s"""WITH $bm25Ctes, $hybridCtes
        |SELECT qid, doc_id, rrf_milli, rn FROM franked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
 
@@ -460,6 +467,115 @@ object Retrieval {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY orn) AS INT) AS rn
        |  FROM best) t
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+
+  // --------------------------------------------------------------- q105
+
+  /** nDCG@5 rank discounts in exact integer milliunits — round(1000 /
+    * log₂(rank+1)) precomputed as LITERALS, so neither engine evaluates
+    * a transcendental at runtime (the q55/q95 no-libm doctrine applied
+    * to the metric itself). Ideal-DCG prefix sums follow. */
+  private val Disc = Seq(1000L, 631L, 500L, 431L, 387L)
+  private val Idcg = Disc.scanLeft(0L)(_ + _).tail // 1000,1631,2131,2562,2949
+
+  /** q105: the OFFLINE RETRIEVAL EVAL HARNESS — recall@5 and nDCG@5 per
+    * (run, query) for two declared runs (`lex` = q95 BM25, `hybrid` =
+    * q97 RRF), computed distributed over the whole corpus. Every
+    * retrieval deployment runs exactly this job offline after an index
+    * or ranker change; at 100 TB the eval set joins against the corpus,
+    * so the metric computation itself has to be an engine operator, not
+    * a notebook loop. Relevance labels are PSEUDO-relevance, derived
+    * deterministically on both engines: a document is relevant to a
+    * query iff it contains ALL of the query's distinct terms (the
+    * conjunctive-containment rule — label derivation is corpus-only, so
+    * the oracle can recompute it; the labeled-fixture complement with
+    * known ground truth lives in HybridRelevanceSpec). All metric
+    * arithmetic is exact integers: hits and n_rel are counts,
+    * recall_milli = hits·1000 DIV n_rel, dcg uses the [[Disc]] literal
+    * discounts and ndcg_milli = dcg·1000 DIV idcg(min(n_rel, 5)).
+    *
+    * Scale shape: the relevance join reuses the staged tf table (the
+    * one corpus-scale build, shared with the scoring legs); the ranked
+    * lists are ≤ runs·NQueries·TopK = 100 rows; rel is
+    * candidate-generated (docs sharing ≥1 query term) and collapses
+    * map-side before the n_terms equality check. */
+  def q105RetrievalEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = tfOf(docs).localCheckpoint(false)
+    val dl = dlOf(tf)
+    val queries = queriesOf(docs).localCheckpoint(false)
+    // pseudo-relevance: matched distinct terms == the query's term count
+    val qsize = queries.groupBy(col("qid")).agg(count(lit(1)).as("n_terms"))
+    val rel = tf.join(broadcast(queries), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("matched"))
+      .join(broadcast(qsize), Seq("qid"))
+      .filter(col("matched") === col("n_terms"))
+      .select(col("qid"), col("doc_id"))
+      .localCheckpoint(false) // feeds n_rel AND both runs' hit joins
+    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val lexRun = serve(tf, dl, dfOf(tf), statsOf(dl), queries, 0L, NQueries)
+      .select(lit("lex").as("run"), col("qid"), col("doc_id"), col("rn"))
+    val hybRun = fuseRrf(
+        serve(tf, dl, dfOf(tf), statsOf(dl), queries, 0L, NQueries)
+          .select(col("qid"), col("doc_id"), col("rn").as("lrn")),
+        vectorLeg(s, d))
+      .select(lit("hybrid").as("run"), col("qid"), col("doc_id"), col("rn"))
+    val disc = (2 to 5).foldLeft(when(col("rn") === 1, lit(Disc.head))) {
+      (acc, r) => acc.when(col("rn") === r, lit(Disc(r - 1)))
+    }
+    val idcg = (2 to 5).foldLeft(when(col("n_rel") === 1, lit(Idcg.head))) {
+      (acc, m) => if (m < 5) acc.when(col("n_rel") === m, lit(Idcg(m - 1)))
+        else acc.otherwise(lit(Idcg(4)))
+    }
+    lexRun.unionByName(hybRun)
+      .join(rel.withColumn("isrel", lit(1L)), Seq("qid", "doc_id"), "left")
+      .groupBy(col("run"), col("qid"))
+      .agg(sum(coalesce(col("isrel"), lit(0L))).as("hits"),
+        sum(when(col("isrel") === 1L, disc).otherwise(lit(0L))).as("dcg_milli"))
+      .join(broadcast(nrel), Seq("qid"))
+      .withColumn("recall_milli", expr("hits * 1000 DIV n_rel"))
+      .withColumn("idcg_milli", idcg)
+      .withColumn("ndcg_milli", expr("dcg_milli * 1000 DIV idcg_milli"))
+      .select(col("run"), col("qid"), col("n_rel"), col("hits"),
+        col("recall_milli"), col("ndcg_milli"))
+      .orderBy(col("run"), col("qid"))
+  }
+
+  def q105Sql: String =
+    s"""WITH $bm25Ctes, $hybridCtes, qsize AS (
+       |  SELECT qid, count(*) AS n_terms FROM queries GROUP BY qid
+       |), relm AS (
+       |  SELECT q.qid, t.doc_id, count(*) AS matched
+       |  FROM tf t JOIN queries q USING (term)
+       |  GROUP BY q.qid, t.doc_id
+       |), rel AS MATERIALIZED (
+       |  SELECT r.qid, r.doc_id
+       |  FROM relm r JOIN qsize s ON r.qid = s.qid AND r.matched = s.n_terms
+       |), nrel AS (
+       |  SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid
+       |), runs AS (
+       |  SELECT 'lex' AS run, qid, doc_id, rn FROM ranked WHERE rn <= $TopK
+       |  UNION ALL
+       |  SELECT 'hybrid' AS run, qid, doc_id, rn FROM franked WHERE rn <= $TopK
+       |), ev AS (
+       |  SELECT s.run, s.qid,
+       |    CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |    CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN
+       |      CASE s.rn WHEN 1 THEN ${Disc(0)} WHEN 2 THEN ${Disc(1)}
+       |        WHEN 3 THEN ${Disc(2)} WHEN 4 THEN ${Disc(3)}
+       |        ELSE ${Disc(4)} END
+       |      ELSE 0 END) AS BIGINT) AS dcg_milli
+       |  FROM runs s LEFT JOIN rel r ON r.qid = s.qid AND r.doc_id = s.doc_id
+       |  GROUP BY s.run, s.qid
+       |)
+       |SELECT e.run, e.qid, n.n_rel, e.hits,
+       |  CAST(e.hits * 1000 // n.n_rel AS BIGINT) AS recall_milli,
+       |  CAST(e.dcg_milli * 1000 // (CASE WHEN n.n_rel >= 5 THEN ${Idcg(4)}
+       |    WHEN n.n_rel = 4 THEN ${Idcg(3)} WHEN n.n_rel = 3 THEN ${Idcg(2)}
+       |    WHEN n.n_rel = 2 THEN ${Idcg(1)} ELSE ${Idcg(0)} END) AS BIGINT)
+       |    AS ndcg_milli
+       |FROM ev e JOIN nrel n ON n.qid = e.qid
+       |ORDER BY e.run, e.qid""".stripMargin
 }
 
 /** Train-once / serve-many BM25 — the LEXICAL index behind the same
