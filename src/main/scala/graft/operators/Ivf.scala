@@ -310,6 +310,93 @@ object Ivf {
        |SELECT probe_id, plabel AS label, vec_id, cosine, rn FROM franked
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+
+  /** Recall@k of an IVF-served answer against the exact brute-force
+    * ground truth over the SAME assignment table — per probe, in exact
+    * integer milliunits (hits·1000 DIV k; hits and k are counts, so no
+    * float enters the metric). The shared core behind the q106 row and
+    * [[graft.streaming.EvalStream]]'s per-tick quality samples.
+    *
+    * Scale shape: the served leg is the production nprobe plan; the
+    * exact leg is ONE corpus scan against a broadcast probe set — the
+    * honest price of ground truth, which is why a deployment runs it
+    * over a small fixed canary probe set on an eval CADENCE (per
+    * retrain, per N batches) rather than per query. The intersection
+    * joins two ≤|probes|·k row sides. */
+  private[graft] def recallOf(tagged: DataFrame, trained: DataFrame,
+      probePred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+    val served = serveWhere(tagged, trained, probePred, topK)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    val probes = tagged.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val exact = tagged.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        Vectors.dot(col("pe"), col("embedding")) / sqrt(col("pn2") * col("n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("probe_id"), col("vec_id"))
+    exact.join(served, Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_milli", expr(s"hits * 1000 DIV $topK"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** q106: the ANN QUALITY row — recall@3 of the q40/q86 IVF serve
+    * against exact brute force, per probe. AnnRecallSpec
+    * measured this number for two rounds ("0.867 at nprobe 4"); q106
+    * turns the measurement into a DECLARED, oracle-checked query — the
+    * offline eval job every ANN deployment runs after a dial or index
+    * change, and the batch twin of [[graft.streaming.EvalStream]]'s
+    * continuous monitoring ticks. Reuses q40's staged assignment, so in
+    * a bench session the training cost is q40's to pay. */
+  def q106AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val (emb, trained) = train(s, d)
+    val tagged = StagedCache.stage(d, "ivf_q40_tagged", assignTo(emb, trained))
+    recallOf(tagged, trained,
+      col("vec_id") >= ProbeFrom && col("vec_id") < ProbeFrom + NProbes, 3)
+  }
+
+  def q106Sql: String =
+    s"""$trainedCtes, probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+       |  FROM tagged WHERE vec_id >= $ProbeFrom AND vec_id < ${ProbeFrom + NProbes}
+       |), pcells AS (
+       |  SELECT vec_id AS probe_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |    FROM sf WHERE vec_id >= $ProbeFrom AND vec_id < ${ProbeFrom + NProbes}) t
+       |  WHERE crn <= $NProbeCells
+       |), served AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT pc.probe_id, t.vec_id,
+       |      row_number() OVER (PARTITION BY pc.probe_id
+       |        ORDER BY ${duckDot("pe", "embedding")} / sqrt(pn2 * n2) DESC, t.vec_id) AS rn
+       |    FROM tagged t
+       |    JOIN pcells pc ON t.cell = pc.cell
+       |    JOIN probes p ON p.probe_id = pc.probe_id AND t.vec_id <> p.probe_id) t
+       |  WHERE rn <= 3
+       |), exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, t.vec_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${duckDot("pe", "embedding")} / sqrt(pn2 * n2) DESC, t.vec_id) AS rn
+       |    FROM tagged t, probes p WHERE t.vec_id <> p.probe_id) t
+       |  WHERE rn <= 3
+       |), hits AS (
+       |  SELECT e.probe_id,
+       |    CAST(sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM exact e LEFT JOIN served s
+       |    ON s.probe_id = e.probe_id AND s.vec_id = e.vec_id
+       |  GROUP BY e.probe_id
+       |)
+       |SELECT probe_id, hits, CAST(hits * 1000 // 3 AS BIGINT) AS recall_milli
+       |FROM hits ORDER BY probe_id""".stripMargin
+
   private def duckDot(a: String, b: String): String = Similarity.duckDotSql(a, b)
 
   /** One unrolled Lloyd iteration in DuckDB SQL: score against c`t`,

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Ivf, IvfIndex}
+
+/** Continuous INDEX-QUALITY monitoring — the metric-side complement of
+  * [[DriftStream]]: where drift watches the corpus DISTRIBUTION (a
+  * leading proxy — "the data changed, the quantizer is probably stale"),
+  * EvalStream measures the consequence a retrieval deployment actually
+  * cares about: the recall@k of the SERVED index against exact brute
+  * force, sampled on an eval cadence over a fixed canary probe set. Each
+  * [[evalTick]] appends one `(tick_id, n_vectors, n_probes, hits,
+  * recall_milli)` row — a time series an operator alarms on the way
+  * [[DriftStream.shouldRetrain]] thresholds Δppm. Batch twin: the q106
+  * row ([[Ivf.q106AnnRecall]]); both run [[Ivf.recallOf]], so the
+  * monitor and the declared query can never disagree about what
+  * "recall" means.
+  *
+  * Metric arithmetic is exact integers end-to-end: hits is a count,
+  * corpus recall_milli = hits·1000 DIV (n_probes·k) — the micro-mean
+  * over probes (ties every probe's weight to its own hit count, so the
+  * tick is reproducible from the ledger row alone).
+  *
+  * Scale shape: the served leg is the production nprobe plan over the
+  * persisted assignment; the exact leg is ONE scan of the assignment
+  * table against a broadcast canary set (|probes| is fixed by the
+  * stride dial, so the scan does |probes|·N dots). That linear cost is
+  * the honest price of ground truth — which is why it runs per TICK
+  * (per retrain, per N ingest batches), not per query, and why the
+  * probe set is a stride sample rather than the full corpus. Replay is
+  * a no-op (tick_id guard, same contract as every ingest ledger).
+  */
+final class EvalStream(spark: SparkSession, index: IvfIndex,
+    probeStride: Long = EvalStream.ProbeStride, topK: Int = EvalStream.TopK) {
+
+  import EvalStream._
+
+  private def state = index.state
+
+  /** Measure the served index's recall NOW and append one ledger row.
+    * Idempotent on `tickId`; refuses a torn/unbuilt index the same way
+    * every serve path does. */
+  def evalTick(tickId: Long): Unit = state.locked {
+    require(index.isBuilt,
+      "ivf index not built (or a rebuild was torn) — nothing to evaluate")
+    val replayed = state.exists(Table) &&
+      !state.read(Table, Schema).filter(col("tick_id") === tickId).isEmpty
+    if (!replayed) {
+      val tagged = state.read(IvfIndex.AssignTable, IvfIndex.AssignSchema)
+      val trained = state.read(IvfIndex.CentroidsTable, IvfIndex.CentroidsSchema)
+      val per = Ivf.recallOf(tagged, trained,
+        col("vec_id") % probeStride === 0, topK)
+      val row = per.agg(
+          count(lit(1)).as("n_probes"),
+          coalesce(sum(col("hits")), lit(0L)).as("hits"))
+        .crossJoin(tagged.agg(count(lit(1)).as("n_vectors")))
+        .select(lit(tickId).as("tick_id"), col("n_vectors"),
+          col("n_probes"), col("hits"),
+          when(col("n_probes") > 0,
+              expr(s"hits * 1000 DIV (n_probes * $topK)"))
+            .otherwise(lit(0L)).as("recall_milli"))
+      state.append(Table, row)
+    }
+  }
+
+  /** The quality time series, one row per tick, oldest first (empty
+    * before the first tick). */
+  def report: DataFrame =
+    (if (state.exists(Table)) state.read(Table, Schema)
+     else spark.createDataFrame(
+       java.util.Collections.emptyList[org.apache.spark.sql.Row](), Schema))
+      .orderBy(col("tick_id"))
+
+  /** The measured retrain trigger — true when the LATEST tick's corpus
+    * recall fell below `floorMilli`. The lagging twin of
+    * [[DriftStream.shouldRetrain]]: drift says "the data moved", this
+    * says "and quality actually suffered". */
+  def degraded(floorMilli: Long): Boolean =
+    state.exists(Table) && report.orderBy(col("tick_id").desc).limit(1)
+      .collect().headOption.exists(_.getAs[Long]("recall_milli") < floorMilli)
+}
+
+object EvalStream {
+  /** Canary probes: every `ProbeStride`-th vec_id present in the index.
+    * 100×-scale guidance: hold |probes| roughly CONSTANT as the corpus
+    * grows (raise the stride), because the exact leg costs |probes|·N
+    * dots — the dial bounds eval cost, not eval fidelity (recall over a
+    * fixed random canary set is an unbiased sample either way). */
+  val ProbeStride = 100L
+  val TopK = 3
+
+  val Table = "eval_ticks"
+  val Schema: StructType = StructType(Seq(
+    StructField("tick_id", LongType),
+    StructField("n_vectors", LongType),
+    StructField("n_probes", LongType),
+    StructField("hits", LongType),
+    StructField("recall_milli", LongType)))
+}

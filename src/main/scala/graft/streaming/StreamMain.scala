@@ -45,6 +45,13 @@ import graft.operators.{IvfIndex, LexIndex, PqIndex, Sq8Index}
   *   before streaming — the train-once half of the index lifecycle.
   *   Without it the index legs are skipped (gate/dedup/telemetry/drift
   *   still run; an index cannot ingest before `build`).
+  * - `--eval-every <n>`: continuous index-quality monitoring — after
+  *   every n-th embeddings batch, [[EvalStream]] measures the served
+  *   [[IvfIndex]]'s recall@k against exact brute force over the canary
+  *   probe set and appends a ledger tick (tick id = batch id, so the
+  *   series is replay-idempotent like every other consumer). The
+  *   measured, lagging complement of `--retrain-ppm`'s leading ppm
+  *   proxy. Requires the index legs (`--bootstrap` + `--embeddings`).
   * - `--retrain-ppm <budget>`: the drift→retrain loop, live — after
   *   each docs batch, if [[DriftStream.shouldRetrain]] reports the
   *   largest |Δppm| at/over the budget, every built index family
@@ -74,7 +81,8 @@ object StreamMain {
       caseDir: Option[String] = None,
       imageSize: Long = 0L,
       once: Boolean = false,
-      retrainPpm: Option[Long] = None)
+      retrainPpm: Option[Long] = None,
+      evalEvery: Long = 0L)
 
   val DocsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -101,6 +109,8 @@ object StreamMain {
         case "--once"       => cfg = cfg.copy(once = true); i += 1
         case "--retrain-ppm" =>
           cfg = cfg.copy(retrainPpm = Some(args(i + 1).toLong)); i += 2
+        case "--eval-every" =>
+          cfg = cfg.copy(evalEvery = args(i + 1).toLong); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg $other")
       }
     }
@@ -246,6 +256,9 @@ object StreamMain {
 
     // the vector leg: its own arrival stream, its own batch-id sequence;
     // all three ANN families maintained from one source read
+    val evalStream = annTrio.collect {
+      case (ivf, _, _) if cfg.evalEvery > 0 => new EvalStream(spark, ivf)
+    }
     val vecQuery = annTrio.map { case (ivf, pq, sq) =>
       val ivfIs = new IndexStream(spark, ivf)
       val pqIs = new IndexStream(spark, pq)
@@ -262,6 +275,12 @@ object StreamMain {
             pqIs.processBatch(b, id)
             sqIs.processBatch(b, id)
           } finally { b.unpersist(); () }
+          // quality tick on the declared cadence: measure the SERVED
+          // index (this batch's rows included) against exact ground
+          // truth; tick id = batch id makes replays no-ops.
+          evalStream.foreach { es =>
+            if (id % cfg.evalEvery == 0) es.evalTick(id)
+          }
         }
         .start()
     }
@@ -271,10 +290,12 @@ object StreamMain {
     val pairs = dedup.pairsSnapshot.count()
     val sources = telemetry.snapshot.count()
     val driftRows = drift.report.count()
+    val evalTicks = evalStream.map(_.report.count()).getOrElse(0L)
     s"""{"mode":"docs","batches":$batches,"retrains":$retrains,""" +
       s""""dedup_pairs":$pairs,""" +
       s""""telemetry_sources":$sources,"drift_tokens":$driftRows,""" +
-      s""""lex":${lex.nonEmpty},"ann":${vecQuery.nonEmpty}}"""
+      s""""lex":${lex.nonEmpty},"ann":${vecQuery.nonEmpty},""" +
+      s""""eval_ticks":$evalTicks}"""
   }
 
   private def runChunks(spark: SparkSession, cfg: Config): String = {

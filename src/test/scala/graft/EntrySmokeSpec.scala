@@ -108,8 +108,11 @@ class EntrySmokeSpec extends AnyFunSuite {
     // q98 trains the coarse quantizer inline for its ANN vector leg
     // q101 trains the coarse quantizer inline like q40 (label-filtered
     // serve over the same trained assignment)
+    // q106 evaluates the q40 serve against brute force — both legs hang
+    // off the same inline training subtree (the recall row's whole point
+    // is pricing the SHIPPED q40 plan, training fold included)
     val allowed = Set("q40_ivf_ann", "q75_semantic_dedup", "q92_ivfpq_ann",
-      "q98_hybrid_ann", "q101_filtered_ann")
+      "q98_hybrid_ann", "q101_filtered_ann", "q106_ann_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

@@ -51,7 +51,7 @@ class AppSmokeSpec extends AnyFunSuite {
 
     def cfg = StreamMain.Config("docs", srcDir, stateRoot, 0L,
       bench = Some(benchPath), bootstrap = Some(bootstrapDir),
-      embeddings = Some(embDir), once = true)
+      embeddings = Some(embDir), once = true, evalEvery = 1L)
 
     // installment 1: even docs, first half of the clone vectors
     corpus.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(srcDir)
@@ -59,6 +59,8 @@ class AppSmokeSpec extends AnyFunSuite {
     val summary1 = StreamMain.run(spark, cfg)
     assert(summary1.contains("\"mode\":\"docs\"") &&
       summary1.contains("\"lex\":true") && summary1.contains("\"ann\":true"))
+    assert(!summary1.contains("\"eval_ticks\":0"),
+      s"--eval-every 1 must have appended quality ticks: $summary1")
 
     // installment 2 arrives later; a RESTARTED run continues from the
     // checkpoint — only the new files feed the (already-built) state
