@@ -157,4 +157,14 @@ object Dials {
     * a serving deployment should prefer the persisted-index path
     * (q86/q93/q96/q99), which stages nothing. */
   val StagedPersistCap = 16
+
+  /** Canary probe stride for the [[graft.streaming.EvalStream]] quality
+    * monitor: every stride-th vec_id in the index is recall-graded per
+    * tick. Fixture: 100 → 5 probes at sf0.01. At scale hold |probes| =
+    * N/stride roughly CONSTANT by raising the stride with the corpus
+    * (the exact-truth leg costs |probes|·N scores per tick — the dial
+    * bounds eval COST, not fidelity: recall over a fixed stride sample
+    * is an unbiased estimate either way, and ~tens of probes already
+    * separate healthy from stale in the spec's constructed-drift test). */
+  val EvalProbeStride = 100L
 }

@@ -325,27 +325,12 @@ object Ivf {
     * retrain, per N batches) rather than per query. The intersection
     * joins two ≤|probes|·k row sides. */
   private[graft] def recallOf(tagged: DataFrame, trained: DataFrame,
-      probePred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
-    val served = serveWhere(tagged, trained, probePred, topK)
-      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
-    val probes = tagged.filter(probePred)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        col("n2").as("pn2"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val exact = tagged.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine",
-        Vectors.dot(col("pe"), col("embedding")) / sqrt(col("pn2") * col("n2")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select(col("probe_id"), col("vec_id"))
-    exact.join(served, Seq("probe_id", "vec_id"), "left")
-      .groupBy(col("probe_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
-      .withColumn("recall_milli", expr(s"hits * 1000 DIV $topK"))
-      .orderBy(col("probe_id"))
-  }
+      probePred: org.apache.spark.sql.Column, topK: Int): DataFrame =
+    Recall.againstExact(
+      tagged.select(col("vec_id"), col("embedding"), col("n2")),
+      serveWhere(tagged, trained, probePred, topK)
+        .select(col("probe_id"), col("vec_id")),
+      probePred, topK, Recall.CosineDesc)
 
   /** q106: the ANN QUALITY row — recall@3 of the q40/q86 IVF serve
     * against exact brute force, per probe. AnnRecallSpec
@@ -545,7 +530,7 @@ object Ivf {
   * (IvfIndexSpec pins both). On a cluster the two state tables are the
   * IVF index files: rebuilt on retrain, read by every query. */
 final class IvfIndex(val spark: SparkSession,
-    val state: graft.streaming.StateDir) extends AnnIndex {
+    val state: graft.streaming.StateDir) extends AnnIndex with RecallEvaluable {
   import IvfIndex._
 
   protected def prefix: String = "ivf"
@@ -616,6 +601,15 @@ final class IvfIndex(val spark: SparkSession,
       state.read(CentroidsTable, CentroidsSchema),
       probePred, topK)
   }
+
+  /** [[RecallEvaluable]]: exact truth comes from the same assignment
+    * table serving scans; this family ranks by cosine. */
+  def floatBase: DataFrame =
+    state.read(AssignTable, AssignSchema)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("n2"))
+  def metric: Recall.Metric = Recall.CosineDesc
 }
 
 object IvfIndex {

@@ -208,9 +208,18 @@ object Pq {
     * `graft_vsub`/`slice`/`graft_dot` chain over the identical arrays,
     * and only nProbes·nprobe rows of it. */
   private[operators] def serve(tagged: DataFrame, trained: DataFrame,
-      cb: DataFrame, codes: DataFrame, probeFrom: Long, nProbes: Long): DataFrame = {
-    val probeRange = col("vec_id") >= probeFrom &&
-      col("vec_id") < probeFrom + nProbes
+      cb: DataFrame, codes: DataFrame, probeFrom: Long, nProbes: Long): DataFrame =
+    serveWhere(tagged, trained, cb, codes,
+      col("vec_id") >= probeFrom && col("vec_id") < probeFrom + nProbes)
+
+  /** [[serve]] with an arbitrary probe predicate — the same plan
+    * expression-for-expression (the range form delegates, so the
+    * q92/q93 pins ride this body); [[graft.streaming.EvalStream]]'s
+    * canary probes are a strided id set. */
+  private[graft] def serveWhere(tagged: DataFrame, trained: DataFrame,
+      cb: DataFrame, codes: DataFrame,
+      probePred: org.apache.spark.sql.Column, topK: Int = 3): DataFrame = {
+    val probeRange = probePred
     // coarse candidates: each probe's nprobe nearest cells, exactly q40
     val pcells = Ivf.rankCells(tagged.filter(probeRange), trained, NProbeCells)
       .select(col("vec_id").as("probe_id"), col("cell"))
@@ -281,7 +290,7 @@ object Pq {
       .withColumn("l2",
         col("pn2") - lit(2.0) * Vectors.dot(col("pe"), col("embedding")) + col("n2"))
       .withColumn("rn", row_number().over(wL2))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= topK)
       .select(col("probe_id"), col("vec_id"), col("adc"), col("l2"), col("rn"))
       .orderBy(col("probe_id"), col("rn"))
   }
@@ -434,7 +443,7 @@ object Pq {
   * from the ADC stage. Distinct names make the pair impossible to
   * half-update. */
 final class PqIndex(val spark: SparkSession,
-    val state: graft.streaming.StateDir) extends AnnIndex {
+    val state: graft.streaming.StateDir) extends AnnIndex with RecallEvaluable {
   import PqIndex._
 
   protected def prefix: String = "pq"
@@ -521,6 +530,27 @@ final class PqIndex(val spark: SparkSession,
       state.read(CodebooksTable, CodebooksSchema),
       state.read(CodesTable, CodesSchema),
       probeFrom, nProbes)
+
+  /** [[Pq.serveWhere]] over the persisted tables — the arbitrary-probe
+    * form of `query`; same epoch refusal as the trait's range form. */
+  def queryWhere(probePred: org.apache.spark.sql.Column,
+      topK: Int): DataFrame = {
+    require(isBuilt,
+      "pq index not built (or a rebuild was torn) — build() required")
+    Pq.serveWhere(
+      state.read(AssignTable, IvfIndex.AssignSchema),
+      state.read(CentroidsTable, IvfIndex.CentroidsSchema),
+      state.read(CodebooksTable, CodebooksSchema),
+      state.read(CodesTable, CodesSchema),
+      probePred, topK)
+  }
+
+  /** [[RecallEvaluable]]: exact truth from the assignment floats; this
+    * family ranks (ADC and re-rank alike) by squared L2. */
+  def floatBase: org.apache.spark.sql.DataFrame =
+    state.read(AssignTable, IvfIndex.AssignSchema)
+      .select(col("vec_id"), col("embedding"), col("n2"))
+  def metric: Recall.Metric = Recall.L2Asc
 }
 
 object PqIndex {

@@ -90,9 +90,17 @@ object Sq {
     * cosine re-rank to top-3. Output (probe_id, vec_id, iscore, cosine,
     * rn) — both stages' scores in the open, like q92. */
   private[operators] def serve(emb: DataFrame, coded: DataFrame,
-      probeFrom: Long, nProbes: Long): DataFrame = {
-    val probeRange = col("vec_id") >= probeFrom &&
-      col("vec_id") < probeFrom + nProbes
+      probeFrom: Long, nProbes: Long): DataFrame =
+    serveWhere(emb, coded,
+      col("vec_id") >= probeFrom && col("vec_id") < probeFrom + nProbes)
+
+  /** [[serve]] with an arbitrary probe predicate — the same plan
+    * expression-for-expression (the range form delegates, so the
+    * q102/q104 pins ride this body); [[graft.streaming.EvalStream]]'s
+    * canary probes are a strided id set. */
+  private[graft] def serveWhere(emb: DataFrame, coded: DataFrame,
+      probePred: org.apache.spark.sql.Column, topK: Int = TopKOut): DataFrame = {
+    val probeRange = probePred
     val probes = coded.filter(probeRange)
       .select(col("vec_id").as("probe_id"), col("codes").as("pcodes"))
     val wI = Window.partitionBy(col("probe_id"))
@@ -113,7 +121,7 @@ object Sq {
       .withColumn("cosine",
         Vectors.dot(col("pe"), col("embedding")) / sqrt(col("pn2") * col("n2")))
       .withColumn("rn", row_number().over(wC))
-      .filter(col("rn") <= TopKOut)
+      .filter(col("rn") <= topK)
       .select(col("probe_id"), col("vec_id"), col("iscore"), col("cosine"),
         col("rn"))
       .orderBy(col("probe_id"), col("rn"))
@@ -223,7 +231,7 @@ object Sq {
   * one min/max pass with no iterative refinement to warm-start (the
   * [[Retrieval.LexIndex]] case, not the Lloyd case). */
 final class Sq8Index(val spark: SparkSession,
-    val state: graft.streaming.StateDir) extends AnnIndex {
+    val state: graft.streaming.StateDir) extends AnnIndex with RecallEvaluable {
   import Sq8Index._
   import org.apache.spark.sql.functions.col
 
@@ -265,6 +273,25 @@ final class Sq8Index(val spark: SparkSession,
       state.read(FloatsTable, FloatsSchema),
       state.read(CodesTable, CodesSchema),
       probeFrom, nProbes)
+
+  /** [[Sq.serveWhere]] over the persisted tables — the arbitrary-probe
+    * form of `query`; same epoch refusal as the trait's range form. */
+  def queryWhere(probePred: org.apache.spark.sql.Column,
+      topK: Int): DataFrame = {
+    require(isBuilt,
+      "sq8 index not built (or a rebuild was torn) — build() required")
+    Sq.serveWhere(
+      state.read(FloatsTable, FloatsSchema),
+      state.read(CodesTable, CodesSchema),
+      probePred, topK)
+  }
+
+  /** [[RecallEvaluable]]: exact truth from the floats table the re-rank
+    * reads; this family ranks by cosine. */
+  def floatBase: DataFrame =
+    state.read(FloatsTable, FloatsSchema)
+      .select(col("vec_id"), col("embedding"), col("n2"))
+  def metric: Recall.Metric = Recall.CosineDesc
 }
 
 object Sq8Index {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Ivf, IvfIndex}
+import graft.operators.{AnnIndex, Recall, RecallEvaluable}
 
 /** Continuous INDEX-QUALITY monitoring — the metric-side complement of
   * [[DriftStream]]: where drift watches the corpus DISTRIBUTION (a
@@ -14,26 +14,35 @@ import graft.operators.{Ivf, IvfIndex}
   * force, sampled on an eval cadence over a fixed canary probe set. Each
   * [[evalTick]] appends one `(tick_id, n_vectors, n_probes, hits,
   * recall_milli)` row — a time series an operator alarms on the way
-  * [[DriftStream.shouldRetrain]] thresholds Δppm. Batch twin: the q106
-  * row ([[Ivf.q106AnnRecall]]); both run [[Ivf.recallOf]], so the
-  * monitor and the declared query can never disagree about what
-  * "recall" means.
+  * [[DriftStream.shouldRetrain]] thresholds Δppm.
+  *
+  * FAMILY-GENERIC, like the ingest fabric it monitors: any
+  * [[graft.operators.AnnIndex]] mixing in
+  * [[graft.operators.RecallEvaluable]] (all three ANN families — float
+  * IVF, IVF-PQ, SQ8) gets the identical monitor, graded in the metric
+  * the family actually ranks by (cosine / squared-L2 — see
+  * [[Recall.Metric]]), through [[Recall.againstExact]] — the SAME core
+  * behind the declared q106 row, so the monitor and the query can never
+  * disagree about what "recall" means.
   *
   * Metric arithmetic is exact integers end-to-end: hits is a count,
   * corpus recall_milli = hits·1000 DIV (n_probes·k) — the micro-mean
   * over probes (ties every probe's weight to its own hit count, so the
   * tick is reproducible from the ledger row alone).
   *
-  * Scale shape: the served leg is the production nprobe plan over the
-  * persisted assignment; the exact leg is ONE scan of the assignment
-  * table against a broadcast canary set (|probes| is fixed by the
-  * stride dial, so the scan does |probes|·N dots). That linear cost is
-  * the honest price of ground truth — which is why it runs per TICK
+  * Scale shape: the served leg is the family's production probe plan
+  * over the persisted tables; the exact leg is ONE scan of the float
+  * base against a broadcast canary set (|probes| is fixed by the
+  * stride dial, so the scan does |probes|·N scores). That linear cost
+  * is the honest price of ground truth — which is why it runs per TICK
   * (per retrain, per N ingest batches), not per query, and why the
   * probe set is a stride sample rather than the full corpus. Replay is
-  * a no-op (tick_id guard, same contract as every ingest ledger).
+  * a no-op (tick_id guard, same contract as every ingest ledger); the
+  * ledger lives in the MONITORED index's own StateDir, so each family's
+  * quality series rides the family's state lifecycle.
   */
-final class EvalStream(spark: SparkSession, index: IvfIndex,
+final class EvalStream(spark: SparkSession,
+    val index: AnnIndex with RecallEvaluable,
     probeStride: Long = EvalStream.ProbeStride, topK: Int = EvalStream.TopK) {
 
   import EvalStream._
@@ -45,18 +54,20 @@ final class EvalStream(spark: SparkSession, index: IvfIndex,
     * every serve path does. */
   def evalTick(tickId: Long): Unit = state.locked {
     require(index.isBuilt,
-      "ivf index not built (or a rebuild was torn) — nothing to evaluate")
+      "index not built (or a rebuild was torn) — nothing to evaluate")
     val replayed = state.exists(Table) &&
       !state.read(Table, Schema).filter(col("tick_id") === tickId).isEmpty
     if (!replayed) {
-      val tagged = state.read(IvfIndex.AssignTable, IvfIndex.AssignSchema)
-      val trained = state.read(IvfIndex.CentroidsTable, IvfIndex.CentroidsSchema)
-      val per = Ivf.recallOf(tagged, trained,
-        col("vec_id") % probeStride === 0, topK)
+      val base = index.floatBase
+      val probePred = col("vec_id") % probeStride === 0
+      val per = Recall.againstExact(base,
+        index.queryWhere(probePred, topK)
+          .select(col("probe_id"), col("vec_id")),
+        probePred, topK, index.metric)
       val row = per.agg(
           count(lit(1)).as("n_probes"),
           coalesce(sum(col("hits")), lit(0L)).as("hits"))
-        .crossJoin(tagged.agg(count(lit(1)).as("n_vectors")))
+        .crossJoin(base.agg(count(lit(1)).as("n_vectors")))
         .select(lit(tickId).as("tick_id"), col("n_vectors"),
           col("n_probes"), col("hits"),
           when(col("n_probes") > 0,
@@ -84,12 +95,9 @@ final class EvalStream(spark: SparkSession, index: IvfIndex,
 }
 
 object EvalStream {
-  /** Canary probes: every `ProbeStride`-th vec_id present in the index.
-    * 100×-scale guidance: hold |probes| roughly CONSTANT as the corpus
-    * grows (raise the stride), because the exact leg costs |probes|·N
-    * dots — the dial bounds eval cost, not eval fidelity (recall over a
-    * fixed random canary set is an unbiased sample either way). */
-  val ProbeStride = 100L
+  /** Canary probes: every `ProbeStride`-th vec_id present in the index
+    * (capacity dial — scale guidance at [[graft.Dials.EvalProbeStride]]). */
+  val ProbeStride: Long = graft.Dials.EvalProbeStride
   val TopK = 3
 
   val Table = "eval_ticks"

@@ -46,12 +46,21 @@ import graft.operators.{IvfIndex, LexIndex, PqIndex, Sq8Index}
   *   Without it the index legs are skipped (gate/dedup/telemetry/drift
   *   still run; an index cannot ingest before `build`).
   * - `--eval-every <n>`: continuous index-quality monitoring — after
-  *   every n-th embeddings batch, [[EvalStream]] measures the served
-  *   [[IvfIndex]]'s recall@k against exact brute force over the canary
-  *   probe set and appends a ledger tick (tick id = batch id, so the
-  *   series is replay-idempotent like every other consumer). The
-  *   measured, lagging complement of `--retrain-ppm`'s leading ppm
-  *   proxy. Requires the index legs (`--bootstrap` + `--embeddings`).
+  *   every n-th embeddings batch, one [[EvalStream]] per ANN family
+  *   (IVF, PQ, SQ8) measures that family's SERVED recall@k against
+  *   exact brute force over the canary probe set — each graded in its
+  *   own ranking metric — and appends a ledger tick into the family's
+  *   StateDir (tick id = batch id, so the series is replay-idempotent
+  *   like every other consumer). The measured, lagging complement of
+  *   `--retrain-ppm`'s leading ppm proxy. Requires the index legs
+  *   (`--bootstrap` + `--embeddings`).
+  * - `--eval-floor <milli>`: the MEASURED retrain loop — after each
+  *   eval tick, any family whose latest recall_milli fell below the
+  *   floor warm-rebuilds from the `--bootstrap` corpus (per family:
+  *   only the degraded index pays a rebuild). Fires on the metric
+  *   itself where `--retrain-ppm` fires on the drift proxy; a
+  *   deployment typically runs both (leading alarm + lagging
+  *   backstop).
   * - `--retrain-ppm <budget>`: the drift→retrain loop, live — after
   *   each docs batch, if [[DriftStream.shouldRetrain]] reports the
   *   largest |Δppm| at/over the budget, every built index family
@@ -82,7 +91,8 @@ object StreamMain {
       imageSize: Long = 0L,
       once: Boolean = false,
       retrainPpm: Option[Long] = None,
-      evalEvery: Long = 0L)
+      evalEvery: Long = 0L,
+      evalFloor: Option[Long] = None)
 
   val DocsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -111,6 +121,8 @@ object StreamMain {
           cfg = cfg.copy(retrainPpm = Some(args(i + 1).toLong)); i += 2
         case "--eval-every" =>
           cfg = cfg.copy(evalEvery = args(i + 1).toLong); i += 2
+        case "--eval-floor" =>
+          cfg = cfg.copy(evalFloor = Some(args(i + 1).toLong)); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg $other")
       }
     }
@@ -217,6 +229,7 @@ object StreamMain {
     val gated = bloom.fold(arrivals)(b => BloomGate.gate(arrivals, b))
     var batches = 0L
     var retrains = 0L
+    var evalRetrains = 0L
     val docsQuery = gated
       .observe("ingest", count(lit(1)).as("n_docs"))
       .writeStream
@@ -256,8 +269,12 @@ object StreamMain {
 
     // the vector leg: its own arrival stream, its own batch-id sequence;
     // all three ANN families maintained from one source read
-    val evalStream = annTrio.collect {
-      case (ivf, _, _) if cfg.evalEvery > 0 => new EvalStream(spark, ivf)
+    // one monitor per ANN family, each ledgering into its own StateDir
+    val evalStreams = annTrio.toSeq.flatMap { case (ivf, pq, sq) =>
+      if (cfg.evalEvery > 0)
+        Seq(new EvalStream(spark, ivf), new EvalStream(spark, pq),
+          new EvalStream(spark, sq))
+      else Nil
     }
     val vecQuery = annTrio.map { case (ivf, pq, sq) =>
       val ivfIs = new IndexStream(spark, ivf)
@@ -275,11 +292,25 @@ object StreamMain {
             pqIs.processBatch(b, id)
             sqIs.processBatch(b, id)
           } finally { b.unpersist(); () }
-          // quality tick on the declared cadence: measure the SERVED
-          // index (this batch's rows included) against exact ground
+          // quality tick on the declared cadence: measure every SERVED
+          // family (this batch's rows included) against exact ground
           // truth; tick id = batch id makes replays no-ops.
-          evalStream.foreach { es =>
-            if (id % cfg.evalEvery == 0) es.evalTick(id)
+          if (cfg.evalEvery > 0 && id % cfg.evalEvery == 0) {
+            evalStreams.foreach(_.evalTick(id))
+            // the MEASURED retrain loop: where --retrain-ppm fires on
+            // the drift proxy, --eval-floor fires on the metric itself,
+            // and PER FAMILY — only the family whose recall actually
+            // fell rebuilds (warm, from the authoritative corpus; rows
+            // live-ingested since the last build drop until re-ingested
+            // — the drift loop's documented rebuild-from-corpus
+            // semantics). The next cadence tick records the recovery.
+            for (floor <- cfg.evalFloor; d <- cfg.bootstrap)
+              evalStreams.foreach { es =>
+                if (es.degraded(floor)) {
+                  es.index.rebuildWarm(d)
+                  evalRetrains += 1
+                }
+              }
           }
         }
         .start()
@@ -290,12 +321,12 @@ object StreamMain {
     val pairs = dedup.pairsSnapshot.count()
     val sources = telemetry.snapshot.count()
     val driftRows = drift.report.count()
-    val evalTicks = evalStream.map(_.report.count()).getOrElse(0L)
+    val evalTicks = evalStreams.map(_.report.count()).sum
     s"""{"mode":"docs","batches":$batches,"retrains":$retrains,""" +
       s""""dedup_pairs":$pairs,""" +
       s""""telemetry_sources":$sources,"drift_tokens":$driftRows,""" +
       s""""lex":${lex.nonEmpty},"ann":${vecQuery.nonEmpty},""" +
-      s""""eval_ticks":$evalTicks}"""
+      s""""eval_ticks":$evalTicks,"eval_retrains":$evalRetrains}"""
   }
 
   private def runChunks(spark: SparkSession, cfg: Config): String = {

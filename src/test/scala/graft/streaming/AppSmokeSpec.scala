@@ -203,6 +203,56 @@ class AppSmokeSpec extends AnyFunSuite {
       s"absorbed drift must not re-fire after the baseline reset: $s3")
   }
 
+  test("docs mode --eval-floor: the measured retrain loop fires per family") {
+    val docs = graft.Tables.documents(spark, sf)
+    val bootstrapDir = tmp("ef-boot-")
+    docs.filter(col("doc_id") < 100)
+      .write.parquet(s"$bootstrapDir/documents.parquet")
+    graft.Tables.embeddings(spark, sf)
+      .write.parquet(s"$bootstrapDir/embeddings.parquet")
+    val srcDir = tmp("ef-src-")
+    val embDir = tmp("ef-emb-")
+    val stateRoot = tmp("ef-state-")
+    docs.filter(col("doc_id") >= 100).select("doc_id", "source", "text")
+      .write.mode("append").parquet(srcDir)
+    val clones = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").between(490L, 499L))
+      .select((col("vec_id") + 9510L).as("vec_id"), col("embedding"))
+    clones.write.mode("append").parquet(embDir)
+
+    def cfg(floor: Option[Long]) = StreamMain.Config("docs", srcDir,
+      stateRoot, 0L, bootstrap = Some(bootstrapDir),
+      embeddings = Some(embDir), once = true, evalEvery = 1L,
+      evalFloor = floor)
+
+    // floor 0: no recall can fall below it — ticks land, nothing fires
+    val s1 = StreamMain.run(spark, cfg(Some(0L)))
+    assert(s1.contains("\"eval_retrains\":0"), s1)
+    assert(!s1.contains("\"eval_ticks\":0"), s1)
+    val appIvf = new IvfIndex(spark, new StateDir(spark, s"$stateRoot/ivf"))
+    assert(appIvf.query(10000L, 10L).count() > 0, "clones must serve (no rebuild)")
+
+    // floor 1001: recall_milli <= 1000 by construction, so EVERY family's
+    // latest tick reads degraded — the loop must rebuild all three (the
+    // impossible floor is the spec's forcing device; a deployment sets a
+    // floor below healthy recall, and only a genuinely degraded family
+    // rebuilds). A fresh embeddings file drives the one new batch whose
+    // tick the floor check reads.
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("source"), col("text"))
+      .write.mode("append").parquet(srcDir)
+    graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").between(480L, 489L))
+      .select((col("vec_id") + 19520L).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("append").parquet(embDir)
+    val s2 = StreamMain.run(spark, cfg(Some(1001L)))
+    assert(s2.contains("\"eval_retrains\":3"), s"all three families rebuild: $s2")
+    // rebuild-from-authoritative-corpus semantics, same as --retrain-ppm
+    assert(appIvf.isBuilt && appIvf.query(10000L, 10L).isEmpty,
+      "eval-floor rebuild must drop live-ingested rows")
+    assert(appIvf.query(490L, 10L).count() > 0, "rebuilt index must serve")
+  }
+
   test("chunks mode: wire-bytes files -> ChunkIngest to completion (T7)") {
     // the ChunkIngestSpec fixture: 8 chunks sized 10..80 (image 360),
     // synthetic TSK tables (FIXTURES.md §2) as the --case parquet dir

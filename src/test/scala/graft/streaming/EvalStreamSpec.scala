@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSession
-import graft.operators.IvfIndex
+import graft.operators.{AnnIndex, IvfIndex, PqIndex, Recall, RecallEvaluable,
+  Sq8Index}
 
 /** Quality-monitor gate for [[EvalStream]], in three pinned phases over
   * one index lifecycle:
@@ -192,5 +193,60 @@ class EvalStreamSpec extends AnyFunSuite {
     assert(!es.degraded(got1._4),
       "degraded() must clear once the latest tick is back above the floor")
     info(s"tick 2: recall_milli=${got2._4} after warm retrain on the grown corpus")
+  }
+
+  // ---- family-generic monitoring (PQ / SQ8) ----
+
+  /** Exact top-k replica in the FAMILY's metric (cosine desc or squared
+    * L2 asc — the same expressions Recall.againstExact declares). */
+  private def exactTopK(p: Vec, all: Seq[Vec], m: Recall.Metric): Seq[Long] =
+    all.filter(_.id != p.id)
+      .map { v =>
+        val d = dot(p.e, v.e)
+        val s = m match {
+          case Recall.CosineDesc => -(d / math.sqrt(p.n2 * v.n2))
+          case Recall.L2Asc => p.n2 - 2.0 * d + v.n2
+        }
+        (s, v.id)
+      }.sortBy(identity).take(K).map(_._2)
+
+  /** The family-generic monitor contract, minus the IVF deep replica:
+    * the family's SERVE plans are pinned ≡ their declared queries by
+    * PqIndexSpec/Sq8IndexSpec — what the monitor adds is the metric
+    * computation, so the pin here is tick ≡ (engine served ids) ∩
+    * (driver exact replica in the family's own metric), plus replay
+    * idempotence. */
+  private def familyTick(ix: AnnIndex with RecallEvaluable): Unit = {
+    ix.build(sf)
+    val es = new EvalStream(spark, ix)
+    es.evalTick(0L)
+    es.evalTick(0L) // replay: one row
+    val all = ix.floatBase.collect()
+      .map(r => Vec(r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Double]("n2"), 0L)).toSeq
+    val probes = all.filter(_.id % Stride == 0)
+    val served = ix.queryWhere(col("vec_id") % Stride === 0, K).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = probes.map { p =>
+      exactTopK(p, all, ix.metric)
+        .count(served.getOrElse(p.id, Set.empty).contains)
+    }.sum.toLong
+    val want = (all.size.toLong, probes.size.toLong, hits,
+      hits * 1000L / (probes.size * K))
+    val got = tickRow(es, 0L)
+    assert(got == want, s"${ix.getClass.getSimpleName} tick diverges: $got != $want")
+    info(s"${ix.getClass.getSimpleName}: recall_milli=${got._4} over ${got._2} probes")
+  }
+
+  test("PQ family: tick equals served ∩ exact replica in squared-L2; replay no-op") {
+    familyTick(new PqIndex(spark,
+      new StateDir(spark, Files.createTempDirectory("eval-pq").toString)))
+  }
+
+  test("SQ8 family: tick equals served ∩ exact replica in cosine; replay no-op") {
+    familyTick(new Sq8Index(spark,
+      new StateDir(spark, Files.createTempDirectory("eval-sq").toString)))
   }
 }
