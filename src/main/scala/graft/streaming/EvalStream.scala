@@ -59,6 +59,17 @@ final class EvalStream(spark: SparkSession,
       !state.read(Table, Schema).filter(col("tick_id") === tickId).isEmpty
     if (!replayed) {
       val base = index.floatBase
+      // refuse a corrupted base LOUDLY: AnnIndex.addBatch's contract is
+      // NEW ids only — a re-ingested id duplicates its row here, and
+      // recall over a double-counted corpus silently inflates past 1000
+      // (each duplicate probe doubles its exact list and its hit
+      // credit). One column-pruned pass; the ids never leave executors.
+      val counts = base.agg(count(lit(1)).as("n"),
+        count_distinct(col("vec_id")).as("nd")).collect()(0)
+      require(counts.getLong(0) == counts.getLong(1),
+        s"float base carries duplicate vec_ids (${counts.getLong(0)} rows, " +
+          s"${counts.getLong(1)} distinct) — an ingest re-added existing " +
+          "ids; recall over a double-counted corpus would be meaningless")
       val probePred = col("vec_id") % probeStride === 0
       val per = Recall.againstExact(base,
         index.queryWhere(probePred, topK)
@@ -67,8 +78,8 @@ final class EvalStream(spark: SparkSession,
       val row = per.agg(
           count(lit(1)).as("n_probes"),
           coalesce(sum(col("hits")), lit(0L)).as("hits"))
-        .crossJoin(base.agg(count(lit(1)).as("n_vectors")))
-        .select(lit(tickId).as("tick_id"), col("n_vectors"),
+        .select(lit(tickId).as("tick_id"),
+          lit(counts.getLong(0)).as("n_vectors"),
           col("n_probes"), col("hits"),
           when(col("n_probes") > 0,
               expr(s"hits * 1000 DIV (n_probes * $topK)"))

@@ -54,6 +54,13 @@ import graft.operators.{IvfIndex, LexIndex, PqIndex, Sq8Index}
   *   like every other consumer). The measured, lagging complement of
   *   `--retrain-ppm`'s leading ppm proxy. Requires the index legs
   *   (`--bootstrap` + `--embeddings`).
+  * - `--eval-stride <n>`: the canary dial (default
+  *   [[graft.Dials.EvalProbeStride]]) — every n-th vec_id is a probe.
+  *   RAISE with the corpus to hold |probes| constant: the exact-truth
+  *   leg costs |probes|·N scores per tick (measured at sf1 in
+  *   BASELINE §eval-cost — the fixture stride left as-is costs ~17 s
+  *   per family-tick at 20k vectors; 10× the stride is ~10× cheaper at
+  *   the same statistical power).
   * - `--eval-floor <milli>`: the MEASURED retrain loop — after each
   *   eval tick, any family whose latest recall_milli fell below the
   *   floor warm-rebuilds from the `--bootstrap` corpus (per family:
@@ -92,7 +99,8 @@ object StreamMain {
       once: Boolean = false,
       retrainPpm: Option[Long] = None,
       evalEvery: Long = 0L,
-      evalFloor: Option[Long] = None)
+      evalFloor: Option[Long] = None,
+      evalStride: Long = graft.Dials.EvalProbeStride)
 
   val DocsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -123,6 +131,8 @@ object StreamMain {
           cfg = cfg.copy(evalEvery = args(i + 1).toLong); i += 2
         case "--eval-floor" =>
           cfg = cfg.copy(evalFloor = Some(args(i + 1).toLong)); i += 2
+        case "--eval-stride" =>
+          cfg = cfg.copy(evalStride = args(i + 1).toLong); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg $other")
       }
     }
@@ -272,8 +282,9 @@ object StreamMain {
     // one monitor per ANN family, each ledgering into its own StateDir
     val evalStreams = annTrio.toSeq.flatMap { case (ivf, pq, sq) =>
       if (cfg.evalEvery > 0)
-        Seq(new EvalStream(spark, ivf), new EvalStream(spark, pq),
-          new EvalStream(spark, sq))
+        Seq(new EvalStream(spark, ivf, cfg.evalStride),
+          new EvalStream(spark, pq, cfg.evalStride),
+          new EvalStream(spark, sq, cfg.evalStride))
       else Nil
     }
     val vecQuery = annTrio.map { case (ivf, pq, sq) =>

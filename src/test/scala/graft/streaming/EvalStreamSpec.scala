@@ -249,4 +249,22 @@ class EvalStreamSpec extends AnyFunSuite {
     familyTick(new Sq8Index(spark,
       new StateDir(spark, Files.createTempDirectory("eval-sq").toString)))
   }
+
+  test("tick refuses a base corrupted by re-ingested ids") {
+    import spark.implicits._
+    val ix = new Sq8Index(spark,
+      new StateDir(spark, Files.createTempDirectory("eval-dup").toString))
+    ix.build(sf)
+    // violate AnnIndex.addBatch's NEW-ids contract on purpose: id 0
+    // already exists from the build — recall over the double-counted
+    // base would read past 1000, so the monitor must refuse, not
+    // ledger a lie (this is exactly the corruption a bootstrap-then-
+    // re-ingest-the-same-corpus wiring mistake produces).
+    val dup = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L).select("vec_id", "embedding")
+    ix.addBatch(dup)
+    val es = new EvalStream(spark, ix)
+    val e = intercept[IllegalArgumentException](es.evalTick(0L))
+    assert(e.getMessage.contains("duplicate vec_ids"))
+  }
 }
