@@ -340,6 +340,137 @@ case class DotProductBytes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_vmilli(v)`: a float vector quantized to integer MILLIUNITS —
+  * per element, `CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT)` as
+  * one codegen'd loop. The rounding is EXACTLY Spark's `round(x, 0)`
+  * (decimal-string BigDecimal, HALF_UP — see [[RoundMilliVector.milli]])
+  * so rewriting a `posexplode + round` chain to this expression cannot
+  * move a single value; DuckDB's `round()` matches (every milliunit
+  * oracle is pinned on that). The per-element BigDecimal is the price
+  * of exactness — still ~element-count cheaper than streaming exploded
+  * rows through the row machinery, which is what this exists to
+  * replace ([[graft.operators.Centroids]] q72). Null semantics: a null
+  * element nulls the whole result, matching `transform`'s poisoning of
+  * the downstream fold. */
+case class RoundMilliVector(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_vmilli expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_vmilli"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      out(i) = RoundMilliVector.milli(x.getFloat(i))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $out[$i] = graft.functions.RoundMilliVector.milli($a.getFloat($i));
+         |}
+         |if (!${ev.isNull}) ${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RoundMilliVector = copy(child = newChild)
+}
+
+object RoundMilliVector {
+  /** Spark's `CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT)` for
+    * one element: Spark's Round on DoubleType goes through the
+    * DECIMAL-STRING BigDecimal (`BigDecimal.valueOf`) with HALF_UP —
+    * binary-nearest-to-half cases follow the printed decimal, which is
+    * also what DuckDB's `round()` does. Called from generated code. */
+  def milli(v: Float): Long =
+    java.math.BigDecimal.valueOf(v.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+}
+
+/** `graft_dotl(a, b)`: integer dot product of two bigint vectors — the
+  * exact-arithmetic companion of [[DotProductBytes]] for milliunit
+  * vectors ([[RoundMilliVector]]): a pure long multiply-accumulate, so
+  * the result is ORDER-FREE (integer addition associates — no float
+  * summation contract needed anywhere it's used). Null semantics match
+  * graft_dot: length mismatch or a null element nulls the result. */
+case class DotProductLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dotl expects two array<bigint> args, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dotl"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLongs =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL-registry front doors for the vector expressions. */
 object Vectors {
 
@@ -364,6 +495,14 @@ object Vectors {
   /** Integer dot of two SQ8 code vectors (see [[DotProductBytes]]). */
   def doti(a: Column, b: Column): Column =
     shims.column(DotProductBytes(shims.expression(a), shims.expression(b)))
+
+  /** Float vector → integer milliunits (see [[RoundMilliVector]]). */
+  def milli(v: Column): Column =
+    shims.column(RoundMilliVector(shims.expression(v)))
+
+  /** Integer dot of two bigint vectors (see [[DotProductLongs]]). */
+  def dotl(a: Column, b: Column): Column =
+    shims.column(DotProductLongs(shims.expression(a), shims.expression(b)))
 
   /** Session-scoped SQL registration: `SELECT graft_dot(a, b)`. */
   def register(spark: SparkSession): Unit =
@@ -425,6 +564,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_doti"),
       new ExpressionInfo(classOf[DotProductBytes].getName, "graft_doti"),
       (exprs: Seq[Expression]) => DotProductBytes(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vmilli"),
+      new ExpressionInfo(classOf[RoundMilliVector].getName, "graft_vmilli"),
+      (exprs: Seq[Expression]) => RoundMilliVector(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dotl"),
+      new ExpressionInfo(classOf[DotProductLongs].getName, "graft_dotl"),
+      (exprs: Seq[Expression]) => DotProductLongs(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),

@@ -111,8 +111,13 @@ class EntrySmokeSpec extends AnyFunSuite {
     // q106 evaluates the q40 serve against brute force — both legs hang
     // off the same inline training subtree (the recall row's whole point
     // is pricing the SHIPPED q40 plan, training fold included)
+    // q72 regroups its bounded |labels|·dims centroid table into ordered
+    // centroid vectors (array_sort/transform over |labels| grouped rows —
+    // the same tiny-group rationale as the Lloyd fold); the corpus-scale
+    // distance stage is native graft_vmilli/graft_dotl, HOF-free
     val allowed = Set("q40_ivf_ann", "q75_semantic_dedup", "q92_ivfpq_ann",
-      "q98_hybrid_ann", "q101_filtered_ann", "q106_ann_recall")
+      "q98_hybrid_ann", "q101_filtered_ann", "q106_ann_recall",
+      "q72_centroid_confusion")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

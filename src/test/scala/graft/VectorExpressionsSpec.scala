@@ -131,4 +131,57 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val got = e.eval(null).asInstanceOf[ArrayData].toFloatArray()
     assert(got.toSeq == Seq(1.5f - 0.25f, 0.1f - 0.3f, -2.0f - 1.0f))
   }
+
+  test("graft_vmilli == transform(round(v*1000)) chain on every fixture embedding") {
+    // the SQL chain q72's exploded form used per element — the native
+    // vector form must match it value-for-value, incl. the HALF_UP
+    // decimal rounding of Spark's round()
+    val chain = expr(
+      "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))")
+    val diff = Tables.embeddings(spark, TestSession.sf)
+      .select(Vectors.milli(col("embedding")).as("native"), chain.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("graft_vmilli rounding edges: halves, negatives, nulls") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(0.0005f, -0.0005f, 0.0015f, -0.0015f, 1.0f)),
+      (2L, Seq(0.49999997f, -0.49999997f)))
+      .toDF("id", "v")
+      .union(Seq((3L, Seq(1.0f))).toDF("id", "v")
+        .withColumn("v", expr("transform(v, (x, i) -> IF(i = 0, NULL, x))")))
+    val chain = expr(
+      "transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
+    val got = rows.select(col("id"), Vectors.milli(col("v")).as("native"), chain.as("hof"))
+      .orderBy("id").collect()
+    // rows 1-2: native == per-element chain exactly
+    (0 to 1).foreach { i =>
+      assert(got(i).getAs[scala.collection.Seq[Long]]("native") ==
+        got(i).getAs[scala.collection.Seq[Long]]("hof"))
+    }
+    // a null ELEMENT nulls the whole native vector (the fold-poisoning
+    // contract every graft vector expression shares; transform keeps the
+    // null in place instead — the downstream dot would poison there)
+    assert(got(2).isNullAt(1))
+  }
+
+  test("graft_dotl == aggregate fold on milli vectors; null semantics") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+      .select(Vectors.milli(col("embedding")).as("m"))
+    val hof = expr(
+      "aggregate(zip_with(m, m, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val diff = emb.select(Vectors.dotl(col("m"), col("m")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    val edge = Seq(
+      (1L, Seq(2L, 3L), Seq(4L, 5L)),   // 23
+      (2L, Seq(2L, 3L), Seq(4L)))       // length mismatch -> null
+      .toDF("id", "a", "b")
+      .select(col("id"), Vectors.dotl(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(edge(0).getLong(1) == 23L && edge(1).isNullAt(1))
+  }
 }
