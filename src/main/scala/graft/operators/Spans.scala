@@ -38,11 +38,13 @@ object Spans {
 
   /** (doc_a, doc_b, n_shared, longest_run) for every q70 pair. */
   def q89DupSpans(s: SparkSession, d: String): DataFrame = {
-    // staged (lazy localCheckpoint, the q87/q88 pattern): the q70 pair plan
-    // runs ONCE and feeds both the pair join and the doc-id semi-join below.
-    val pairs = Winnow.q70WinnowPairs(s, d)
+    // staged via Winnow's session-owned pair cache: one plan feeds both
+    // the pair join and the doc-id semi-join below, AND — because
+    // CacheManager dedupes by analyzed plan — a q70 run earlier in the
+    // session already materialized it, so this query pays only the
+    // span arithmetic, not a re-derivation of the fingerprint chain.
+    val pairs = Winnow.stagedPairs(s, d)
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
-      .localCheckpoint(eager = false)
     // Only docs appearing in a surviving pair can match the doc_id
     // equi-joins — semi-join BEFORE posexplode so the ~len× position
     // amplification is paid on the <1% paired set, not 100% of the corpus.

@@ -67,10 +67,24 @@ object Winnow {
 
   /** Document pairs sharing ≥ MinShared winnowed fingerprints, with the
     * shared count — the passage-overlap report. */
-  def q70WinnowPairs(s: SparkSession, d: String): DataFrame = {
-    val fps = fingerprints(
-      Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .localCheckpoint(eager = false)
+  def q70WinnowPairs(s: SparkSession, d: String): DataFrame =
+    stagedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The q70 pair table WITHOUT the presentation sort, staged in the
+    * session-owned [[StagedCache]] (the q40/q27 pattern) rather than a
+    * per-invocation localCheckpoint: CacheManager dedupes persists by
+    * analyzed plan, so q89 — which consumes the SAME surviving pair set —
+    * reuses the pairs q70 computed in this session instead of re-deriving
+    * the whole fingerprint + self-join chain (measured at sf10: the
+    * re-derivation was ~2/3 of q89's cost). The fps stage is persisted
+    * too: it feeds three consumers inside one build (df counts + both
+    * arms of the self-join), which is what the localCheckpoint was for —
+    * the owned columnar cache gives the same compute-once with
+    * compression and LRU eviction. */
+  private[operators] def stagedPairs(s: SparkSession, d: String): DataFrame = {
+    val fps = graft.operators.StagedCache.stage(d, "winnow_fps",
+      fingerprints(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))))
     // boilerplate filter: fingerprints in > FpCap docs are dropped — the
     // surviving hot list is ≤ |fps|/FpCap rows, broadcasts by size.
     // The df-cap bounds the worst BUCKET at FpCap² pairs but total pair
@@ -92,12 +106,12 @@ object Winnow {
       .filter(col("df") > FpCap)
       .select(col("fp"))
     val kept = fps.join(hot, Seq("fp"), "left_anti")
-    kept.as("a").join(kept.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= MinShared)
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.operators.StagedCache.stage(d, "winnow_pairs",
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= MinShared))
   }
 
   /** q70's oracle CTE chain up to `kept` (doc_id, fp) — shared with q89,
