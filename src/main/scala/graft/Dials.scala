@@ -149,14 +149,21 @@ object Dials {
 
   /** Max staged persists [[graft.operators.StagedCache]] keeps live —
     * the owner bound for the inline queries' cached intermediates
-    * (training stages, tagged assignments, rank bases). Fixture: 16
-    * entries ≈ all inline stages of one Verify pass over two fixture
-    * dirs. At scale the entries are proportionally larger (a cached
-    * assignment is O(N) rows), so size this by executor storage memory:
-    * entries × largest-staged-plan must fit the storage fraction, and
-    * a serving deployment should prefer the persisted-index path
-    * (q86/q93/q96/q99), which stages nothing. */
-  val StagedPersistCap = 16
+    * (training stages, tagged assignments, rank bases, and — since r10 —
+    * the cross-query shared builds: minhash signatures/pairs, winnow
+    * fingerprints/pairs, the bm25 tf table, overlap shingles). Fixture:
+    * 32 covers all staged keys of one full Verify/Bench pass over one
+    * fixture dir with LRU headroom (the r10 sharing work brought the
+    * distinct-key count to ~20; evicting a shared build between its
+    * producer and its consumer query silently re-prices the build, so
+    * the cap must exceed the keys-per-pass, not just bound memory —
+    * persisted entries spill to disk under pressure anyway). At scale
+    * the entries are proportionally larger (a cached assignment is O(N)
+    * rows), so size this by executor storage memory: entries × largest-
+    * staged-plan must fit the storage fraction, and a serving deployment
+    * should prefer the persisted-index path (q86/q93/q96/q99), which
+    * stages nothing. */
+  val StagedPersistCap = 32
 
   /** Canary probe stride for the [[graft.streaming.EvalStream]] quality
     * monitor: every stride-th vec_id in the index is recall-graded per

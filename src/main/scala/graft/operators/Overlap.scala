@@ -59,6 +59,14 @@ object Overlap {
         graft.functions.Text.hash48Map(
           graft.functions.Text.shingles(col("t"), K)))).as("fp"))
 
+  /** [[docFps]] staged in the session-owned [[StagedCache]] (the
+    * q70/q89 pattern): q87 and q88 consume the identical shingle table,
+    * and each also reads it from several consumers internally —
+    * CacheManager's plan dedupe makes it one build per session+corpus
+    * instead of one per invocation. */
+  private def stagedFps(s: SparkSession, d: String): DataFrame =
+    StagedCache.stage(d, "overlap_sh", docFps(s, d))
+
   private def fpsSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
@@ -77,7 +85,7 @@ object Overlap {
     * of them appear in ≥ 1 other document, and the duplicated fraction
     * in permille. */
   def q87DupNgramProfile(s: SparkSession, d: String): DataFrame = {
-    val sh = docFps(s, d).localCheckpoint(eager = false)
+    val sh = stagedFps(s, d)
     // fingerprints present in >= 2 distinct docs (per-doc distinct
     // upstream makes count == distinct-doc count)
     val dup = sh.groupBy(col("fp"))
@@ -117,7 +125,7 @@ object Overlap {
     * per new doc, distinct shingles, how many the old snapshot already
     * contains, and the NOVEL fraction in permille. */
   def q88SnapshotNovelty(s: SparkSession, d: String): DataFrame = {
-    val sh = docFps(s, d).localCheckpoint(eager = false)
+    val sh = stagedFps(s, d)
     val oldSet = sh.filter(col("doc_id") % 2 === 0)
       .select(col("fp")).distinct()
     val newSh = sh.filter(col("doc_id") % 2 === 1)

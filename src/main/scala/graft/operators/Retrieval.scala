@@ -118,7 +118,7 @@ object Retrieval {
     * it feeds multiple consumers inside each query anyway (df, dl, and
     * the scoring join), which is what the per-invocation
     * localCheckpoint was for, minus the cross-query reuse. */
-  private def stagedTf(s: SparkSession, d: String): DataFrame =
+  private[operators] def stagedTf(s: SparkSession, d: String): DataFrame =
     StagedCache.stage(d, "bm25_tf", tfOf(Tables.documents(s, d)))
 
   /** The ≤ NQueries·len query-term table, staged for the same reason

@@ -116,11 +116,10 @@ object TextAnalysis {
     * it is staged once. */
   def q55Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    // the identical (doc, term, tf) derivation BM25 stages — ride the
+    // session-owned cache so the text family and the retrieval family
+    // price ONE corpus-scale tf build between them (the q70/q89 pattern)
+    val tf = Retrieval.stagedTf(s, d)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     val w = Window.partitionBy(col("doc_id"))
@@ -217,11 +216,10 @@ object TextAnalysis {
     * total at any scale (tf groupBy, per-doc groupBy) plus the vocab agg
     * over the already-narrow tf table. */
   def q62LmQuality(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    // same staged tf as q55/q95 — the rename projects ON TOP of the
+    // cached subtree, so CacheManager still dedupes to the one build
+    val tf = Retrieval.stagedTf(s, d)
+      .withColumnRenamed("term", "token")
     val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("t_total"))
     tf.join(vocab, "token")
