@@ -159,7 +159,18 @@ object Dedup {
   // ---------------------------------------------------------------- q20
 
   /** The q20 near-dup pair GRAPH (estimated Jaccard ≥ 0.5), unordered —
-    * q20 sorts it for presentation; q54 clusters it. */
+    * q20 sorts it for presentation; q54 clusters it.
+    *
+    * Deliberately NOT routed through [[StagedCache]] (the r10 sharing
+    * pattern the winnow/overlap/retrieval families adopted): an sf10 A/B
+    * measured q54's iterative CC solver at 168 s consuming the pair
+    * graph from a 6.5M-row columnar cache and 107 s from a cached
+    * signature table, vs 48 s rebuilding both fresh — the cache hands
+    * the solver the producer's partitioning and its blocks compete with
+    * the per-round checkpoint pins for the storage pool, and the band
+    * join a cache would save is the cheap part of this chain. The
+    * localCheckpoint inside [[minhashPairsOf]] (compute-once within one
+    * query) is the right staging level here. */
   private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(Tables.documents(s, d))
 
