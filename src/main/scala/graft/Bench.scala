@@ -59,6 +59,13 @@ object Bench {
       // one query's retained cache/persist must not tax the next query's
       // timing (or survive the whole bench as unaccounted executor memory)
       spark.catalog.clearCache()
+      // ...and neither must its localCheckpoint blocks, which clearCache
+      // cannot see: they die only when a driver GC lets the ContextCleaner
+      // reclaim them. Untimed, between queries, so checkpoint-heavy rows
+      // (q20/q27/q53/q54) start from the same storage floor instead of
+      // racing the cleaner — the r10 sf10 refresh OOM'd q54 at 8 GB on
+      // exactly this accumulation while its isolated TimeQ run passed.
+      System.gc()
       if (errs.contains(name)) name -> None
       else name -> Some((best, worst - best))
     }

@@ -34,7 +34,17 @@ object Tables {
     // 2 MB each), and disabling read-ahead halves that constant at zero
     // cost to spill-free fixture runs. The other half of the fix is
     // [[initPartsFor]]: fewer spill files per task in the first place.
-    "spark.unsafe.sorter.spill.read.ahead.enabled" -> "false")
+    "spark.unsafe.sorter.spill.read.ahead.enabled" -> "false",
+    // localCheckpoint blocks (the iterative solvers' per-round pins, the
+    // minhash/simhash signature stages) are freed only when the driver GCs
+    // the superseded RDD object and the ContextCleaner then drops its
+    // blocks — catalog.clearCache() cannot touch them. Spark's safety net
+    // for exactly this lag is a periodic driver GC, but its default period
+    // is 30 min: a long session accumulates every pin it ever made before
+    // the first sweep (the r10 sf10 refresh bench heap-OOM'd in q54 at
+    // minute 30, on code whose quiet-box twin had just passed). 5 min
+    // bounds the accumulation window at no measurable steady-state cost.
+    "spark.cleaner.periodicGC.interval" -> "5min")
 
   /** Shuffle start-granularity for a corpus dir — the scale half of the
     * sf10 spill-merge fix. Fixture-scale inputs keep core-count
