@@ -471,6 +471,102 @@ case class DotProductLongs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_isectn(a, b)`: multiset intersection size of two SORTED
+  * array<bigint> — Σ over each shared value v of countA(v)·countB(v),
+  * i.e. exactly the row count an equi-join on the exploded arrays
+  * followed by a per-pair COUNT(*) would produce (the q27 exact-verify
+  * contract: duplicate fingerprints, should a 48-bit collision ever
+  * make one, multiply out the same way the join does — exactness by
+  * construction, not by collision-improbability).
+  *
+  * The merge walk is O(|a|+|b|) with zero allocation, runs inside
+  * WholeStageCodegen, and replaces a shingle-grain shuffle join +
+  * re-aggregation with one per-row loop at candidate-pair grain.
+  * CALLER CONTRACT: both arrays sorted ascending (`sort_array`) — the
+  * walk silently undercounts on unsorted input. Null semantics match
+  * the family doctrine: null array or any null element nulls the
+  * result. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_isectn expects two array<bigint> args, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_isectn"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var k = 0
+    while (k < na) { if (x.isNullAt(k)) return null; k += 1 }
+    k = 0
+    while (k < nb) { if (y.isNullAt(k)) return null; k += 1 }
+    var i = 0; var j = 0; var acc = 0L
+    while (i < na && j < nb) {
+      val va = x.getLong(i); val vb = y.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else {
+        var ca = 1L
+        while (i + ca < na && x.getLong((i + ca).toInt) == va) ca += 1
+        var cb = 1L
+        while (j + cb < nb && y.getLong((j + cb).toInt) == va) cb += 1
+        acc += ca * cb; i += ca.toInt; j += cb.toInt
+      }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val acc = ctx.freshName("acc")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      val ca = ctx.freshName("ca"); val cb = ctx.freshName("cb")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |for (int $k = 0; $k < $na; $k++) {
+         |  if ($a.isNullAt($k)) { ${ev.isNull} = true; break; }
+         |}
+         |for (int $k = 0; !${ev.isNull} && $k < $nb; $k++) {
+         |  if ($b.isNullAt($k)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  int $i = 0; int $j = 0; long $acc = 0L;
+         |  while ($i < $na && $j < $nb) {
+         |    long $va = $a.getLong($i); long $vb = $b.getLong($j);
+         |    if ($va < $vb) { $i++; }
+         |    else if ($va > $vb) { $j++; }
+         |    else {
+         |      int $ca = 1;
+         |      while ($i + $ca < $na && $a.getLong($i + $ca) == $va) $ca++;
+         |      int $cb = 1;
+         |      while ($j + $cb < $nb && $b.getLong($j + $cb) == $va) $cb++;
+         |      $acc += (long) $ca * (long) $cb; $i += $ca; $j += $cb;
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL-registry front doors for the vector expressions. */
 object Vectors {
 
@@ -503,6 +599,11 @@ object Vectors {
   /** Integer dot of two bigint vectors (see [[DotProductLongs]]). */
   def dotl(a: Column, b: Column): Column =
     shims.column(DotProductLongs(shims.expression(a), shims.expression(b)))
+
+  /** Multiset intersection size of two SORTED bigint arrays
+    * (see [[SortedIntersectCount]]). */
+  def isectn(a: Column, b: Column): Column =
+    shims.column(SortedIntersectCount(shims.expression(a), shims.expression(b)))
 
   /** Session-scoped SQL registration: `SELECT graft_dot(a, b)`. */
   def register(spark: SparkSession): Unit =
@@ -572,6 +673,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dotl"),
       new ExpressionInfo(classOf[DotProductLongs].getName, "graft_dotl"),
       (exprs: Seq[Expression]) => DotProductLongs(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_isectn"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isectn"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),

@@ -436,26 +436,30 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 64) { // 64 = safety rail ≫ log₂(any n)
-      // propagate: candidate label = min over in-neighbors' labels
-      val prop = edges
-        .join(labels.select(col("v").as("u"), col("lbl")), "u")
-        .groupBy(col("v")).agg(min(col("lbl")).as("nlbl"))
-      val stepped = labels.join(prop, Seq("v"), "left")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer jump: follow the label one hop (labels ARE node ids, and
-      // l(m) ≤ m, so this only ever lowers — path halving)
-      val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
-      val jumped = pin(stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
-        .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl")))
-      val newSum = labelSum(jumped)
-      converged = sumsEqual(newSum, prevSum)
-      prevSum = newSum
-      labels = jumped
-      rounds += 1
-    }
-    edges.unpersist()
+    try {
+      while (!converged && rounds < 64) { // 64 = safety rail ≫ log₂(any n)
+        // propagate: candidate label = min over in-neighbors' labels
+        val prop = edges
+          .join(labels.select(col("v").as("u"), col("lbl")), "u")
+          .groupBy(col("v")).agg(min(col("lbl")).as("nlbl"))
+        val stepped = labels.join(prop, Seq("v"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        // pointer jump: follow the label one hop (labels ARE node ids, and
+        // l(m) ≤ m, so this only ever lowers — path halving)
+        val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
+        val jumped = pin(stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
+          .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl")))
+        val newSum = labelSum(jumped)
+        converged = sumsEqual(newSum, prevSum)
+        prevSum = newSum
+        labels = jumped
+        rounds += 1
+      }
+    } finally edges.unpersist() // also on a mid-fixpoint throw — the loop
+                                // runs actions, so failure here would
+                                // otherwise strand the edge cache with no
+                                // owner positioned to release it
     // The rail is unreachable for real inputs (pointer jumping converges in
     // O(log n) rounds), but if it ever fires the labels are NOT components —
     // fail loudly rather than silently emit wrong clusters.
@@ -688,29 +692,37 @@ object Dedup {
     * — BASELINE §sf10). */
   def q27NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // hx feeds both exact-intersection arms AND the per-doc counts; sig
-    // feeds the band pipeline. Materialize each once (see q20). hx is the
-    // ONE shingle-level (not doc-level) staged table in the engine —
-    // StagedCache (compressed columnar, evictable) rather than
-    // localCheckpoint (raw pinned rows): two longs per shingle column-
-    // compress ~10×, and under memory pressure the cache spills/evicts
-    // where checkpoint blocks starved the sf10 run's execution pool.
     val sig = signature(docs).localCheckpoint(eager = false)
-    val hx = StagedCache.stage(d, "q27_hx", shingles(docs)
-      .select(col("doc_id"), hex12(col("s")).as("x")))
-    val counts = hx.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh")) // shingles() is already distinct
-    val inter = candidates(sig)
-      .join(hx.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(hx.as("gb"),
-        col("doc_b") === col("gb.doc_id") && col("ga.x") === col("gb.x"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_int"))
-    inter
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+    // Exact verify at ARRAY grain: each doc's 48-bit shingle fingerprints
+    // (Broder's resemblance-by-fingerprint formulation, as in q20's
+    // minhash chain) collapse to ONE sorted array<long> row, so
+    // the verify stage is two doc-keyed joins that attach the two arrays
+    // to each candidate pair and a codegen'd merge walk (graft_isectn)
+    // per pair — |intersection| AND both set sizes (array lengths) fall
+    // out with NO shingle-grain shuffle, no re-aggregation, and no count
+    // joins. The earlier shape shuffled candidate-expanded shingle rows
+    // through an (doc, x)-keyed join + groupBy + two count joins — at
+    // sf10 that chain was the engine's heaviest shuffle and its 8 GB-heap
+    // OOM (BASELINE §sf10); fingerprint arrays carry the same longs in
+    // ~10× fewer rows and the heaviest remaining exchange is the array
+    // payload replicated once per candidate pair, bounded by the hot-
+    // bucket guard. Multiset exactness: should a 48-bit collision ever
+    // duplicate a fingerprint, graft_isectn multiplies run lengths —
+    // exactly the exploded join's pair count, so the DuckDB oracle
+    // (unchanged, shingle-grain SQL) hash-matches by construction.
+    val arr = StagedCache.stage(d, "q27_arr", shingles(docs)
+      .select(col("doc_id"), hex12(col("s")).as("x"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("x"))).as("xs")))
+    val na = size(col("ga.xs")).cast("long")
+    val nb = size(col("gb.xs")).cast("long")
+    candidates(sig)
+      .join(arr.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(arr.as("gb"), col("doc_b") === col("gb.doc_id"))
+      .withColumn("n_int",
+        graft.functions.Vectors.isectn(col("ga.xs"), col("gb.xs")))
       .withColumn("jaccard",
-        col("n_int") / (col("ca.n_sh") + col("cb.n_sh") - col("n_int")).cast("double"))
+        col("n_int") / (na + nb - col("n_int")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -167,6 +167,63 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1))
   }
 
+  test("graft_isectn == exploded-join pair count on random sorted multisets") {
+    import spark.implicits._
+    // the q27 exact-verify contract: |{(i,j): a_i = b_j}| — duplicate
+    // values multiply run lengths exactly like an equi-join on the
+    // exploded arrays. Deterministic pseudo-random multisets (seeded
+    // LCG) exercise empty/disjoint/dup-heavy shapes.
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 50).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(8).toLong).sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = cases.toDF("id", "a", "b")
+    val joinCount = expr(
+      // per-row replica of the exploded equi-join count: for each element
+      // of a, count its matches in b; sum
+      "aggregate(transform(a, x -> size(filter(b, y -> y = x))), 0, (acc, v) -> acc + v)")
+    val got = df.select(col("id"),
+        Vectors.isectn(col("a"), col("b")).as("native"),
+        joinCount.cast("long").as("joined"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"row ${r.getLong(0)}: native ${r.getLong(1)} != join ${r.getLong(2)}"))
+    // at least one case actually has duplicates on both sides
+    assert(cases.exists { case (_, a, b) =>
+      a.groupBy(identity).exists(_._2.size > 1) &&
+        b.groupBy(identity).exists(_._2.size > 1) && a.toSet.intersect(b.toSet).nonEmpty
+    })
+  }
+
+  test("graft_isectn null semantics and interpreted == codegen") {
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq(1L, 2L, 2L, 5L), Seq(2L, 2L, 2L, 5L, 9L)), // 2·3 + 1 = 7
+      (2L, Seq.empty[Long], Seq(1L, 2L)))                  // empty -> 0
+      .toDF("id", "a", "b")
+      .union(Seq((3L, Seq(1L, 2L), Seq(1L, 2L))).toDF("id", "a", "b")
+        .withColumn("b", expr("transform(b, (x, i) -> IF(i = 1, CAST(NULL AS BIGINT), x))")))
+    val got = edge.select(col("id"), Vectors.isectn(col("a"), col("b")).as("n"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 7L)
+    assert(got(1).getLong(1) == 0L)
+    assert(got(2).isNullAt(1), "a null element must null the result")
+    // interpreted fallback: same run-product and null rules
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val mk = (xs: Array[Long]) =>
+      Literal.create(ArrayData.toArrayData(xs), ArrayType(LongType, false))
+    val e = graft.functions.SortedIntersectCount(
+      mk(Array(1L, 2L, 2L, 5L)), mk(Array(2L, 2L, 2L, 5L, 9L)))
+    assert(e.eval(null) == 7L)
+    val withNull = graft.functions.SortedIntersectCount(
+      Literal.create(ArrayData.toArrayData(Array[Any](1L, null)), ArrayType(LongType, true)),
+      mk(Array(1L)))
+    assert(withNull.eval(null) == null)
+  }
+
   test("graft_dotl == aggregate fold on milli vectors; null semantics") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSession.sf)
