@@ -174,4 +174,16 @@ object Dials {
     * is an unbiased estimate either way, and ~tens of probes already
     * separate healthy from stale in the spec's constructed-drift test). */
   val EvalProbeStride = 100L
+
+  /** Row floor for [[graft.Tables.rescueNarrowScan]] — the corpus-reader
+    * repartition that rescues CPU-dense kernels from few-row-group
+    * layouts (a parquet row group is the scan atom; a single-row-group
+    * export caps every head stage at ONE task). Below the floor the
+    * rescue exchange costs more scheduler time than the kernel it
+    * parallelizes, so smoke/gate fixtures keep their plans; above it the
+    * spread is worth whole multiples (q94's decode at sf10: 72.6 → 11.3 s
+    * the moment the 500k-doc kernel stopped running on one core). At
+    * scale the trigger, not this floor, is what matters: a warehouse
+    * table with ≥ cores row groups never spreads at any size. */
+  val SpreadMinRows = 4096L
 }

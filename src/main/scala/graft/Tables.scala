@@ -94,6 +94,79 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spreadIfNarrow(s, d, "documents", "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spreadIfNarrow(s, d, "embeddings", "vec_id")
+
+  /** CPU-follows-cores for the corpus tables. documents/embeddings are
+    * byte-light but feed the engine's CPU-dense kernels (codec synth +
+    * decode, shingling, minhash, vector math) — and a parquet ROW GROUP
+    * is the scan atom: a single-file export written as one row group
+    * (pyarrow's default up to 1Mi rows — exactly the fixture shape) caps
+    * every head stage at ONE task no matter how maxPartitionBytes or AQE
+    * are set. Measured at sf10: q94's decode kernel ran 500k docs on one
+    * core (72 s) while 31 sat idle.
+    *
+    * The trigger is the real constraint, read from the parquet footers:
+    * total row groups < defaultParallelism ⇒ the scan cannot fill the
+    * machine ⇒ repartition on the table's key (hash, not round-robin:
+    * deterministic placement, no sort-before-repartition pass, and
+    * downstream per-key stages see a co-partitioned input) to 2× cores.
+    * A warehouse-scale table (many files / row groups — the 100 TB
+    * layout) fails the trigger and reads exactly as before: this is a
+    * rescue for degenerate layouts, not a tax on good ones. The decision
+    * caches per (dir, table): footers are read once per session, and
+    * every query in a session sees the SAME analyzed plan — which the
+    * StagedCache shared builds require to dedupe. */
+  private def spreadIfNarrow(s: SparkSession, d: String, name: String,
+      key: String): DataFrame =
+    rescueNarrowScan(s, s"$d/$name.parquet", key)
+
+  /** The general form of the corpus-reader rescue, for any parquet path
+    * holding a CPU-kernel input (e.g. the q100 stored-media table): scan,
+    * and repartition on `key` iff the layout cannot fill the machine. */
+  def rescueNarrowScan(s: SparkSession, path: String, key: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val cores = s.sparkContext.defaultParallelism
+    val narrow = spreadCache.computeIfAbsent(path,
+      p => java.lang.Boolean.valueOf(narrowLayout(p, cores)))
+    if (narrow)
+      df.repartition(cores * 2, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
+  private val spreadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff the table's layout cannot fill the machine AND the table
+    * is big enough for the rescue to pay: fewer than `limit` row groups
+    * in total (early exit at the limit — a warehouse table with
+    * thousands of files never reads more than a handful of footers) and
+    * at least [[Dials.SpreadMinRows]] rows (below it the exchange costs
+    * more scheduler time than the kernel it parallelizes — smoke/gate
+    * fixtures keep their plans). Footers are read with the
+    * parquet-hadoop classes Spark itself scans with; any read failure
+    * degrades to false (no spread, plan as-is). */
+  private def narrowLayout(path: String, limit: Int): Boolean =
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (fs.isFile(p)) Seq(fs.getFileStatus(p))
+        else fs.listStatus(p).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      var groups = 0
+      var rows = 0L
+      val it = files.iterator
+      while (groups < limit && it.hasNext) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(it.next(), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try { groups += r.getFooter.getBlocks.size(); rows += r.getRecordCount }
+        finally r.close()
+      }
+      groups < limit && rows >= Dials.SpreadMinRows
+    } catch { case scala.util.control.NonFatal(_) => false }
 }

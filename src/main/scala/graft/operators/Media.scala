@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions.{col, count, lit, when}
   */
 object Media {
 
+  // Same JVM-static flip as [[Multimodal.JdkImageDecoders]] (temp-FILE
+  // stream cache → memory): the synth/encode half (synthJpeg/synthPng,
+  // MjpegAvi frame assembly) can run in tasks that never touch the
+  // decoder object, so each entry class sets it for its own executors.
+  javax.imageio.ImageIO.setUseCache(false)
+
   // ---------------------------------------------------------------- audio
 
   /** Typed record for probed audio metadata. */
@@ -42,11 +48,69 @@ object Media {
     * plugs into every ANN/near-dup consumer exactly like the image and
     * text embeddings (the [[Multimodal.JdkImageDecoders.features]]
     * contract, one modality over). */
-  object JdkAudioDecoders extends Serializable {
-    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+  /** `javax.sound` SPI providers, loaded ONCE per JVM. `AudioSystem`
+    * routes every write/read/convert through a per-call provider lookup
+    * that is (a) synchronized JVM-wide and (b) a fresh ServiceLoader
+    * scan of the context classpath's `META-INF/services` — under an
+    * executor classpath of hundreds of jars and 32 concurrent codec
+    * tasks the lookup dominates the codec and its lock worse-than-
+    * serializes it (q90 at sf10: 47.9 s as one task, 169.9 s spread
+    * across 32 — slower than one core). The SPI classes are public API
+    * and the provider instances are stateless factories, safe to share
+    * across tasks; `AudioSystem` remains the fallback if a JVM ships no
+    * visible providers. */
+  private[operators] object AudioSpi {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter, FormatConversionProvider}
+    import scala.jdk.CollectionConverters._
 
-    private def open(payload: Array[Byte]): AudioInputStream =
-      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    private def load[T](c: Class[T]): List[T] =
+      try java.util.ServiceLoader.load(c, getClass.getClassLoader)
+        .iterator().asScala.toList
+      catch { case scala.util.control.NonFatal(_) => Nil }
+
+    val writers: List[AudioFileWriter] = load(classOf[AudioFileWriter])
+    val readers: IndexedSeq[AudioFileReader] =
+      load(classOf[AudioFileReader]).toIndexedSeq
+    val converters: List[FormatConversionProvider] =
+      load(classOf[FormatConversionProvider])
+  }
+
+  object JdkAudioDecoders extends Serializable {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, UnsupportedAudioFileException}
+
+    /** Index of the last reader that accepted a payload. Not every SPI
+      * reader's REJECTION is cheap: `SoftMidiAudioFileReader` consults
+      * `MidiSystem.getProviders` — a fresh provider scan under the
+      * JVM-global `JSSecurityManager` class lock — just to decide the
+      * bytes are not MIDI, so a scan-in-registry-order per document
+      * serializes 32 codec tasks on one monitor (measured on the q90
+      * kernel: 64k docs at 18.1k docs/s on ONE thread, 9.9k docs/s on
+      * 32). A decode workload is format-monomorphic in practice; first
+      * trying whichever reader accepted the LAST payload makes the
+      * per-document path lock-free after the first row. */
+    @volatile private var preferredReader = -1
+
+    private def open(payload: Array[Byte]): AudioInputStream = {
+      val in = new java.io.ByteArrayInputStream(payload)
+      val rs = AudioSpi.readers
+      val pref = preferredReader
+      if (pref >= 0 && pref < rs.length) {
+        try return rs(pref).getAudioInputStream(in)
+        catch { case _: UnsupportedAudioFileException => in.reset() }
+      }
+      var i = 0
+      while (i < rs.length) {
+        if (i != pref) {
+          try {
+            val s = rs(i).getAudioInputStream(in)
+            preferredReader = i
+            return s
+          } catch { case _: UnsupportedAudioFileException => in.reset() }
+        }
+        i += 1
+      }
+      AudioSystem.getAudioInputStream(in)
+    }
 
     /** (sampleRate, channels, bitsPerSample, nFrames, durationMs) from
       * the container header — no sample data is decoded. */
@@ -70,7 +134,12 @@ object Media {
         val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
           src.getSampleRate, 16, src.getChannels,
           src.getChannels * 2, src.getSampleRate, false)
-        val in = AudioSystem.getAudioInputStream(target, raw)
+        val in =
+          if (target.matches(src)) raw // already the target: no conversion
+          else AudioSpi.converters
+            .find(_.isConversionSupported(target, src))
+            .map(_.getAudioInputStream(target, raw))
+            .getOrElse(AudioSystem.getAudioInputStream(target, raw))
         val bytes = in.readAllBytes()
         val ch = src.getChannels
         val n = bytes.length / (2 * ch)
@@ -189,7 +258,10 @@ object Media {
     val in = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
     val out = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    AudioSpi.writers.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, in)) match {
+      case Some(w) => w.write(in, AudioFileFormat.Type.WAVE, out)
+      case None => AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    }
     out.toByteArray
   }
 
@@ -553,7 +625,10 @@ object Media {
     val path = ensureMediaFixture(s, d)
     import s.implicits._
     val dec = Multimodal.JdkImageDecoders
-    val perDoc = s.read.parquet(path)
+    // rescueNarrowScan: a stored media table laid out as few row groups
+    // (e.g. a single-file export) must not cap the decode at few tasks —
+    // same CPU-follows-cores contract as the corpus readers.
+    val perDoc = graft.Tables.rescueNarrowScan(s, path, "doc_id")
       .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, png) => probePng(dec, id, png) })
       .toDF("doc_id", "width", "height", "resized_ok", "sum_rgb",

@@ -68,6 +68,15 @@ object Multimodal {
   object JdkImageDecoders extends MediaDecoders {
     import java.awt.image.BufferedImage
 
+    // ImageIO's default stream cache backs EVERY read/write with a temp
+    // FILE (create + delete in java.io.tmpdir per image) — for KB-scale
+    // payloads the filesystem churn dwarfs the codec, and 32 concurrent
+    // tasks contend on one tmp directory. Memory-cached streams instead:
+    // measured 493 → ~130 µs/doc single-thread on the q94 kernel
+    // (synth + decode + resize + re-decode + features). JVM-static, set
+    // at object init so every executor flips it before its first decode.
+    javax.imageio.ImageIO.setUseCache(false)
+
     private def read(payload: Array[Byte]): BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "payload is not a decodable image")
