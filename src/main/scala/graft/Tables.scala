@@ -64,8 +64,12 @@ object Tables {
           val p = java.nio.file.Paths.get(dir)
           if (!java.nio.file.Files.isDirectory(p)) 0L
           else {
-            val s = java.nio.file.Files.list(p)
-            try s.mapToLong { f =>
+            // Depth 2: Spark-written tables are DIRECTORIES of part files —
+            // a flat Files.list would size them at 0 and a multi-GB corpus
+            // would silently keep the 32-partition fixture dial (losing the
+            // 512-partition spill-merge protection the sf10 OOM fix needs).
+            val s = java.nio.file.Files.walk(p, 2)
+            try s.filter(java.nio.file.Files.isRegularFile(_)).mapToLong { f =>
               try java.nio.file.Files.size(f) catch { case _: Throwable => 0L }
             }.sum
             finally s.close()

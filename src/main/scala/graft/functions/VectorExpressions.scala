@@ -273,7 +273,11 @@ object Sq8Encode {
       val c =
         if (hi == lo) 0L
         else {
-          val q = math.floor((v.getFloat(i).toDouble - lo) * 255.0 / (hi - lo)).toLong
+          // NaN ratio pins to code 0 (floor(NaN).toLong would also give 0 on
+          // the JVM, but DuckDB's greatest() treats NaN as largest → 255;
+          // the explicit branch keeps both engines at -128). ±Inf clamps.
+          val r = (v.getFloat(i).toDouble - lo) * 255.0 / (hi - lo)
+          val q = if (r.isNaN) 0L else math.floor(r).toLong
           if (q > 255L) 255L else if (q < 0L) 0L else q
         }
       out(i) = (c - 128L).toByte

@@ -175,8 +175,9 @@ object Sq {
        |), codes AS MATERIALIZED (
        |  SELECT vec_id,
        |    list(CASE WHEN mx = mn THEN -128 ELSE
-       |      least(255, greatest(0, floor(((embedding[dim]::DOUBLE - mn::DOUBLE) * 255.0)
-       |        / (mx::DOUBLE - mn::DOUBLE))))::BIGINT - 128 END
+       |      least(255, greatest(0, floor(CASE WHEN isnan(((embedding[dim]::DOUBLE - mn::DOUBLE) * 255.0)
+       |        / (mx::DOUBLE - mn::DOUBLE)) THEN 0 ELSE ((embedding[dim]::DOUBLE - mn::DOUBLE) * 255.0)
+       |        / (mx::DOUBLE - mn::DOUBLE) END)))::BIGINT - 128 END
        |      ORDER BY dim) AS c
        |  FROM emb, dimstats
        |  GROUP BY vec_id

@@ -40,7 +40,7 @@ private[graft] object StagedCache {
   def stage(dir: String, stage: String, df: DataFrame): DataFrame =
     synchronized {
       val key =
-        s"${System.identityHashCode(df.sparkSession)}|$dir|$stage"
+        s"${org.apache.spark.sql.graft.shims.sessionUUID(df.sparkSession)}|$dir|$stage"
       owned.remove(key) // refresh LRU position; CacheManager dedupes the re-persist
       val p = df.persist()
       owned.put(key, p)

@@ -47,6 +47,12 @@ final class EvalStream(spark: SparkSession,
 
   import EvalStream._
 
+  require(probeStride > 0,
+    s"probeStride must be positive (got $probeStride): vec_id % 0 is null " +
+      "for every row, so each tick would record n_probes=0 / recall_milli=0 " +
+      "and an --eval-floor would force a warm rebuild on every cadence")
+  require(topK > 0, s"topK must be positive (got $topK)")
+
   private def state = index.state
 
   /** Measure the served index's recall NOW and append one ledger row.

@@ -137,6 +137,12 @@ object StreamMain {
       }
     }
     require(cfg.mode == "docs" || cfg.mode == "chunks", s"unknown mode ${cfg.mode}")
+    require(cfg.evalStride > 0, s"--eval-stride must be positive (got ${cfg.evalStride})")
+    // Eval legs ride the index legs: without bootstrap+embeddings there are
+    // no EvalStreams and the flags would silently no-op (eval_ticks:0).
+    if (cfg.evalEvery > 0 || cfg.evalFloor.isDefined)
+      require(cfg.bootstrap.isDefined && cfg.embeddings.isDefined,
+        "--eval-every/--eval-floor require the index legs (--bootstrap and --embeddings)")
     cfg
   }
 
