@@ -22,8 +22,7 @@ object Bench {
         BigDecimal(s.trim.split("\\s+")(0).toDouble)
           .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
       } catch { case _: Throwable => "null" }
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = Tables.configureMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }

@@ -14,6 +14,34 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cluster master for the entry-point mains. `SPARK_GRAFT_MASTER`
+    * overrides the default `local[cpus]` — the multi-JVM evidence dial:
+    * `local-cluster[2,16,4096]` runs the IDENTICAL gate/bench with two
+    * separate executor processes, real serialization of every closure and
+    * `graft_*` expression, real network shuffle and broadcast. When the
+    * override is a local-cluster master the executors are fresh JVMs with
+    * no sbt classpath, so this also wires `spark.executor.extraClassPath`
+    * to wherever THIS class was loaded from (classes dir or jar — works
+    * under sbt runMain and plain `java -cp` alike) and sizes
+    * `spark.executor.memory` to the per-worker MiB from the master string
+    * (executors default to 1g otherwise, no matter what the worker owns).
+    * Requires `SPARK_HOME` in the environment (the in-process Worker
+    * shells out to it to launch executor JVMs). */
+  def configureMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    b.master(master)
+    if (master.startsWith("local-cluster")) {
+      val classesHere =
+        new java.io.File(getClass.getProtectionDomain.getCodeSource
+          .getLocation.toURI).getAbsolutePath
+      b.config("spark.executor.extraClassPath", classesHere)
+      val memMiB = master.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(",")(2).trim
+      b.config("spark.executor.memory", s"${memMiB}m")
+    }
+    b
+  }
+
   /** Session settings every graft entry point applies. The nanos flag makes
     * Spark read parquet TIMESTAMP(NANOS) columns (events.ts) as LongType
     * instead of failing; [[events]] rebuilds a microsecond TimestampType

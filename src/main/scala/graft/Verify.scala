@@ -13,8 +13,7 @@ object Verify {
       case (name, _) => only.forall(_.contains(name))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = Tables.configureMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
