@@ -484,8 +484,78 @@ object BloomNone {
   }
 }
 
+/** `graft_unitok(text)`: Unicode-class tokenization — casefolded maximal
+  * runs of letters (Lu/Ll/Lt/Lm/Lo) and numbers (Nd/Nl/No), i.e. the
+  * DuckDB-twinnable `list_filter(regexp_split_to_array(lower(text),
+  * '[^\p{L}\p{N}]+'), t -> t <> '')`. This is the honest tokenizer behind
+  * the text family's `uni` dial ([[graft.Tok]]): whitespace splitting is
+  * exactly right for the synthetic fixtures (single-space lowercase ASCII)
+  * but a toy on real corpora — no punctuation handling, no case folding,
+  * no non-Latin scripts.
+  *
+  * Cross-engine contract (UniTokSpec pins the Scala side on the same
+  * strings the DuckDB form was probed with): case folding is the SIMPLE
+  * per-codepoint mapping (`Character.toLowerCase(int)`), matching
+  * utf8proc's 1:1 `lower()` — NOT `String.toLowerCase`, whose full
+  * mappings diverge (İ → "i"+U+0307 there, a two-token split here would
+  * follow). Class membership is the Unicode general-category test both
+  * regex engines implement (`Character.isLetter` = L*;
+  * Nd/Nl/No = \p{N}). One pass, no regex engine, native codegen — at
+  * 100 TB the tokenizer IS the text family's hot inner loop.
+  */
+case class UniTokens(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_unitok expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_unitok"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UniTokens.make(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UniTokens.make($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UniTokens =
+    copy(child = newChild)
+}
+
+object UniTokens {
+  private def isTokenCp(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** Casefolded letter/number runs of `s`; empty array when none. */
+  def make(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new java.util.ArrayList[Any](8)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (isTokenCp(cp)) sb.appendCodePoint(Character.toLowerCase(cp))
+      else if (sb.length > 0) {
+        out.add(UTF8String.fromString(sb.toString)); sb.setLength(0)
+      }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) out.add(UTF8String.fromString(sb.toString))
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Column-API front door for the text expressions. */
 object Text {
+  /** Unicode letter/number-run tokens, casefolded (see [[UniTokens]]). */
+  def uniTokens(text: Column): Column =
+    shims.column(UniTokens(shims.expression(text)))
+
   /** k-token shingles of a tokens column (see [[Shingles]]). */
   def shingles(toks: Column, k: Int): Column =
     shims.column(Shingles(shims.expression(toks), k))

@@ -686,5 +686,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
       (exprs: Seq[Expression]) => CountIn(exprs.head,
         exprs.tail.map(_.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unitok"),
+      new ExpressionInfo(classOf[UniTokens].getName, "graft_unitok"),
+      (exprs: Seq[Expression]) => UniTokens(exprs.head)))
   }
 }

@@ -31,7 +31,7 @@ object Chunking {
     * the window text itself. */
   def q61ContextChunks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
+      .withColumn("t", graft.Tok.toksText)
       .withColumn("start",
         explode(expr(s"sequence(0, size(t) - 1, $Stride)")))
       .withColumn("chunk_idx", expr(s"start DIV $Stride").cast("int"))
@@ -47,7 +47,7 @@ object Chunking {
 
   def q61Sql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |  SELECT doc_id, ${graft.Tok.sqlText} AS t FROM documents
        |), c AS (
        |  SELECT doc_id, CAST(s AS INT) AS start_tok,
        |    CAST(s // $Stride AS INT) AS chunk_idx,

@@ -37,10 +37,10 @@ object Collocate {
   /** Bigrams ≥ MinPair occurrences, ≥ 10% over chance co-occurrence. */
   def q73PmiBigrams(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
-      .select(split(col("text"), " ").as("toks"))
+      .select(graft.Tok.toksText.as("toks"))
       .filter(size(col("toks")) >= 2)
     val uniRows = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("term"))
+      .select(explode(graft.Tok.toksText).as("term"))
     val uni = uniRows.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val total = uniRows.agg(count(lit(1)).as("n_total"))
     // Bigram enumeration rides the native 2-shingler ("w1 w2" strings,
@@ -70,10 +70,10 @@ object Collocate {
 
   def q73Sql: String =
     s"""WITH t AS (
-       |  SELECT string_split(text, ' ') AS toks FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 2
+       |  SELECT ${graft.Tok.sqlText} AS toks FROM documents
+       |  WHERE len(${graft.Tok.sqlText}) >= 2
        |), uni AS (
-       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       |  SELECT unnest(${graft.Tok.sqlText}) AS term FROM documents
        |), ucnt AS (
        |  SELECT term, count(*) AS c FROM uni GROUP BY term
        |), tot AS (

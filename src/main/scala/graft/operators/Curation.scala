@@ -39,7 +39,7 @@ object Curation {
       .filter(col("v") =!= col("lbl"))
       .select(col("v").as("doc_id"))
     Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", graft.Tok.toksText)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_hits", graft.functions.Text.countIn(col("toks"),
         Seq("the", "a", "of", "and", "to", "in")))
@@ -70,7 +70,7 @@ object Curation {
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
     Tables.documents(s, d)
-      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .select(col("doc_id"), size(graft.Tok.toksText).as("n_tokens"))
       .join(labels, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n_members",
@@ -84,7 +84,7 @@ object Curation {
   def q68Sql: String =
     s"""${Dedup.lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}${Dedup.ccCtes}, m AS (
        |  SELECT c.lbl AS cluster_id, d.doc_id,
-       |    CAST(len(string_split(d.text,' ')) AS INT) AS n_tokens
+       |    CAST(len(${graft.Tok.sql("d.text")}) AS INT) AS n_tokens
        |  FROM comp c JOIN documents d ON d.doc_id = c.v
        |), r AS (
        |  SELECT cluster_id, doc_id, n_tokens,
@@ -145,9 +145,9 @@ object Curation {
        |  SELECT v AS doc_id FROM comp WHERE v <> lbl
        |), m AS (
        |  SELECT doc_id, lang,
-       |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
-       |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in')))::DOUBLE
-       |      / len(string_split(text,' ')) AS stop_ratio
+       |    CAST(len(${graft.Tok.sqlText}) AS INT) AS n_tokens,
+       |    len(list_filter(${graft.Tok.sqlText}, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+       |      / len(${graft.Tok.sqlText}) AS stop_ratio
        |  FROM documents
        |)
        |SELECT doc_id, lang, n_tokens, stop_ratio FROM m

@@ -39,7 +39,7 @@ object Decontamination {
     * A/B measurements showed sharing pays for). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     StagedCache.stage(d, "decon_shingles", Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
+      .withColumn("t", graft.Tok.toksText)
       .filter(size(col("t")) >= ShingleK) // sequence(1, 0) DESCENDS — guard
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.Text.shingles(col("t"), ShingleK))).as("s")))
@@ -101,8 +101,8 @@ object Decontamination {
 
   def q64Sql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
-       |  WHERE len(string_split(text,' ')) >= $ShingleK
+       |  SELECT doc_id, ${graft.Tok.sqlText} AS t FROM documents
+       |  WHERE len(${graft.Tok.sqlText}) >= $ShingleK
        |), sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, len(t) - ${ShingleK - 2}),
@@ -176,8 +176,8 @@ object Decontamination {
 
   def q81Sql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
-       |  WHERE len(string_split(text,' ')) >= $ShingleK
+       |  SELECT doc_id, ${graft.Tok.sqlText} AS t FROM documents
+       |  WHERE len(${graft.Tok.sqlText}) >= $ShingleK
        |), sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, len(t) - ${ShingleK - 2}),
@@ -197,8 +197,8 @@ object Decontamination {
 
   def q57Sql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
-       |  WHERE len(string_split(text,' ')) >= $ShingleK
+       |  SELECT doc_id, ${graft.Tok.sqlText} AS t FROM documents
+       |  WHERE len(${graft.Tok.sqlText}) >= $ShingleK
        |), sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, len(t) - ${ShingleK - 2}),

@@ -36,7 +36,7 @@ object Dedup {
     * pinned by VectorExpressionsSpec. */
   def hex12(c: Column): Column = graft.functions.Vectors.md5Prefix48(c)
 
-  private def toksCol: Column = split(col("text"), " ")
+  private def toksCol: Column = graft.Tok.toksText
 
   /** Distinct word 2-shingles per doc, exploded. size(toks) >= 2 guards the
     * descending-sequence pitfall (sequence(1,0) counts down in Spark) —
@@ -151,8 +151,8 @@ object Dedup {
       .orderBy(col("fingerprint"))
 
   def q19Sql: String =
-    """SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
-      |FROM (SELECT doc_id, md5(array_to_string(list_slice(string_split(text,' '),1,3), ' ')) AS fingerprint
+    s"""SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM (SELECT doc_id, md5(array_to_string(list_slice(${graft.Tok.sqlText},1,3), ' ')) AS fingerprint
       |      FROM documents) t
       |GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin
 
@@ -216,7 +216,7 @@ object Dedup {
       s"WHEN $b THEN concat_ws(',', $cols)"
     }.mkString(" ")
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |  SELECT doc_id, ${graft.Tok.sqlText} AS t FROM documents
        |), sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS s
@@ -276,7 +276,7 @@ object Dedup {
   private def simhashFp(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        graft.functions.Text.simhash32(split(col("text"), " ")).as("simhash"))
+        graft.functions.Text.simhash32(graft.Tok.toksText).as("simhash"))
 
   /** SimHash identical-fingerprint near-dup groups. */
   def q26Simhash(s: SparkSession, d: String): DataFrame =
@@ -295,7 +295,7 @@ object Dedup {
       .map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
       .mkString(" + ")
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+       |  SELECT doc_id, unnest(${graft.Tok.sqlText}) AS tok FROM documents
        |), hx AS (
        |  SELECT doc_id, ('0x' || substr(md5(tok),1,12))::BIGINT AS x FROM tok
        |), sums AS (
@@ -408,23 +408,25 @@ object Dedup {
     * returned frame is the final, materialized label table's plan. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val pin = roundPinner(pairs)
-    // materialize the pair pipeline ONCE before symmetrizing: the union
-    // below references `pairs` twice, and without the checkpoint both
-    // branches would re-run the whole upstream (LSH) plan
+    // pin the pair pipeline ONCE before symmetrizing: the union below
+    // references `pairs` twice, and without the checkpoint both branches
+    // would re-run the whole upstream (LSH) plan. The pin is lazy — the
+    // initial labelSum below is the one job that materializes pairs,
+    // edges, and l₀ together.
     val p = pin(pairs)
     val edges = p
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
     // l₀(v) = min(v, min neighbor) — one groupBy over the symmetric edges.
-    // Each round's label table is pinned EAGERLY (localCheckpoint, or a
-    // reliable checkpoint under ReliableCcConf — see roundPinner): `stepped`
+    // Each round's label table is PINNED (localCheckpoint, or a reliable
+    // checkpoint under ReliableCcConf — see roundPinner): `stepped`
     // references `labels` twice and `jumped` references `stepped` twice, so
     // without lineage truncation the logical plan doubles per round —
     // exponential tree size by round ~8 (persist() caches data, not the
-    // plan). The checkpoint pins each round to a constant-size LogicalRDD;
-    // superseded round RDDs are unreferenced and reclaimed by the
-    // ContextCleaner.
+    // plan). The checkpoint pins each round to a constant-size LogicalRDD,
+    // materialized by the round's labelSum probe; superseded round RDDs are
+    // unreferenced and reclaimed by the ContextCleaner.
     var labels = pin(edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl")))
     // Fixpoint detection: labels are per-vertex NON-INCREASING (least/min
@@ -438,18 +440,30 @@ object Dedup {
     var rounds = 0
     try {
       while (!converged && rounds < 64) { // 64 = safety rail ≫ log₂(any n)
-        // propagate: candidate label = min over in-neighbors' labels
-        val prop = edges
+        // propagate: new label = min(own label, labels of in-neighbors) —
+        // ONE exchange: the neighbor candidates (edges ⋈ labels on u, the
+        // label side broadcast-able) unioned with the labels themselves,
+        // then a single min-groupBy on v. (The previous join→groupBy→left-
+        // join form computed the same min with two extra exchanges per
+        // round — pure fixture-scale stage-count tax, same 100 TB shape.)
+        val stepped = edges
           .join(labels.select(col("v").as("u"), col("lbl")), "u")
-          .groupBy(col("v")).agg(min(col("lbl")).as("nlbl"))
-        val stepped = labels.join(prop, Seq("v"), "left")
-          .select(col("v"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        // pointer jump: follow the label one hop (labels ARE node ids, and
-        // l(m) ≤ m, so this only ever lowers — path halving)
-        val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
-        val jumped = pin(stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
-          .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl")))
+          .select(col("v"), col("lbl"))
+          .unionByName(labels)
+          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        // pointer jump ×2: follow the label two hops (labels ARE node ids,
+        // and l(m) ≤ m, so each hop only ever lowers — path halving twice
+        // per round). The second hop is one more label-table-sized join in
+        // the SAME round job — far cheaper than the extra full round (with
+        // its propagate over edges, pin, and fixpoint probe) it replaces:
+        // measured at sf0.1 the double jump converges in 3 rounds where the
+        // single jump took 5.
+        val jump: DataFrame => DataFrame = l => {
+          val ptr = l.select(col("v").as("p"), col("lbl").as("plbl"))
+          l.join(ptr, l("lbl") === ptr("p"), "left")
+            .select(l("v"), coalesce(col("plbl"), l("lbl")).as("lbl"))
+        }
+        val jumped = pin(jump(jump(stepped)))
         val newSum = labelSum(jumped)
         converged = sumsEqual(newSum, prevSum)
         prevSum = newSum
@@ -485,17 +499,25 @@ object Dedup {
     * this on and survives executor loss. */
   val ReliableCcConf = "spark.graft.cc.reliable"
 
-  /** Per-round pin for the iterative solvers: eager localCheckpoint by
+  /** Per-round pin for the iterative solvers: LAZY localCheckpoint by
     * default, eager reliable checkpoint when [[ReliableCcConf]] is true.
-    * Both truncate lineage (the fixpoint's exponential-plan trap) and
-    * materialize eagerly (the loops are action-driven either way). */
+    * Both truncate lineage immediately (the fixpoint's exponential-plan
+    * trap — the returned frame is a LogicalRDD either way); laziness defers
+    * block materialization to the round's ONE action, the Σ lbl fixpoint
+    * probe ([[labelSum]]), fusing what used to be two jobs per round
+    * (checkpoint count + sum) into one — at fixture scale the driver/AQE
+    * round-trip constant WAS the q54 cost (2.6 s quiet vs DuckDB 0.33 at
+    * sf0.1, r10 verdict), and halving actions halves it with the identical
+    * round algebra. Reliable mode stays eager: a lazy reliable checkpoint
+    * recomputes the whole round when the checkpoint job finally runs,
+    * which is the wrong trade exactly when rounds are expensive. */
   private def roundPinner(df: DataFrame): DataFrame => DataFrame = {
     val s = df.sparkSession
     if (s.conf.get(ReliableCcConf, "false").toBoolean) {
       require(s.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableCcConf=true needs sparkContext.setCheckpointDir(...)")
       d => d.checkpoint(eager = true)
-    } else d => d.localCheckpoint(eager = true)
+    } else d => d.localCheckpoint(eager = false)
   }
 
   /** Resolve a POINTER FOREST to terminal labels: `oneHop` holds (v, lbl)

@@ -64,13 +64,13 @@ object Drift {
     reportFrom(
       Tables.documents(s, d)
         .select((col("doc_id") % 2).as("half"),
-          explode(split(col("text"), " ")).as("tok"))
+          explode(graft.Tok.toksText).as("tok"))
         .groupBy(col("half"), col("tok"))
         .agg(count(lit(1)).as("cnt")))
 
   def q85Sql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+       |  SELECT doc_id % 2 AS half, unnest(${graft.Tok.sqlText}) AS tok
        |  FROM documents
        |), cnt AS (
        |  SELECT half, tok, count(*) AS cnt FROM toks GROUP BY half, tok

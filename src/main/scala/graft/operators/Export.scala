@@ -42,7 +42,7 @@ object Export {
       .filter(col("v") =!= col("lbl"))
       .select(col("v").as("doc_id"))
     val survivors = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", graft.Tok.toksText)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_hits", graft.functions.Text.countIn(col("toks"),
         Seq("the", "a", "of", "and", "to", "in")))
@@ -88,13 +88,13 @@ object Export {
     s"""${Dedup.lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}${Dedup.ccCtes}, dropids AS (
        |  SELECT v AS doc_id FROM comp WHERE v <> lbl
        |), surv AS (
-       |  SELECT doc_id, lang, string_split(text,' ') AS toks,
-       |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens
+       |  SELECT doc_id, lang, ${graft.Tok.sqlText} AS toks,
+       |    CAST(len(${graft.Tok.sqlText}) AS INT) AS n_tokens
        |  FROM documents
-       |  WHERE len(string_split(text,' ')) >= ${Curation.MinTokens}
-       |    AND len(list_filter(string_split(text,' '),
+       |  WHERE len(${graft.Tok.sqlText}) >= ${Curation.MinTokens}
+       |    AND len(list_filter(${graft.Tok.sqlText},
        |          x -> x IN ('the','a','of','and','to','in')))::DOUBLE
-       |        / len(string_split(text,' ')) >= ${Curation.MinStopRatio}
+       |        / len(${graft.Tok.sqlText}) >= ${Curation.MinStopRatio}
        |    AND doc_id NOT IN (SELECT doc_id FROM dropids)
        |), ch AS (
        |  SELECT doc_id, lang, CAST(s // ${Chunking.Stride} AS INT) AS chunk_idx,

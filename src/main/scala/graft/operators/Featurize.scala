@@ -36,7 +36,7 @@ object Featurize {
     Tables.documents(s, d)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        posexplode(graft.functions.Text.featureHash(split(col("text"), " "), Dims)))
+        posexplode(graft.functions.Text.featureHash(graft.Tok.toksText, Dims)))
       .withColumnRenamed("pos", "idx")
       .withColumnRenamed("col", "val")
       .filter(col("val") =!= 0)
@@ -44,7 +44,7 @@ object Featurize {
 
   def q79Sql: String =
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |  SELECT doc_id, unnest(${graft.Tok.sqlText}) AS t FROM documents
        |), h AS (
        |  SELECT doc_id,
        |    ('0x' || substr(md5(t), 1, 12))::BIGINT AS h

@@ -36,7 +36,7 @@ object Index {
   def q69InvertedIndex(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("term"))
+        explode(array_distinct(graft.Tok.toksText)).as("term"))
     val banded = tok.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(DfLo, DfHi))
@@ -52,7 +52,7 @@ object Index {
 
   def q69Sql: String =
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+       |  SELECT doc_id, unnest(list_distinct(${graft.Tok.sqlText})) AS term
        |  FROM documents
        |), banded AS (
        |  SELECT term, count(*) AS df FROM tok

@@ -36,7 +36,7 @@ object Mixing {
   def q63MixAllocation(s: SparkSession, d: String): DataFrame = {
     val g = Tables.documents(s, d)
       .select(col("lang"), col("source"),
-        size(split(col("text"), " ")).as("n"))
+        size(graft.Tok.toksText).as("n"))
       .groupBy(col("lang"), col("source"))
       .agg(sum(col("n")).as("n_tokens"))
       // feeds the total AND the apportionment: staged once so the one-row
@@ -61,8 +61,8 @@ object Mixing {
   }
 
   def q63Sql: String =
-    """WITH g AS (
-      |  SELECT lang, source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+    s"""WITH g AS (
+      |  SELECT lang, source, CAST(sum(len(${graft.Tok.sqlText})) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY lang, source
       |), tot AS (
       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS c_total FROM g

@@ -53,7 +53,7 @@ object Overlap {
     * pass, exploded. */
   private def docFps(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
+      .withColumn("t", graft.Tok.toksText)
       .filter(size(col("t")) >= K) // sequence(1, 0) DESCENDS — guard
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.Text.hash48Map(
@@ -69,8 +69,8 @@ object Overlap {
 
   private def fpsSql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
-       |  WHERE len(string_split(text,' ')) >= $K
+       |  SELECT doc_id, ${graft.Tok.sqlText} AS t FROM documents
+       |  WHERE len(${graft.Tok.sqlText}) >= $K
        |), sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, len(t) - ${K - 2}),

@@ -66,7 +66,7 @@ object Packing {
   def q58SequencePacking(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(graft.Tok.toksText).cast("long").as("n_tokens"))
     prefixSum(docs)
       .withColumn("shard", expr(s"CAST((cum - n_tokens) DIV $Budget AS INT)"))
       .groupBy(col("lang"), col("shard"))
@@ -80,7 +80,7 @@ object Packing {
   def q58Sql: String =
     s"""WITH d AS (
        |  SELECT doc_id, lang,
-       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |    CAST(len(${graft.Tok.sqlText}) AS BIGINT) AS n_tokens
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, lang, n_tokens,

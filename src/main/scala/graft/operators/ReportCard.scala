@@ -30,7 +30,7 @@ object ReportCard {
   /** One row per source: n_docs, p50/p90 token length, quality pass %. */
   def q76SourceReport(s: SparkSession, d: String): DataFrame = {
     val m = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", graft.Tok.toksText)
       .withColumn("nt", size(col("toks")))
       .withColumn("stop_hits", graft.functions.Text.countIn(col("toks"),
         Seq("the", "a", "of", "and", "to", "in")))
@@ -60,11 +60,11 @@ object ReportCard {
   def q76Sql: String =
     s"""WITH m AS (
        |  SELECT source,
-       |    CAST(len(string_split(text, ' ')) AS INT) AS nt,
-       |    CASE WHEN len(string_split(text, ' ')) >= ${Curation.MinTokens}
-       |      AND len(list_filter(string_split(text, ' '),
+       |    CAST(len(${graft.Tok.sqlText}) AS INT) AS nt,
+       |    CASE WHEN len(${graft.Tok.sqlText}) >= ${Curation.MinTokens}
+       |      AND len(list_filter(${graft.Tok.sqlText},
        |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))::DOUBLE
-       |          / len(string_split(text, ' ')) >= ${Curation.MinStopRatio}
+       |          / len(${graft.Tok.sqlText}) >= ${Curation.MinStopRatio}
        |      THEN 1 ELSE 0 END AS pass
        |  FROM documents
        |), h AS (

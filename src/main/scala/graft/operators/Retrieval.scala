@@ -55,7 +55,7 @@ object Retrieval {
   /** The one corpus-scale build: per-(doc, term) counts. */
   private[operators] def tfOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), explode(graft.Tok.toksText).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
@@ -76,7 +76,7 @@ object Retrieval {
       .filter(col("doc_id") % QStride === 0 &&
         expr(s"doc_id DIV $QStride") < NQueries)
       .select(expr(s"doc_id DIV $QStride").as("qid"),
-        explode(slice(split(col("text"), " "), 1, QTerms)).as("term"))
+        explode(slice(graft.Tok.toksText, 1, QTerms)).as("term"))
       .distinct()
 
   /** The q95 scoring plan over EXISTING tf/dl/df/stats/query tables —
@@ -174,7 +174,7 @@ object Retrieval {
   private def bm25Ctes: String =
     s"""tf AS (
        |  SELECT doc_id, term, count(*) AS tf
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM (SELECT doc_id, unnest(${graft.Tok.sqlText}) AS term
        |        FROM documents) t
        |  GROUP BY doc_id, term
        |), dl AS (
@@ -185,7 +185,7 @@ object Retrieval {
        |  SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl
        |), queries AS (
        |  SELECT DISTINCT doc_id // $QStride AS qid,
-       |    unnest((string_split(text, ' '))[1:$QTerms]) AS term
+       |    unnest((${graft.Tok.sqlText})[1:$QTerms]) AS term
        |  FROM documents
        |  WHERE doc_id % $QStride = 0 AND doc_id // $QStride < $NQueries
        |), qt AS (

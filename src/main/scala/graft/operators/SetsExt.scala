@@ -73,7 +73,7 @@ object SetsExt {
     * dispatches per comparison). */
   def q45ArrayAgg(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .select(col("lang"), explode(graft.Tok.toksText).as("token"))
       .groupBy(col("lang"))
       .agg(
         array_join(sort_array(collect_set(col("token"))), ",").as("vocab"),
@@ -81,10 +81,10 @@ object SetsExt {
       .orderBy(col("lang"))
 
   def q45Sql: String =
-    """SELECT lang,
+    s"""SELECT lang,
       |  array_to_string(list_sort(list(DISTINCT token)), ',') AS vocab,
       |  count(DISTINCT token) AS n_distinct
-      |FROM (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents) t
+      |FROM (SELECT lang, unnest(${graft.Tok.sqlText}) AS token FROM documents) t
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))

@@ -54,7 +54,7 @@ object Spans {
       .distinct()
     val toks = Tables.documents(s, d)
       .join(pairIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      .select(col("doc_id"), posexplode(graft.Tok.toksText).as(Seq("i", "tok")))
     val matches = pairs
       .join(toks.as("a"), col("doc_a") === col("a.doc_id"))
       .join(toks.as("b"),
@@ -82,7 +82,7 @@ object Spans {
        |  GROUP BY 1, 2 HAVING count(*) >= ${Winnow.MinShared}
        |), tp AS (
        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  FROM (SELECT doc_id, ${graft.Tok.sqlText} AS t FROM documents)
        |), pos AS (
        |  SELECT doc_id, i, t[i] AS tok FROM tp
        |), m AS (

@@ -33,7 +33,7 @@ object Telemetry {
   def sourceSketches(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
+        explode(graft.Tok.toksText).as("tok"))
       .groupBy(col("source"))
       .agg(
         count_distinct(col("doc_id")).as("n_docs"),

@@ -29,7 +29,7 @@ object TextAnalysis {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("token"))
     Tables.documents(s, d)
-      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .select(col("lang"), explode(graft.Tok.toksText).as("token"))
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(w))
@@ -39,8 +39,8 @@ object TextAnalysis {
   }
 
   def q22Sql: String =
-    """WITH tf AS (
-      |  SELECT lang, unnest(string_split(text,' ')) AS token FROM documents
+    s"""WITH tf AS (
+      |  SELECT lang, unnest(${graft.Tok.sqlText}) AS token FROM documents
       |), counts AS (
       |  SELECT lang, token, count(*) AS cnt FROM tf GROUP BY lang, token
       |), ranked AS (
@@ -69,7 +69,7 @@ object TextAnalysis {
     */
   def q29TextMetrics(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", graft.Tok.toksText)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_words", size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")))
       .withColumn("avg_token_len",
@@ -136,9 +136,9 @@ object TextAnalysis {
   }
 
   def q55Sql: String =
-    """WITH tf AS (
+    s"""WITH tf AS (
       |  SELECT doc_id, term, count(*) AS tf
-      |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents) t
+      |  FROM (SELECT doc_id, unnest(${graft.Tok.sqlText}) AS term FROM documents) t
       |  GROUP BY doc_id, term
       |), dfreq AS (
       |  SELECT term, count(*) AS df FROM tf GROUP BY term
@@ -168,7 +168,7 @@ object TextAnalysis {
     * 100 TB of documents with zero exchanges. */
   def q59RepetitionRatio(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
+      .withColumn("t", graft.Tok.toksText)
       .filter(size(col("t")) >= 3) // sequence(1, 0) DESCENDS — guard
       .withColumn("n_grams", size(col("t")) - 2)
       .withColumn("n_distinct",
@@ -180,12 +180,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def q59Sql: String =
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT doc_id, lang,
       |    CAST(len(t) - 2 AS INT) AS n_grams,
       |    CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
       |      i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' ')))) AS INT) AS n_distinct
-      |  FROM (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents) s
+      |  FROM (SELECT doc_id, lang, ${graft.Tok.sqlText} AS t FROM documents) s
       |  WHERE len(t) >= 3
       |)
       |SELECT doc_id, lang, n_grams, n_distinct,
@@ -239,7 +239,7 @@ object TextAnalysis {
   def q62Sql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, token, count(*) AS tf
-       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents) t
+       |  FROM (SELECT doc_id, unnest(${graft.Tok.sqlText}) AS token FROM documents) t
        |  GROUP BY doc_id, token
        |), vocab AS (
        |  SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY token
@@ -258,16 +258,16 @@ object TextAnalysis {
 
   def q29Sql: String =
     s"""WITH m AS (
-       |  SELECT doc_id, lang, string_split(text,' ') AS toks,
-       |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+       |  SELECT doc_id, lang, ${graft.Tok.sqlText} AS toks,
+       |    CAST(len(${graft.Tok.sqlText}) AS INT) AS n_tokens,
        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_words,
-       |    length(replace(text, ' ', ''))::DOUBLE / len(string_split(text,' ')) AS avg_token_len,
-       |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in'))) AS INT) AS stop_hits,
-       |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS INT) AS en_hits,
-       |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y'))) AS INT) AS es_hits,
-       |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS INT) AS de_hits,
-       |    list_reduce(list_transform(range(1, len(string_split(text,' '))+1),
-       |      i -> ('0x' || substr(md5(string_split(text,' ')[i]),1,12))::BIGINT * (((i-1) % 64) + 1)),
+       |    length(replace(text, ' ', ''))::DOUBLE / len(${graft.Tok.sqlText}) AS avg_token_len,
+       |    CAST(len(list_filter(${graft.Tok.sqlText}, x -> x IN ('the','a','of','and','to','in'))) AS INT) AS stop_hits,
+       |    CAST(len(list_filter(${graft.Tok.sqlText}, x -> x IN ('the','a','of','and'))) AS INT) AS en_hits,
+       |    CAST(len(list_filter(${graft.Tok.sqlText}, x -> x IN ('el','la','de','y'))) AS INT) AS es_hits,
+       |    CAST(len(list_filter(${graft.Tok.sqlText}, x -> x IN ('der','die','das','und'))) AS INT) AS de_hits,
+       |    list_reduce(list_transform(range(1, len(${graft.Tok.sqlText})+1),
+       |      i -> ('0x' || substr(md5(${graft.Tok.sqlText}[i]),1,12))::BIGINT * (((i-1) % 64) + 1)),
        |      (acc, v) -> (acc + v) % $P) % $P AS fingerprint
        |  FROM documents
        |)

@@ -44,7 +44,7 @@ object Winnow {
     * clamps to the shingle list). */
   private[graft] def fingerprintArrays(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", graft.Tok.toksText)
       .filter(size(col("toks")) >= K)
       .withColumn("ghash",
         graft.functions.Text.hash48Map(
@@ -119,9 +119,9 @@ object Winnow {
     * final SELECT (and any further CTEs via a leading comma). */
   private[operators] def winnowCtes: String =
     s"""WITH g AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks,
-       |    len(string_split(text, ' ')) AS nt
-       |  FROM documents WHERE len(string_split(text, ' ')) >= $K
+       |  SELECT doc_id, ${graft.Tok.sqlText} AS toks,
+       |    len(${graft.Tok.sqlText}) AS nt
+       |  FROM documents WHERE len(${graft.Tok.sqlText}) >= $K
        |), h AS (
        |  SELECT doc_id,
        |    list_transform(range(1, nt - ${K - 1} + 1),

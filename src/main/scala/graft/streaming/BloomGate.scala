@@ -38,7 +38,7 @@ object BloomGate {
     import org.apache.spark.sql.graft.shims
     val k = Decontamination.ShingleK
     val sh = benchDocs
-      .withColumn("t", split(col("text"), " "))
+      .withColumn("t", graft.Tok.toksText)
       .filter(size(col("t")) >= k)
       .select(explode(array_distinct(
         graft.functions.Text.shingles(col("t"), k))).as("s"))
@@ -62,7 +62,7 @@ object BloomGate {
   def cleanPredicate(bloom: Array[Byte], textCol: Column): Column =
     coalesce(
       graft.functions.Text.bloomNone(
-        graft.functions.Text.shingles(split(textCol, " "), Decontamination.ShingleK),
+        graft.functions.Text.shingles(graft.Tok.toks(textCol), Decontamination.ShingleK),
         bloom),
       lit(true))
 

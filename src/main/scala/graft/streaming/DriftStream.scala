@@ -39,7 +39,7 @@ final class DriftStream(spark: SparkSession, state: StateDir) {
       state.append(Table,
         batch.toDF()
           .select((col("doc_id") % 2).as("half"),
-            explode(split(col("text"), " ")).as("tok"))
+            explode(graft.Tok.toksText).as("tok"))
           .groupBy(col("half"), col("tok"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("batch_id", lit(batchId)))
