@@ -100,7 +100,11 @@ object StreamMain {
       retrainPpm: Option[Long] = None,
       evalEvery: Long = 0L,
       evalFloor: Option[Long] = None,
-      evalStride: Long = graft.Dials.EvalProbeStride)
+      evalStride: Long = graft.Dials.EvalProbeStride,
+      // file-source batch granularity (maxFilesPerTrigger): > 0 caps each
+      // micro-batch at N files so a multi-file drop replays as multiple
+      // batches even under --once; 0 = Spark's default (all available)
+      maxFilesPerBatch: Int = 0)
 
   val DocsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -133,6 +137,8 @@ object StreamMain {
           cfg = cfg.copy(evalFloor = Some(args(i + 1).toLong)); i += 2
         case "--eval-stride" =>
           cfg = cfg.copy(evalStride = args(i + 1).toLong); i += 2
+        case "--max-files-per-batch" =>
+          cfg = cfg.copy(maxFilesPerBatch = args(i + 1).toInt); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg $other")
       }
     }
@@ -183,7 +189,8 @@ object StreamMain {
       Some((rest.substring(0, slash), rest.substring(slash + 1)))
     }
 
-  private def docsStream(spark: SparkSession, source: String): DataFrame =
+  private def docsStream(spark: SparkSession, source: String,
+      maxFilesPerBatch: Int = 0): DataFrame =
     kafkaSpec(source) match {
       case Some((bootstrap, topic)) =>
         spark.readStream.format("kafka")
@@ -194,7 +201,10 @@ object StreamMain {
           .select(col("doc.doc_id"), col("doc.source"), col("doc.text"))
           .filter(col("doc_id").isNotNull)
       case None =>
-        spark.readStream.schema(DocsSchema).parquet(source)
+        val r = spark.readStream.schema(DocsSchema)
+        (if (maxFilesPerBatch > 0)
+           r.option("maxFilesPerTrigger", maxFilesPerBatch)
+         else r).parquet(source)
     }
 
   private def awaitOrDrain(cfg: Config, queries: Seq[StreamingQuery],
@@ -241,7 +251,7 @@ object StreamMain {
       (ivf, pq, sq)
     }
 
-    val arrivals = docsStream(spark, cfg.source)
+    val arrivals = docsStream(spark, cfg.source, cfg.maxFilesPerBatch)
     val gated = bloom.fold(arrivals)(b => BloomGate.gate(arrivals, b))
     var batches = 0L
     var retrains = 0L
