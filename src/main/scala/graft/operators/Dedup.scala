@@ -451,19 +451,16 @@ object Dedup {
           .select(col("v"), col("lbl"))
           .unionByName(labels)
           .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        // pointer jump ×2: follow the label two hops (labels ARE node ids,
-        // and l(m) ≤ m, so each hop only ever lowers — path halving twice
-        // per round). The second hop is one more label-table-sized join in
-        // the SAME round job — far cheaper than the extra full round (with
-        // its propagate over edges, pin, and fixpoint probe) it replaces:
-        // measured at sf0.1 the double jump converges in 3 rounds where the
-        // single jump took 5.
-        val jump: DataFrame => DataFrame = l => {
-          val ptr = l.select(col("v").as("p"), col("lbl").as("plbl"))
-          l.join(ptr, l("lbl") === ptr("p"), "left")
-            .select(l("v"), coalesce(col("plbl"), l("lbl")).as("lbl"))
-        }
-        val jumped = pin(jump(jump(stepped)))
+        // pointer jump: follow the label one hop (labels ARE node ids, and
+        // l(m) ≤ m, so this only ever lowers — path halving). Exactly ONE
+        // hop per round: an r11 interleaved A/B measured the two-hop
+        // variant 40-60% SLOWER at sf0.1 (5.6-6.5 s vs 3.7-3.9) — the
+        // second self-join's stage/broadcast overhead exceeds the one
+        // round it saves at fixture scale, and at sf10 the round count is
+        // already logarithmic.
+        val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
+        val jumped = pin(stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
+          .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl")))
         val newSum = labelSum(jumped)
         converged = sumsEqual(newSum, prevSum)
         prevSum = newSum

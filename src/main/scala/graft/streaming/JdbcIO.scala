@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC sources/sinks — the one reference IO modality the port had
+  * re-expressed over [[StateDir]] parquet without ever EXECUTING the
+  * original shape. The reference's operative sinks are JDBC rows: the
+  * streaming pipeline inserts chunk metadata and batch queue rows through
+  * plain JDBC writes (`/root/reference`'s StreamingApp.scala:341-342 and
+  * 452-471, FileWorkerApp.scala:207-227, all against PostgreSQL). This
+  * facade is the executable Spark twin: `spark.read.jdbc` /
+  * `df.write.jdbc` with the options that matter at scale, exercised
+  * end-to-end in JdbcIOSpec against EMBEDDED Apache Derby — a real SQL
+  * database that ships in Spark's own classpath (the Hive-metastore
+  * dependency), so the modality runs in-sandbox with zero network.
+  *
+  * Scale notes (the knobs a 100 TB deployment tunes, spelled here so the
+  * facade is the documentation):
+  *  - READS partition by a numeric column's [lb, ub) range into
+  *    `numPartitions` concurrent JDBC cursors ([[readPartitioned]]) —
+  *    an unpartitioned `read.jdbc` is ONE executor pulling the whole
+  *    table through one connection. Filters on the partition column and
+  *    projected columns push into the remote SQL (PushedFilters in the
+  *    scan — pinned by the spec).
+  *  - WRITES go through `batchsize` (rows per executeBatch round trip)
+  *    and `isolationLevel`; `numPartitions` bounds concurrent
+  *    connections so a 1000-task stage does not open 1000 sessions
+  *    against the database.
+  *  - Exactly-once: JDBC appends are NOT idempotent by themselves; the
+  *    streaming sink twin is [[appendOnce]] — the same batch-id ledger
+  *    guard every StateDir sink uses (T9), here as a per-batch existence
+  *    probe before the append. A re-delivered foreachBatch replays as a
+  *    no-op; a torn append (some rows in, batch row incomplete) is
+  *    repaired by the delete-first arm, mirroring the reference's
+  *    Postgres transaction semantics as closely as a two-step protocol
+  *    can.
+  */
+object JdbcIO {
+
+  /** Connection properties for an embedded-Derby URL; for any other
+    * database, callers pass their own (driver, user, password, …). */
+  def derbyProps(): Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  def write(df: DataFrame, url: String, table: String, mode: String,
+      props: Properties = derbyProps(), batchSize: Int = 1000,
+      maxConnections: Int = 8): Unit =
+    df.coalesce(maxConnections).write
+      .option("batchsize", batchSize)
+      .mode(mode).jdbc(url, table, props)
+
+  /** One-cursor read — fine for dimension-sized tables only. */
+  def read(spark: SparkSession, url: String, table: String,
+      props: Properties = derbyProps()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Range-partitioned parallel read: `numPartitions` concurrent cursors
+    * over `[lb, ub)` slices of numeric `partCol` — the only JDBC read
+    * shape that scales past one connection's throughput. */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+      partCol: String, lb: Long, ub: Long, numPartitions: Int,
+      props: Properties = derbyProps()): DataFrame =
+    spark.read.jdbc(url, table, partCol, lb, ub, numPartitions, props)
+
+  /** T9 over JDBC: append `df` tagged with `batchId` exactly once. The
+    * guard probes the table for the batch's rows; a fully-replayed batch
+    * is skipped, a TORN one (crash mid-append) is deleted and re-appended
+    * — `df` must be deterministic for the batch (the same contract every
+    * StateDir `appendOnce` sink holds). Returns true when rows were
+    * (re)written. `df` must not already carry a `batch_id` column. */
+  def appendOnce(df: DataFrame, url: String, table: String, batchId: Long,
+      expectedRows: Long, props: Properties = derbyProps()): Boolean = {
+    val tagged = df.withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(batchId))
+    val conn = DriverManager.getConnection(url, props)
+    val decision =
+      try {
+        val exists =
+          try {
+            // Identifier-case contract, matching Spark's JDBC writer
+            // exactly: the TABLE name goes into the DDL as-is (so Derby
+            // normalizes an unquoted name, and this probe must also leave
+            // it unquoted), while COLUMN names are dialect-quoted at
+            // CREATE time (case-sensitive "batch_id" — the probe must
+            // quote them too).
+            val st = conn.prepareStatement(
+              s"""SELECT count(*) FROM $table WHERE "batch_id" = ?""")
+            st.setLong(1, batchId)
+            val rs = st.executeQuery()
+            rs.next()
+            Some(rs.getLong(1))
+          } catch { case _: java.sql.SQLException => None } // table absent
+        exists match {
+          case Some(n) if n == expectedRows && n > 0 => "skip"
+          case Some(n) if n > 0 => // torn batch: repair by delete + rewrite
+            val del = conn.prepareStatement(
+              s"""DELETE FROM $table WHERE "batch_id" = ?""")
+            del.setLong(1, batchId)
+            del.executeUpdate()
+            "append"
+          case _ => "append"
+        }
+      } finally conn.close()
+    if (decision == "append") {
+      tagged.write.mode("append").jdbc(url, table, props)
+      true
+    } else false
+  }
+}
