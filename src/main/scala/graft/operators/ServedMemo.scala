@@ -46,6 +46,13 @@ private[operators] final class ServedMemo[T <: AnyRef](
       }
     }
 
+  // exit cleanup: otherwise every short-lived JVM (Bench/TimeQ/Verify)
+  // strands its temp index roots in /tmp — same hygiene as StreamState
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      memo.synchronized { memo.values().forEach(v => deleteTree(v._2)) }))
+  }
+
   /** Cheap driver-side fingerprint of the corpus files backing a build
     * (names + sizes + mtimes — the Dedup.corpusStamp doctrine). */
   private def stampOf(d: String, table: String): String = {

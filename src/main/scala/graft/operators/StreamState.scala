@@ -51,6 +51,16 @@ object StreamState {
       }
     }
 
+  // the roots hold a full arrivals COPY of the corpus (~300 MB at sf10) —
+  // without exit cleanup every Bench/TimeQ JVM strands one per corpus
+  // (observed: 7 orphans after one r11 measuring session)
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      memo.synchronized {
+        memo.values().forEach(v => deleteTree(v._2))
+      }))
+  }
+
   private def deleteTree(root: String): Unit = {
     def rec(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
