@@ -86,28 +86,56 @@ object Tables {
     * measurement. On a real cluster the same dial is per-job
     * configuration — this is the single-box automation of it. */
   def initPartsFor(dir: String): String =
-    sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", {
-      val sz =
-        try {
-          val p = java.nio.file.Paths.get(dir)
-          if (!java.nio.file.Files.isDirectory(p)) 0L
-          else {
-            // Depth 2: Spark-written tables are DIRECTORIES of part files —
-            // a flat Files.list would size them at 0 and a multi-GB corpus
-            // would silently keep the 32-partition fixture dial (losing the
-            // 512-partition spill-merge protection the sf10 OOM fix needs).
-            val s = java.nio.file.Files.walk(p, 2)
-            try s.filter(java.nio.file.Files.isRegularFile(_)).mapToLong { f =>
-              try java.nio.file.Files.size(f) catch { case _: Throwable => 0L }
-            }.sum
-            finally s.close()
-          }
-        } catch { case _: Throwable => 0L }
-      if (sz > (1L << 30)) "512" else "32"
-    })
+    sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+      if (dirBytes(dir) > (1L << 30)) "512" else "32")
+
+  /** Total bytes under `dir`, depth 2: Spark-written tables are
+    * DIRECTORIES of part files — a flat listing would size them at 0 and
+    * a multi-GB corpus would silently keep the fixture dials. */
+  private def dirBytes(dir: String): Long =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p, 2)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).mapToLong { f =>
+          try java.nio.file.Files.size(f) catch { case _: Throwable => 0L }
+        }.sum
+        finally s.close()
+      }
+    } catch { case _: Throwable => 0L }
 
   /** The config key [[initPartsFor]] feeds. */
   val InitPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+  /** Scan-split granularity for a corpus dir — the SCAN-side sibling of
+    * [[initPartsFor]]'s shuffle dial, added when sf30 found the next
+    * single-box wall: a >4 GiB corpus at the default 128 MB splits gives
+    * each of 32 concurrent scan tasks a ~0.5 GB sort input, and the big
+    * equi-join's pre-SMJ sorts exhaust the 8 GB heap's execution pool
+    * faster than they can spill (q34 at sf30:
+    * `UNABLE_TO_ACQUIRE_MEMORY ... got 0` in UnsafeExternalSorter).
+    * 32 MB splits bound per-task sort input 4× lower — measured: q34 at
+    * sf30 FAILS at 128 MB and runs 21.7 s at 32 MB, same heap. Fixture
+    * and sf10-scale dirs keep Spark's default (sf10 passes at 128 MB;
+    * finer splits only add scheduler overhead there). On a real cluster
+    * this is per-executor sizing — split bytes × task slots must fit the
+    * executor's execution pool; this constant automates the 32-core/8 GB
+    * single-box shape. SPARK_GRAFT_SCAN_MB overrides for measurement. */
+  def scanSplitFor(dir: String): String = {
+    val mb = sys.env.get("SPARK_GRAFT_SCAN_MB").map(_.toLong).getOrElse {
+      if (dirBytes(dir) > (4L << 30)) 32L else 128L
+    }
+    (mb << 20).toString
+  }
+
+  /** The config key [[scanSplitFor]] feeds. */
+  val ScanSplitKey = "spark.sql.files.maxPartitionBytes"
+
+  /** Both corpus-adaptive session dials, ready for `builder.config`. */
+  def corpusConfigs(dir: String): Seq[(String, String)] = Seq(
+    InitPartsKey -> initPartsFor(dir),
+    ScanSplitKey -> scanSplitFor(dir))
 
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
