@@ -156,8 +156,9 @@ object StreamMain {
     val cfg = parse(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // same master dial as Verify/Bench: SPARK_GRAFT_MASTER=local-cluster[...]
+    // runs the ingest fabric across real executor processes
+    val builder = graft.Tables.configureMaster(SparkSession.builder(), cpus)
       .appName("graft-stream")
       .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 32))
       .config("spark.ui.enabled", "false")
