@@ -408,10 +408,11 @@ object Dedup {
     * returned frame is the final, materialized label table's plan. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val pin = roundPinner(pairs)
+    val probe = pinWithSum(isReliable(pairs.sparkSession)) _
     // pin the pair pipeline ONCE before symmetrizing: the union below
     // references `pairs` twice, and without the checkpoint both branches
     // would re-run the whole upstream (LSH) plan. The pin is lazy — the
-    // initial labelSum below is the one job that materializes pairs,
+    // initial round probe below is the one job that materializes pairs,
     // edges, and l₀ together.
     val p = pin(pairs)
     val edges = p
@@ -427,15 +428,15 @@ object Dedup {
     // plan). The checkpoint pins each round to a constant-size LogicalRDD,
     // materialized by the round's labelSum probe; superseded round RDDs are
     // unreferenced and reclaimed by the ContextCleaner.
-    var labels = pin(edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl")))
     // Fixpoint detection: labels are per-vertex NON-INCREASING (least/min
     // everywhere) over a fixed vertex set, so the round changed something
-    // iff Σ lbl strictly dropped — one shuffle-free partial aggregation
-    // over the freshly-pinned table, instead of a corpus-sized self-join
-    // per round. DECIMAL(38,0): exact, no Long-overflow wraparound at any
-    // n × max(id).
-    var prevSum = labelSum(labels)
+    // iff Σ lbl strictly dropped. Since r12 the sum RIDES the pin's own
+    // materialization job as an observe() metric (see [[pinWithSum]]) —
+    // one SQL execution per round, no separate aggregate exchange.
+    // DECIMAL(38,0): exact, no Long-overflow wraparound at any n × max(id).
+    var (labels, prevSum) = probe(
+      edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl")))
     var converged = false
     var rounds = 0
     try {
@@ -459,9 +460,9 @@ object Dedup {
         // round it saves at fixture scale, and at sf10 the round count is
         // already logarithmic.
         val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
-        val jumped = pin(stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
-          .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl")))
-        val newSum = labelSum(jumped)
+        val (jumped, newSum) = probe(
+          stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
+            .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl")))
         converged = sumsEqual(newSum, prevSum)
         prevSum = newSum
         labels = jumped
@@ -499,23 +500,52 @@ object Dedup {
   /** Per-round pin for the iterative solvers: LAZY localCheckpoint by
     * default, eager reliable checkpoint when [[ReliableCcConf]] is true.
     * Both truncate lineage immediately (the fixpoint's exponential-plan
-    * trap — the returned frame is a LogicalRDD either way); laziness defers
-    * block materialization to the round's ONE action, the Σ lbl fixpoint
-    * probe ([[labelSum]]), fusing what used to be two jobs per round
-    * (checkpoint count + sum) into one — at fixture scale the driver/AQE
-    * round-trip constant WAS the q54 cost (2.6 s quiet vs DuckDB 0.33 at
-    * sf0.1, r10 verdict), and halving actions halves it with the identical
-    * round algebra. Reliable mode stays eager: a lazy reliable checkpoint
+    * trap — the returned frame is a LogicalRDD either way); laziness
+    * defers block materialization to the round's ONE action (the fixpoint
+    * probe). Reliable mode stays eager: a lazy reliable checkpoint
     * recomputes the whole round when the checkpoint job finally runs,
     * which is the wrong trade exactly when rounds are expensive. */
-  private def roundPinner(df: DataFrame): DataFrame => DataFrame = {
-    val s = df.sparkSession
-    if (s.conf.get(ReliableCcConf, "false").toBoolean) {
-      require(s.sparkContext.getCheckpointDir.isDefined,
-        s"$ReliableCcConf=true needs sparkContext.setCheckpointDir(...)")
-      d => d.checkpoint(eager = true)
-    } else d => d.localCheckpoint(eager = false)
+  private def isReliable(s: SparkSession): Boolean = {
+    val r = s.conf.get(ReliableCcConf, "false").toBoolean
+    if (r) require(s.sparkContext.getCheckpointDir.isDefined,
+      s"$ReliableCcConf=true needs sparkContext.setCheckpointDir(...)")
+    r
   }
+  private def roundPinner(df: DataFrame): DataFrame => DataFrame =
+    if (isReliable(df.sparkSession)) d => d.checkpoint(eager = true)
+    else d => d.localCheckpoint(eager = false)
+
+  /** Pin a round's label table AND read its Σ lbl — the fixpoint probe —
+    * in ONE SQL execution: the sum rides the pin's materialization as an
+    * `observe()` metric (CollectMetrics accumulators folded into the
+    * round's own shuffle tasks), so a round costs exactly one job with no
+    * separate aggregate execution, no extra single-partition exchange,
+    * and no second AQE planning round-trip. At fixture scale those
+    * per-round driver constants WERE the q54 floor (r11 verdict: rounds ×
+    * ~0.4 s of scheduling on a 0.33 s DuckDB twin).
+    *
+    * Under [[ReliableCcConf]] the probe stays a separate exact aggregate
+    * over the pinned table: observed metrics are accumulator-based, and a
+    * stage RETRY after executor loss — the precise failure that mode
+    * exists to survive (ChaosCc) — can re-merge updates from tasks that
+    * already reported, corrupting the sum. A wrong probe is not a wasted
+    * round but a correctness hazard (two corrupted sums colliding would
+    * declare convergence early), so the fault-tolerant path pays one
+    * extra job per round for an exactly-once answer computed AFTER the
+    * checkpoint settles. */
+  private def pinWithSum(reliable: Boolean)(
+      df: DataFrame): (DataFrame, java.math.BigDecimal) =
+    if (reliable) {
+      val pinned = df.checkpoint(eager = true)
+      (pinned, labelSum(pinned))
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = df
+        .observe(obs, sum(col("lbl").cast(DecimalType(38, 0))).as("lblsum"))
+        .localCheckpoint(eager = true)
+      (pinned,
+        obs.get.getOrElse("lblsum", null).asInstanceOf[java.math.BigDecimal])
+    }
 
   /** Resolve a POINTER FOREST to terminal labels: `oneHop` holds (v, lbl)
     * rows where lbl is v's current parent pointer (lbl ≤ v, self-row or
@@ -528,19 +558,18 @@ object Dedup {
     * keyed joins, each emitting O(|oneHop|) rows. Same lineage/checkpoint
     * discipline as [[connectedComponents]]. */
   private[graft] def resolveChains(oneHop: DataFrame): DataFrame = {
-    val pin = roundPinner(oneHop)
-    var labels = pin(oneHop.select(col("v"), col("lbl")))
+    val probe = pinWithSum(isReliable(oneHop.sparkSession)) _
     // same Σ lbl fixpoint test as connectedComponents: pointers only ever
-    // decrease, so "sum unchanged" ⟺ "no pointer moved" — one shuffle-free
-    // aggregation per round instead of a self-join
-    var prevSum = labelSum(labels)
+    // decrease, so "sum unchanged" ⟺ "no pointer moved" — and the sum
+    // rides each round's pin job as an observe() metric (pinWithSum)
+    var (labels, prevSum) = probe(oneHop.select(col("v"), col("lbl")))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
       val ptr = labels.select(col("v").as("p"), col("lbl").as("plbl"))
-      val jumped = pin(labels.join(ptr, labels("lbl") === ptr("p"), "left")
-        .select(labels("v"), coalesce(col("plbl"), labels("lbl")).as("lbl")))
-      val newSum = labelSum(jumped)
+      val (jumped, newSum) = probe(
+        labels.join(ptr, labels("lbl") === ptr("p"), "left")
+          .select(labels("v"), coalesce(col("plbl"), labels("lbl")).as("lbl")))
       converged = sumsEqual(newSum, prevSum)
       prevSum = newSum
       labels = jumped
@@ -733,15 +762,30 @@ object Dedup {
       .select(col("doc_id"), hex12(col("s")).as("x"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("x"))).as("xs")))
-    val na = size(col("ga.xs")).cast("long")
-    val nb = size(col("gb.xs")).cast("long")
-    candidates(sig)
-      .join(arr.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(arr.as("gb"), col("doc_b") === col("gb.doc_id"))
+    // Threshold-aware candidate pruning (prefix/length filtering, the
+    // standard set-similarity-join bound): |∩| ≤ min(na,nb) and
+    // |∪| ≥ max(na,nb), so J ≤ min/max — a pair can only reach J ≥ 0.5
+    // when 2·min(na,nb) ≥ max(na,nb). The counts are free (array lengths
+    // of the staged table) and the filter runs on a NARROW (doc_id, n)
+    // projection BEFORE the array payloads attach, so pruned pairs never
+    // pull their shingle arrays through the exchange at all — the sf30
+    // superlinearity of this row was exactly that payload volume plus
+    // the per-pair merge walks it fed (304 s at sf30; pair set grew 4.6×
+    // over sf10). Integer arithmetic: exact in both engines, and the
+    // filter is recall-lossless by the bound above, so the oracle hash
+    // is unchanged by construction (the twin carries the same WHERE).
+    val cnt = arr.select(col("doc_id"), size(col("xs")).cast("long").as("n"))
+    val pruned = candidates(sig)
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+    pruned
+      .join(arr.select(col("doc_id").as("doc_a"), col("xs").as("xa")), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("xs").as("xb")), Seq("doc_b"))
       .withColumn("n_int",
-        graft.functions.Vectors.isectn(col("ga.xs"), col("gb.xs")))
+        graft.functions.Vectors.isectn(col("xa"), col("xb")))
       .withColumn("jaccard",
-        col("n_int") / (na + nb - col("n_int")).cast("double"))
+        col("n_int") / (col("na") + col("nb") - col("n_int")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -750,14 +794,20 @@ object Dedup {
   def q27Sql: String =
     s"""$lshCtes, counts AS (
        |  SELECT doc_id, count(*) AS n_sh FROM hx GROUP BY doc_id
+       |), cand_pruned AS MATERIALIZED (
+       |  -- same length bound as the engine: J >= 0.5 needs 2*min >= max
+       |  SELECT doc_a, doc_b, ca.n_sh AS na, cb.n_sh AS nb
+       |  FROM cand JOIN counts ca ON ca.doc_id = doc_a
+       |            JOIN counts cb ON cb.doc_id = doc_b
+       |  WHERE 2 * least(ca.n_sh, cb.n_sh) >= greatest(ca.n_sh, cb.n_sh)
        |), inter AS (
-       |  SELECT doc_a, doc_b, count(*) AS n_int
-       |  FROM cand JOIN hx a ON a.doc_id = doc_a JOIN hx b ON b.doc_id = doc_b AND a.x = b.x
-       |  GROUP BY doc_a, doc_b
+       |  SELECT doc_a, doc_b, na, nb, count(*) AS n_int
+       |  FROM cand_pruned JOIN hx a ON a.doc_id = doc_a JOIN hx b ON b.doc_id = doc_b AND a.x = b.x
+       |  GROUP BY doc_a, doc_b, na, nb
        |)
        |SELECT doc_a, doc_b,
-       |  n_int / CAST(ca.n_sh + cb.n_sh - n_int AS DOUBLE) AS jaccard
-       |FROM inter JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
-       |WHERE n_int / CAST(ca.n_sh + cb.n_sh - n_int AS DOUBLE) >= 0.5
+       |  n_int / CAST(na + nb - n_int AS DOUBLE) AS jaccard
+       |FROM inter
+       |WHERE n_int / CAST(na + nb - n_int AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 }
