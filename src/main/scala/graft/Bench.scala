@@ -71,6 +71,16 @@ object Bench {
       // refresh OOM'd q54 at 8 GB on exactly this accumulation while its
       // isolated TimeQ run passed.
       System.gc()
+      // Owned-persist audit (keeps the r11 no-clearCache policy honest):
+      // every CacheManager plan must be a StagedCache-owned entry. An
+      // unowned persist would accumulate across all 107 queries exactly
+      // like the leak the old between-query clearCache masked — surface
+      // it immediately (stderr; the stdout JSON contract stays clean).
+      val cachedN = org.apache.spark.sql.graft.shims.cachedPlanCount(spark)
+      val ownedN = graft.operators.StagedCache.ownedCount
+      if (cachedN > ownedN)
+        System.err.println(
+          s"[bench] UNOWNED persists after $name: cacheManager=$cachedN owned=$ownedN")
       if (errs.contains(name)) name -> None
       else name -> Some((best, worst - best))
     }
@@ -97,8 +107,12 @@ object Bench {
       "\"" + k + "\":\"" + clip(v).replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
+    // tokenizer: SPARK_GRAFT_TOKENIZER changes every declared text result
+    // AND its oracle; without it in the line, a ws-mode and a uni-mode run
+    // on a real corpus would be indistinguishable artifacts.
+    val tok = Tok.Mode
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"load_avg":$loadAvg,"queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"load_avg":$loadAvg,"tokenizer":"$tok","queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir"}"""
     // The full line (~5.5 KB with per-query detail) is for bench_out.json and
     // humans; the driver's capture window is the LAST 2,000 stdout chars, so
     // three rounds of BENCH files carry "parsed": null — the tail landed
@@ -106,7 +120,7 @@ object Bench {
     // the full line first, then a ~130-char compact summary as the FINAL
     // stdout line so any tail window parses a total.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"n_errors":${errs.size},"load_avg":$loadAvg,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"n_errors":${errs.size},"load_avg":$loadAvg,"tokenizer":"$tok","sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n" + summary + "\n").getBytes("UTF-8"))
     System.err.println(json)

@@ -43,6 +43,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-describing dump: the tokenizer dial changes every text result
+    // AND oracle; a side file (not oracle_sql.json — the driver iterates
+    // that map as queries) records which mode produced this artifact.
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"tokenizer":"${Tok.Mode}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

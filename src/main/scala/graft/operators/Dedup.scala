@@ -99,10 +99,12 @@ object Dedup {
     * minhash bands here, hyperplane sign bands in
     * [[Similarity.q46CosineNeardup]]: the LSH candidate step is the same
     * operator whatever produced the keys. */
-  private[operators] def guardedBandPairs(bandTable: DataFrame,
-      cap: Int = HotBucketCap): DataFrame = {
+  /** Band rows tagged with their bucket's hot-guard verdict: `hub` is null
+    * for small buckets, the bucket minimum for oversized ones. Shared by
+    * the pair generator below and q27's bucket-grain verify. */
+  private def taggedBands(bandTable: DataFrame, cap: Int): DataFrame = {
     // One narrow row per (doc, band), materialized ONCE: the hot-bucket agg
-    // and the three join arms below would otherwise each replay the whole
+    // and the join arms below would otherwise each replay the whole
     // upstream pipeline from the scan (AQE broadcasts these small sides, so
     // there is no shared shuffle for ReuseExchange to dedupe). At warehouse
     // scale this is the persisted signature/band table.
@@ -114,7 +116,12 @@ object Dedup {
     val hot = bk.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"))
       .filter(col("bsize") > cap)
-    val tagged = bk.join(broadcast(hot), Seq("band", "key"), "left")
+    bk.join(broadcast(hot), Seq("band", "key"), "left")
+  }
+
+  private[operators] def guardedBandPairs(bandTable: DataFrame,
+      cap: Int = HotBucketCap): DataFrame = {
+    val tagged = taggedBands(bandTable, cap)
     val small = tagged.filter(col("hub").isNull)
     val smallPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -740,53 +747,86 @@ object Dedup {
     * — BASELINE §sf10). */
   def q27NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val sig = signature(docs).localCheckpoint(eager = false)
+    val sig = signature(docs)
     // Exact verify at ARRAY grain: each doc's 48-bit shingle fingerprints
     // (Broder's resemblance-by-fingerprint formulation, as in q20's
-    // minhash chain) collapse to ONE sorted array<long> row, so
-    // the verify stage is two doc-keyed joins that attach the two arrays
-    // to each candidate pair and a codegen'd merge walk (graft_isectn)
-    // per pair — |intersection| AND both set sizes (array lengths) fall
-    // out with NO shingle-grain shuffle, no re-aggregation, and no count
-    // joins. The earlier shape shuffled candidate-expanded shingle rows
-    // through an (doc, x)-keyed join + groupBy + two count joins — at
-    // sf10 that chain was the engine's heaviest shuffle and its 8 GB-heap
-    // OOM (BASELINE §sf10); fingerprint arrays carry the same longs in
-    // ~10× fewer rows and the heaviest remaining exchange is the array
-    // payload replicated once per candidate pair, bounded by the hot-
-    // bucket guard. Multiset exactness: should a 48-bit collision ever
-    // duplicate a fingerprint, graft_isectn multiplies run lengths —
-    // exactly the exploded join's pair count, so the DuckDB oracle
-    // (unchanged, shingle-grain SQL) hash-matches by construction.
+    // minhash chain) collapse to ONE sorted array<long> row, and a
+    // codegen'd merge walk (graft_isectn) per pair yields |intersection|
+    // with both set sizes free as array lengths — no shingle-grain
+    // shuffle, no re-aggregation, no count joins (the r9 shingle-grain
+    // join OOM'd sf10 at 8 GB; BASELINE §sf10). Multiset exactness:
+    // should a 48-bit collision ever duplicate a fingerprint,
+    // graft_isectn multiplies run lengths — exactly the exploded join's
+    // pair count, so the DuckDB oracle (shingle-grain SQL) hash-matches
+    // by construction.
     val arr = StagedCache.stage(d, "q27_arr", shingles(docs)
       .select(col("doc_id"), hex12(col("s")).as("x"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("x"))).as("xs")))
-    // Threshold-aware candidate pruning (prefix/length filtering, the
-    // standard set-similarity-join bound): |∩| ≤ min(na,nb) and
-    // |∪| ≥ max(na,nb), so J ≤ min/max — a pair can only reach J ≥ 0.5
-    // when 2·min(na,nb) ≥ max(na,nb). The counts are free (array lengths
-    // of the staged table) and the filter runs on a NARROW (doc_id, n)
-    // projection BEFORE the array payloads attach, so pruned pairs never
-    // pull their shingle arrays through the exchange at all — the sf30
-    // superlinearity of this row was exactly that payload volume plus
-    // the per-pair merge walks it fed (304 s at sf30; pair set grew 4.6×
-    // over sf10). Integer arithmetic: exact in both engines, and the
-    // filter is recall-lossless by the bound above, so the oracle hash
-    // is unchanged by construction (the twin carries the same WHERE).
-    val cnt = arr.select(col("doc_id"), size(col("xs")).cast("long").as("n"))
-    val pruned = candidates(sig)
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
-    pruned
+
+    // BUCKET-grain verify (r12 — replaces the pair-grain array joins):
+    // the heaviest exchange used to replicate both docs' fingerprint
+    // arrays to EVERY candidate pair — Σ_pairs(|A|+|B|) longs, tens of GB
+    // at sf30 and the row's measured wall (304 s, spill-bound). Within a
+    // band bucket of B members all B(B−1)/2 pairs draw on the same B
+    // arrays, so the verify now ships each bucket's arrays ONCE
+    // (collect_list per (band,key) — Σ_bands |docs| array copies, i.e.
+    // 4× the staged table, independent of the pair count) and enumerates
+    // ordered pairs inside the group with higher-order functions. Per
+    // pair, two cheap guards run BEFORE the merge walk:
+    //  - length bound (prefix/length filtering, the standard
+    //    set-similarity-join prune): J ≥ 0.5 needs 2·min(na,nb) ≥ max —
+    //    recall-lossless, mirrored in the oracle's WHERE;
+    //  - the a<b ordering that halves the enumeration.
+    // The HOF lambda is interpreted DISPATCH around the same compiled
+    // graft_isectn merge walk as before — per-pair CPU is unchanged
+    // while the pair-proportional shuffle term is GONE; a pair sharing
+    // k>1 buckets is re-verified k times (≤4, only for true near-dups)
+    // and collapsed by the final distinct, the same trade that keeps the
+    // shuffle bucket-proportional. Group-row memory is the guard's cap:
+    // cap members × array bytes in the collected list, and cap²·32 B of
+    // transient pair structs at worst — at cap 1024, ~1 MB + ~34 MB for
+    // a cap-boundary clique; re-size cap DOWN, not up, if executor
+    // memory is tight (Dials.HotBucketCap guidance).
+    val tagged = taggedBands(bandKeys(sig), HotBucketCap)
+    val members = tagged.filter(col("hub").isNull)
+      .join(arr, Seq("doc_id"))
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("xs"))).as("ms"))
+    val pairStructs = flatten(transform(col("ms"), a =>
+      transform(
+        filter(col("ms"), b =>
+          a("doc_id") < b("doc_id") &&
+            least(size(a("xs")), size(b("xs"))) * 2 >=
+              greatest(size(a("xs")), size(b("xs")))),
+        b => struct(
+          a("doc_id").as("doc_a"),
+          b("doc_id").as("doc_b"),
+          graft.functions.Vectors.isectn(a("xs"), b("xs")).as("ni"),
+          (size(a("xs")).cast("long") + size(b("xs")).cast("long")).as("stot")))))
+    val smallVerified = members
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        (col("p.ni") / (col("p.stot") - col("p.ni")).cast("double")).as("jaccard"))
+    // Hub pairs (oversized buckets, member↔hub only — linear in the
+    // bucket) keep the pair-grain join: their count is bucket-linear by
+    // construction, so array replication is not the quadratic term here.
+    val hubPairs = tagged
+      .filter(col("hub").isNotNull && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val hubVerified = hubPairs
       .join(arr.select(col("doc_id").as("doc_a"), col("xs").as("xa")), Seq("doc_a"))
       .join(arr.select(col("doc_id").as("doc_b"), col("xs").as("xb")), Seq("doc_b"))
-      .withColumn("n_int",
-        graft.functions.Vectors.isectn(col("xa"), col("xb")))
-      .withColumn("jaccard",
-        col("n_int") / (col("na") + col("nb") - col("n_int")).cast("double"))
+      .filter(least(size(col("xa")), size(col("xb"))) * 2 >=
+        greatest(size(col("xa")), size(col("xb"))))
+      .withColumn("ni", graft.functions.Vectors.isectn(col("xa"), col("xb")))
+      .withColumn("stot", size(col("xa")).cast("long") + size(col("xb")).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni") / (col("stot") - col("ni")).cast("double")).as("jaccard"))
+    smallVerified.unionByName(hubVerified)
       .filter(col("jaccard") >= 0.5)
+      .distinct() // a pair can share several buckets (and cross paths)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -46,4 +46,9 @@ private[graft] object StagedCache {
       owned.put(key, p)
       p
     }
+
+  /** Live owned-persist count — the bench's between-query audit compares
+    * this to the CacheManager's plan count so an UNOWNED persist (the
+    * accumulation the old between-query clearCache masked) is visible. */
+  def ownedCount: Int = synchronized(owned.size())
 }

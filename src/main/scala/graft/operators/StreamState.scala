@@ -32,60 +32,14 @@ import graft.streaming.{DedupStream, StateDir, StreamMain}
   * runs once per (session, corpus stamp) — the first invocation prices
   * arrivals + five micro-batches; repeats serve the persisted state
   * (bench's min-of-3 therefore prices the serve; the build cost is this
-  * row's run-1 spread, disclosed here). The memo LRU deletes evicted
-  * corpora's temp trees, same hygiene as [[ServedMemo]].
+  * row's run-1 spread, disclosed here). Build memo/locking/cleanup live
+  * in [[BuildMemo]] (per-slot build locks since r12 — an unrelated
+  * corpus's q107 no longer waits on this one's build).
   */
 object StreamState {
 
-  private val MaxEntries = 4
   private val Slices = 4
-
-  // memo value: (corpus stamp, temp root)
-  private val memo =
-    new java.util.LinkedHashMap[String, (String, String)](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (String, String)]): Boolean = {
-        val evict = size() > MaxEntries
-        if (evict) deleteTree(e.getValue._2)
-        evict
-      }
-    }
-
-  // the roots hold a full arrivals COPY of the corpus (~300 MB at sf10) —
-  // without exit cleanup every Bench/TimeQ JVM strands one per corpus
-  // (observed: 7 orphans after one r11 measuring session)
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      memo.synchronized {
-        memo.values().forEach(v => deleteTree(v._2))
-      }))
-  }
-
-  private def deleteTree(root: String): Unit = {
-    def rec(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val c = java.nio.file.Files.list(p)
-        try c.forEach(rec(_)) finally c.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    try rec(java.nio.file.Paths.get(root)) catch { case _: Throwable => () }
-  }
-
-  private def stampOf(d: String): String = {
-    import java.nio.file.{Files, Path, Paths}
-    val dir = Paths.get(d, "documents.parquet")
-    val target = if (Files.isDirectory(dir)) dir else Paths.get(d)
-    if (!Files.exists(target)) return "absent"
-    val s = Files.list(target)
-    try {
-      val entries = new scala.collection.mutable.ArrayBuffer[String]()
-      s.forEach { (p: Path) =>
-        entries += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-      }
-      entries.sorted.mkString(",")
-    } finally s.close()
-  }
+  private val memo = new BuildMemo(4, "graft-stream-state-")
 
   /** One parquet FILE per arrival slice, moved into the flat dir the file
     * source watches, in slice order (the file source batches by listing
@@ -112,27 +66,18 @@ object StreamState {
     ()
   }
 
-  private def ensureBuilt(s: SparkSession, d: String): String =
-    memo.synchronized {
-      val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
-      val stamp = stampOf(d)
-      Option(memo.get(key)) match {
-        case Some((st, root)) if st == stamp => root
-        case stale =>
-          stale.foreach { case (_, oldRoot) => deleteTree(oldRoot) }
-          val root = java.nio.file.Files
-            .createTempDirectory("graft-stream-state-").toString
-          (0 until Slices).foreach(i =>
-            writeArrival(s, d, root, i, f"arrival-$i%02d.parquet"))
-          runOnce(s, root) // four micro-batches, state from empty
-          // re-delivery: slice 0 arrives again as a NEW file — one more
-          // batch of already-seen docs; idempotence says state unchanged
-          writeArrival(s, d, root, 0, "arrival-redelivered.parquet")
-          runOnce(s, root)
-          memo.put(key, (stamp, root))
-          root
-      }
+  private def ensureBuilt(s: SparkSession, d: String): String = {
+    val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
+    memo.get(key, BuildMemo.stampOf(d, "documents.parquet")) { root =>
+      (0 until Slices).foreach(i =>
+        writeArrival(s, d, root, i, f"arrival-$i%02d.parquet"))
+      runOnce(s, root) // four micro-batches, state from empty
+      // re-delivery: slice 0 arrives again as a NEW file — one more
+      // batch of already-seen docs; idempotence says state unchanged
+      writeArrival(s, d, root, 0, "arrival-redelivered.parquet")
+      runOnce(s, root)
     }
+  }
 
   /** The streamed dedup-pair state, in q20's exact output shape. */
   def q107StreamState(s: SparkSession, d: String): DataFrame = {

@@ -73,42 +73,77 @@ object JdbcIO {
     * is skipped, a TORN one (crash mid-append) is deleted and re-appended
     * — `df` must be deterministic for the batch (the same contract every
     * StateDir `appendOnce` sink holds). Returns true when rows were
-    * (re)written. `df` must not already carry a `batch_id` column. */
+    * (re)written. `df` must not already carry a `batch_id` column.
+    *
+    * Atomicity contract (the reference runs this inside Postgres
+    * transactions; a two-phase Spark writer cannot, so the protocol is):
+    *  - probe + torn-batch DELETE run in ONE SERIALIZABLE transaction on
+    *    one connection — a crash between them rolls the delete back, so
+    *    the batch is never left "fully absent with its ledger consumed"
+    *    (the pre-r12 hole: three steps over separate auto-commit
+    *    connections);
+    *  - the append itself is Spark's distributed JDBC writer (its own
+    *    connections, necessarily outside that transaction), so appendOnce
+    *    VERIFIES the post-append count and throws on mismatch. Two
+    *    concurrent writers of one batchId (zombie driver + its
+    *    replacement) either deadlock in the probe txn (one aborts — Derby
+    *    picks a victim) or both append; the verify-count turns the double
+    *    append into a loud failure whose NEXT replay takes the torn-batch
+    *    arm and repairs to exactly-once. */
   def appendOnce(df: DataFrame, url: String, table: String, batchId: Long,
       expectedRows: Long, props: Properties = derbyProps()): Boolean = {
     val tagged = df.withColumn("batch_id",
       org.apache.spark.sql.functions.lit(batchId))
+    // Identifier-case contract, matching Spark's JDBC writer exactly: the
+    // TABLE name goes into the DDL as-is (so Derby normalizes an unquoted
+    // name, and these statements must also leave it unquoted), while
+    // COLUMN names are dialect-quoted at CREATE time (case-sensitive
+    // "batch_id" — quoted here too).
+    def countBatch(conn: java.sql.Connection): Option[Long] =
+      try {
+        val st = conn.prepareStatement(
+          s"""SELECT count(*) FROM $table WHERE "batch_id" = ?""")
+        st.setLong(1, batchId)
+        val rs = st.executeQuery()
+        rs.next()
+        Some(rs.getLong(1))
+      } catch { case _: java.sql.SQLException => None } // table absent
     val conn = DriverManager.getConnection(url, props)
     val decision =
       try {
-        val exists =
-          try {
-            // Identifier-case contract, matching Spark's JDBC writer
-            // exactly: the TABLE name goes into the DDL as-is (so Derby
-            // normalizes an unquoted name, and this probe must also leave
-            // it unquoted), while COLUMN names are dialect-quoted at
-            // CREATE time (case-sensitive "batch_id" — the probe must
-            // quote them too).
-            val st = conn.prepareStatement(
-              s"""SELECT count(*) FROM $table WHERE "batch_id" = ?""")
-            st.setLong(1, batchId)
-            val rs = st.executeQuery()
-            rs.next()
-            Some(rs.getLong(1))
-          } catch { case _: java.sql.SQLException => None } // table absent
-        exists match {
-          case Some(n) if n == expectedRows && n > 0 => "skip"
-          case Some(n) if n > 0 => // torn batch: repair by delete + rewrite
-            val del = conn.prepareStatement(
-              s"""DELETE FROM $table WHERE "batch_id" = ?""")
-            del.setLong(1, batchId)
-            del.executeUpdate()
-            "append"
-          case _ => "append"
+        conn.setAutoCommit(false)
+        conn.setTransactionIsolation(
+          java.sql.Connection.TRANSACTION_SERIALIZABLE)
+        try {
+          val d = countBatch(conn) match {
+            case Some(n) if n == expectedRows && n > 0 => "skip"
+            case Some(n) if n > 0 => // torn batch: repair by delete+rewrite
+              val del = conn.prepareStatement(
+                s"""DELETE FROM $table WHERE "batch_id" = ?""")
+              del.setLong(1, batchId)
+              del.executeUpdate()
+              "append"
+            case _ => "append"
+          }
+          conn.commit() // delete (if any) and its range locks settle here
+          d
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
         }
       } finally conn.close()
     if (decision == "append") {
       tagged.write.mode("append").jdbc(url, table, props)
+      // post-append verify: the distributed append ran outside the probe
+      // transaction, so this is what makes a concurrent double-append (or
+      // a partial executor-side write) loud instead of silent.
+      val check = DriverManager.getConnection(url, props)
+      val n = try countBatch(check).getOrElse(-1L) finally check.close()
+      if (n != expectedRows)
+        throw new IllegalStateException(
+          s"appendOnce($table, batch $batchId): wrote $n rows, expected " +
+            s"$expectedRows — torn or concurrent append; replay to repair")
       true
     } else false
   }

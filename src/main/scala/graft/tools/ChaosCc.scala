@@ -32,13 +32,18 @@ import graft.Tables
   */
 object ChaosCc {
 
-  private def executorPids(): Seq[Long] = {
+  /** Executor processes of THIS session only: matched on both the backend
+    * class and `--app-id <applicationId>` in the command line, so a chaos
+    * probe on a shared box (concurrent benches are a known pattern here)
+    * can never SIGKILL an executor belonging to an unrelated Spark job. */
+  private def executorPids(appId: String): Seq[Long] = {
     val self = ProcessHandle.current().pid()
     import scala.jdk.CollectionConverters._
     ProcessHandle.allProcesses().iterator().asScala
       .filter(p => p.pid() != self)
-      .filter(_.info().commandLine().map[Boolean](
-        _.contains("CoarseGrainedExecutorBackend")).orElse(false))
+      .filter(_.info().commandLine().map[Boolean](cl =>
+        cl.contains("CoarseGrainedExecutorBackend")
+          && cl.contains(appId)).orElse(false))
       .map(_.pid()).toSeq
   }
 
@@ -70,12 +75,13 @@ object ChaosCc {
 
     // phase 3: chaos solve — reliable checkpoints, one executor SIGKILLed
     spark.conf.set(graft.operators.Dedup.ReliableCcConf, "true")
-    val before = executorPids().toSet
+    val appId = spark.sparkContext.applicationId
+    val before = executorPids(appId).toSet
     require(before.nonEmpty, "no executor processes visible — not local-cluster?")
     @volatile var killed = -1L
     val killer = new Thread(() => {
       Thread.sleep(1500) // land mid-fixpoint (the solve runs for seconds)
-      val victim = executorPids().headOption.getOrElse(-1L)
+      val victim = executorPids(appId).headOption.getOrElse(-1L)
       if (victim > 0) {
         new ProcessBuilder("kill", "-9", victim.toString).start().waitFor()
         killed = victim
@@ -87,7 +93,7 @@ object ChaosCc {
       .orderBy(col("v")).collect().map(r => (r.getLong(0), r.getLong(1)))
     killer.join(10000)
 
-    val victimDead = killed > 0 && !executorPids().contains(killed)
+    val victimDead = killed > 0 && !executorPids(appId).contains(killed)
     val matches = got.sameElements(expect)
     println(s"""{"chaos":"cc","killed":$killed,"victim_dead":$victimDead,""" +
       s""""labels":${got.length},"match":$matches}""")

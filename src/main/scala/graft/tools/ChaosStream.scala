@@ -27,13 +27,17 @@ import graft.streaming.{DedupStream, StateDir, StreamMain}
   */
 object ChaosStream {
 
-  private def executorPids(): Seq[Long] = {
+  /** Executor processes of THIS session only (matched on backend class +
+    * `--app-id`), so a probe on a shared box never kills an executor of
+    * an unrelated Spark job. */
+  private def executorPids(appId: String): Seq[Long] = {
     val self = ProcessHandle.current().pid()
     import scala.jdk.CollectionConverters._
     ProcessHandle.allProcesses().iterator().asScala
       .filter(p => p.pid() != self)
-      .filter(_.info().commandLine().map[Boolean](
-        _.contains("CoarseGrainedExecutorBackend")).orElse(false))
+      .filter(_.info().commandLine().map[Boolean](cl =>
+        cl.contains("CoarseGrainedExecutorBackend")
+          && cl.contains(appId)).orElse(false))
       .map(_.pid()).toSeq
   }
 
@@ -69,10 +73,11 @@ object ChaosStream {
         java.nio.file.Paths.get(f"$work/arrivals/arrival-$i%02d.parquet"))
     }
 
+    val appId = spark.sparkContext.applicationId
     @volatile var killed = -1L
     val killer = new Thread(() => {
       Thread.sleep(4000) // land while micro-batches are flowing
-      val victim = executorPids().headOption.getOrElse(-1L)
+      val victim = executorPids(appId).headOption.getOrElse(-1L)
       if (victim > 0) {
         new ProcessBuilder("kill", "-9", victim.toString).start().waitFor()
         killed = victim
@@ -97,7 +102,7 @@ object ChaosStream {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val batch = graft.operators.Dedup.q20MinhashNeardup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val victimDead = killed > 0 && !executorPids().contains(killed)
+    val victimDead = killed > 0 && !executorPids(appId).contains(killed)
     val matches = streamed.sameElements(batch)
     println(s"""{"chaos":"stream","killed":$killed,"victim_dead":$victimDead,""" +
       s""""restarted":$restarted,"pairs":${streamed.length},"match":$matches}""")

@@ -19,4 +19,14 @@ object shims {
     * after the session is collected. */
   def sessionUUID(s: SparkSession): String =
     s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+  /** Number of plans the CacheManager currently holds — the bench's
+    * between-query audit that every live persist has an owner (the field
+    * is `private`, so this one read goes through reflection). */
+  def cachedPlanCount(s: SparkSession): Int = {
+    val cm = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    val m = cm.getClass.getDeclaredMethod("cachedData")
+    m.setAccessible(true)
+    m.invoke(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[_]].size
+  }
 }

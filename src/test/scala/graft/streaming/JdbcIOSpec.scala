@@ -68,4 +68,34 @@ class JdbcIOSpec extends AnyFunSuite {
       "torn batch must rewrite")
     assert(JdbcIO.read(spark, url, "docs_once").count() == n + b1.count())
   }
+
+  test("appendOnce post-append verify fails loudly and the replay repairs") {
+    // The distributed append necessarily runs outside the probe
+    // transaction, so appendOnce verifies the final count — a concurrent
+    // double-append (zombie driver) or partial write surfaces HERE as a
+    // throw, and the NEXT replay's torn-batch arm repairs to exactly-once.
+    val b2 = docs.filter(col("doc_id") >= 80 && col("doc_id") < 100)
+    val n2 = b2.count()
+    // leg 1: the verify itself — a wrong declared count throws after the
+    // rows land (and the follow-up replay with the true count recognizes
+    // the batch as already complete: skip, no rewrite)
+    intercept[IllegalStateException](
+      JdbcIO.appendOnce(b2, url, "docs_once", 2L, n2 + 5))
+    assert(!JdbcIO.appendOnce(b2, url, "docs_once", 2L, n2),
+      "complete batch must skip")
+    // leg 2: a concurrent double-append — simulate the zombie writer by
+    // inserting a duplicate row behind the ledger's back; the replay's
+    // probe sees n2+1 ≠ n2 (torn) and rewrites exactly-once
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """INSERT INTO docs_once SELECT * FROM docs_once WHERE "batch_id" = 2
+          | FETCH FIRST 1 ROWS ONLY""".stripMargin)
+    } finally conn.close()
+    assert(JdbcIO.appendOnce(b2, url, "docs_once", 2L, n2),
+      "over-complete batch must repair")
+    assert(JdbcIO.read(spark, url, "docs_once")
+      .filter(col("batch_id") === 2).count() == n2)
+  }
 }

@@ -5,7 +5,16 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, duckdb, pandas as pd, numpy as np
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+# optional: --json <path> emits a driver-shaped per-query report
+# ({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+# err}}) so the committed cluster-gate artifact reads like the driver's
+# CORRECTNESS_r*.json.
+args = [a for a in sys.argv[1:]]
+json_out = None
+if "--json" in args:
+    i = args.index("--json"); json_out = args[i+1]; del args[i:i+2]
+sfdir, outdir = args[0], args[1]
+report = {}
 con = duckdb.connect()
 # Large-fixture runs: bound DuckDB's parallelism/memory so a multi-hour
 # recursive-CTE oracle doesn't starve concurrent engine benches
@@ -27,11 +36,17 @@ for name in sorted(os.listdir(outdir)):
     got = pd.read_parquet(p)
     if name not in oracle:
         print(f"{name:28s} rows-only: {len(got)} rows")
+        report[name] = {"rows_match": len(got) >= 0, "schema_match": None,
+                        "hash_match": None, "spark_rows": len(got),
+                        "oracle_rows": None, "err": None}
         continue
     try:
         exp = con.sql(oracle[name]).df()
     except Exception as e:
         print(f"{name:28s} ORACLE ERROR: {e}")
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": len(got),
+                        "oracle_rows": None, "err": f"oracle: {e}"[:300]}
         fail += 1
         continue
     # driver-style: sort columns by name, compare values
@@ -87,11 +102,23 @@ for name in sorted(os.listdir(outdir)):
     status = "OK " if ok else "FAIL"
     if not ok: fail += 1
     print(f"{name:28s} {status} rows={len(got)} {'; '.join(msgs)}")
+    report[name] = {"rows_match": len(got) == len(exp),
+                    "schema_match": list(got.columns) == list(exp.columns),
+                    "hash_match": ok, "spark_rows": len(got),
+                    "oracle_rows": len(exp),
+                    "err": ("; ".join(msgs))[:300] or None}
 # A query that crashed in Verify leaves no output dir — that is a failure,
 # not a skip (otherwise a regressed query silently passes the gate).
 for name in sorted(oracle):
     if not os.path.isdir(os.path.join(outdir, name)):
         fail += 1
         print(f"{name:28s} FAIL missing output dir (query crashed in Verify?)")
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": None,
+                        "oracle_rows": None,
+                        "err": "missing output dir (query crashed in Verify?)"}
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(report, f, indent=1)
 print(f"\n{'ALL OK' if fail==0 else f'{fail} FAILURES'}")
 sys.exit(1 if fail else 0)
