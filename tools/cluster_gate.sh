@@ -22,8 +22,9 @@ tools/jrun.sh graft.Verify "$SF" "$OUT" 2>"$OUT.verify.err" \
   || { echo "[cluster_gate] Verify FAILED — tail of stderr:"; tail -20 "$OUT.verify.err"; exit 1; }
 python3 tools/check.py "$SF" "$OUT" --json "CORRECTNESS_r${ROUND}_cluster.json" \
   | tail -3
-echo "[cluster_gate] Bench under $SPARK_GRAFT_MASTER (1 run) ..."
-SPARK_GRAFT_BENCH_RUNS=1 SPARK_GRAFT_SF_DIR="$SF" \
+BENCH_SF=${3:-/root/testdata/sf0.1}
+echo "[cluster_gate] Bench under $SPARK_GRAFT_MASTER (1 run, $BENCH_SF) ..."
+SPARK_GRAFT_BENCH_RUNS=1 SPARK_GRAFT_SF_DIR="$BENCH_SF" \
   tools/jrun.sh graft.Bench >"$OUT.bench.log" 2>"$OUT.bench.err" \
   || { echo "[cluster_gate] Bench FAILED — tail:"; tail -5 "$OUT.bench.err"; exit 1; }
 head -1 bench_out.json > "BENCH_r${ROUND}_cluster.json"
