@@ -182,7 +182,18 @@ object Dedup {
     minhashPairsOf(Tables.documents(s, d))
 
   /** Same pair graph over an arbitrary (doc_id, text) frame — the entry
-    * composed pipelines use (e.g. gate-then-dedup over a filtered corpus). */
+    * composed pipelines use (e.g. gate-then-dedup over a filtered corpus).
+    *
+    * DELIBERATELY pair-grain (measured r12): a bucket-grain variant of
+    * this estimate (the q27 rewrite's shape — member signatures collected
+    * per bucket, 12-component match counts in-group) was built and
+    * interleave-measured at sf30: 124 s warm vs 83.6, and q54 — its
+    * heaviest consumer — 308 s vs 242. The boundary is payload-per-pair:
+    * q27 ships ~1.6 KB fingerprint ARRAYS per pair, so deleting the
+    * pair-proportional exchange beat the interpreted in-group dispatch
+    * 6×; here the per-pair payload is 2×12 fixed-width longs (~200 B,
+    * radix-sortable), which Spark's joins move faster than a lambda
+    * evaluator can enumerate pairs. Rejected, recorded in BASELINE §r12. */
   private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
     // The signature subtree feeds the band pipeline and both pair sides —
     // materialize it once (one narrow row per doc; at real scale this is
@@ -813,6 +824,11 @@ object Dedup {
     // construction, so array replication is not the quadratic term here.
     val hubPairs = tagged
       .filter(col("hub").isNotNull && col("doc_id") =!= col("hub"))
+      // the guard's disclosure metric, same as guardedBandPairs: every
+      // engaged cap reports (this branch occurs exactly once in the plan)
+      .observe("graft_lsh_capped",
+        count(lit(1)).as("capped_rows"),
+        coalesce(max(col("bsize")), lit(0L)).as("max_bucket"))
       .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
     val hubVerified = hubPairs

@@ -115,9 +115,20 @@ class EntrySmokeSpec extends AnyFunSuite {
     // centroid vectors (array_sort/transform over |labels| grouped rows —
     // the same tiny-group rationale as the Lloyd fold); the corpus-scale
     // distance stage is native graft_vmilli/graft_dotl, HOF-free
+    // q27's bucket-grain verify (r12) is the one MEASURED exception to
+    // the per-row rule: its HOF enumerates pairs inside hot-guard-capped
+    // band buckets around the COMPILED graft_isectn merge walk — the
+    // interpreted part is per-pair dispatch, the work inside each call is
+    // native, and the HOF is what deleted the pair-proportional array
+    // shuffle that was the engine's largest scale cost (sf30: 304 →
+    // 42.5 s, BASELINE §r12). Per-element-interpreted-WORK stays banned.
+    // (q20 tried the same shape in r12 and measured SLOWER — its per-pair
+    // payload is 24 fixed-width longs, which the joins move faster than a
+    // lambda evaluator enumerates; rejected, BASELINE §r12 — so it stays
+    // OFF this list on purpose.)
     val allowed = Set("q40_ivf_ann", "q75_semantic_dedup", "q92_ivfpq_ann",
       "q98_hybrid_ann", "q101_filtered_ann", "q106_ann_recall",
-      "q72_centroid_confusion")
+      "q72_centroid_confusion", "q27_ngram_jaccard")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
