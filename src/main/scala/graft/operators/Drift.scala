@@ -42,15 +42,25 @@ object Drift {
     * StateDir-merged count deltas (DriftStreamSpec pins stream ≡ batch —
     * exact counts are associative sums, so the composition is lossless). */
   private[graft] def reportFrom(cnt: DataFrame): DataFrame = {
-    val tot = cnt.groupBy(col("half")).agg(sum(col("cnt")).as("tot"))
-    val rates = cnt.join(broadcast(tot), Seq("half"))
-      .withColumn("ppm", expr(s"($Ppm * cnt) DIV tot"))
-    val old = rates.filter(col("half") === 0)
-      .select(col("tok"), col("cnt").as("cnt_old"), col("ppm").as("old_ppm"))
-    val neu = rates.filter(col("half") === 1)
-      .select(col("tok"), col("cnt").as("cnt_new"), col("ppm").as("new_ppm"))
-    old.join(neu, Seq("tok"), "full")
-      .na.fill(0L, Seq("cnt_old", "cnt_new", "old_ppm", "new_ppm"))
+    // Single-pass pivot (r12): one hash aggregate folds both halves into
+    // one row per token — the previous form split the count table into
+    // old/new branches and FULL-OUTER-joined them back (plus a totals
+    // join), which leaned on ReuseExchange to dedupe three consumers of
+    // the same exchange and still paid a vocab-sized join. Appearing /
+    // vanishing tokens fall out of the conditional sums as zeros — the
+    // exact na.fill(0) semantics of the join form.
+    val flat = cnt.groupBy(col("tok")).agg(
+      coalesce(sum(when(col("half") === 0, col("cnt"))), lit(0L)).as("cnt_old"),
+      coalesce(sum(when(col("half") === 1, col("cnt"))), lit(0L)).as("cnt_new"))
+    val tot = cnt.agg(
+      coalesce(sum(when(col("half") === 0, col("cnt"))), lit(0L)).as("tot_old"),
+      coalesce(sum(when(col("half") === 1, col("cnt"))), lit(0L)).as("tot_new"))
+    flat.crossJoin(broadcast(tot))
+      // coalesce: an EMPTY half has tot=0 and every cnt=0 — x DIV 0 is
+      // null in Spark, and the join form's semantics for a missing half
+      // was a filled 0
+      .withColumn("old_ppm", coalesce(expr(s"($Ppm * cnt_old) DIV tot_old"), lit(0L)))
+      .withColumn("new_ppm", coalesce(expr(s"($Ppm * cnt_new) DIV tot_new"), lit(0L)))
       .filter(col("cnt_old") + col("cnt_new") >= MinCount)
       .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
       .orderBy(abs(col("delta_ppm")).desc, col("tok"))
