@@ -56,11 +56,14 @@ object Drift {
       coalesce(sum(when(col("half") === 0, col("cnt"))), lit(0L)).as("tot_old"),
       coalesce(sum(when(col("half") === 1, col("cnt"))), lit(0L)).as("tot_new"))
     flat.crossJoin(broadcast(tot))
-      // coalesce: an EMPTY half has tot=0 and every cnt=0 — x DIV 0 is
-      // null in Spark, and the join form's semantics for a missing half
-      // was a filled 0
-      .withColumn("old_ppm", coalesce(expr(s"($Ppm * cnt_old) DIV tot_old"), lit(0L)))
-      .withColumn("new_ppm", coalesce(expr(s"($Ppm * cnt_new) DIV tot_new"), lit(0L)))
+      // An EMPTY half has tot=0 and every cnt=0; under ANSI mode (Spark 4
+      // default) x DIV 0 THROWS — AppSmokeSpec's first drift tick hit it —
+      // so the zero-half case short-circuits to the join form's filled 0
+      // before the division is ever evaluated.
+      .withColumn("old_ppm", when(col("tot_old") === 0, lit(0L))
+        .otherwise(expr(s"($Ppm * cnt_old) DIV tot_old")))
+      .withColumn("new_ppm", when(col("tot_new") === 0, lit(0L))
+        .otherwise(expr(s"($Ppm * cnt_new) DIV tot_new")))
       .filter(col("cnt_old") + col("cnt_new") >= MinCount)
       .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
       .orderBy(abs(col("delta_ppm")).desc, col("tok"))
