@@ -26,7 +26,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    Tables.corpusConfigs(sfDir).foreach { case (k, v) => builder.config(k, v) }
+    Tables.corpusConfigs(sfDir, cpus).foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet paths once (sf0.001 flagship) so the

@@ -132,10 +132,29 @@ object Tables {
   /** The config key [[scanSplitFor]] feeds. */
   val ScanSplitKey = "spark.sql.files.maxPartitionBytes"
 
-  /** Both corpus-adaptive session dials, ready for `builder.config`. */
-  def corpusConfigs(dir: String): Seq[(String, String)] = Seq(
+  /** Corpus-adaptive SHUFFLE parallelism — the sf100 wall's dial, same
+    * doctrine as [[scanSplitFor]]: per-task execution memory is what a
+    * single box runs out of first, and at fixed parallelism the per-task
+    * sort input grows with the corpus (the near-dup pair graph grows
+    * ~N^1.39 on the synthetic generator — at sf100 its attach-join sorts
+    * exceed 32 tasks × the 16 GB pool: `UNABLE_TO_ACQUIRE_MEMORY, got
+    * 0`). >16 GiB corpora shuffle at 4× the core count so each sort task
+    * holds ~¼ the rows; AQE coalesces the small stages' post-shuffle
+    * partitions back down, so fixture-scale plans and the recorded
+    * sf0.1–sf30 numbers are untouched (those dirs stay at the core
+    * count). On a real cluster this is the standard partitions ≈
+    * bytes/128 MB sizing; the constant automates the single-box shape.
+    * SPARK_GRAFT_SHUFFLE_PARTS overrides for measurement. */
+  def shufflePartsFor(dir: String, cpus: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+      if (dirBytes(dir) > (16L << 30)) (cpus.toInt * 4).toString else cpus)
+
+  /** All corpus-adaptive session dials, ready for `builder.config`.
+    * `cpus` seeds the shuffle-partition floor (the session default). */
+  def corpusConfigs(dir: String, cpus: String = "32"): Seq[(String, String)] = Seq(
     InitPartsKey -> initPartsFor(dir),
-    ScanSplitKey -> scanSplitFor(dir))
+    ScanSplitKey -> scanSplitFor(dir),
+    "spark.sql.shuffle.partitions" -> shufflePartsFor(dir, cpus))
 
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")

@@ -199,12 +199,25 @@ object Dedup {
     // materialize it once (one narrow row per doc; at real scale this is
     // the persisted signature table an LSH index maintains).
     val sig = signature(docs).localCheckpoint(eager = false)
-    val matches = (0 until R)
-      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
-      .reduce(_ + _)
+    // PACKED attach (r12): the pair-proportional exchange carries the two
+    // signatures per candidate — the dominant shuffle term (and the sf100
+    // disk wall's biggest addend). Each m_j < P < 2³⁰, so adjacent
+    // components pack losslessly into one long (hi<<32 | lo): 6 longs per
+    // side instead of 12 halves the attach bytes, and the match count
+    // recovers per-component from the XOR's halves (x>>32 == 0 ⇔ hi
+    // equal; x & 0xFFFFFFFF == 0 ⇔ lo equal — all codegen'd integer ops).
+    // An ENGINE-side representation change only: est_jaccard values are
+    // bit-identical, the oracle still compares m_j columns directly.
+    val packed = sig.select(col("doc_id") +: (0 until R / 2).map(i =>
+      (shiftleft(col(s"m${2 * i}"), 32) + col(s"m${2 * i + 1}")).as(s"p$i")): _*)
+    val matches = (0 until R / 2).map { i =>
+      val x = col(s"sa.p$i").bitwiseXOR(col(s"sb.p$i"))
+      when(shiftright(x, 32) === 0, 1).otherwise(0) +
+        when(x.bitwiseAND(lit(0xFFFFFFFFL)) === 0, 1).otherwise(0)
+    }.reduce(_ + _)
     candidates(sig)
-      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(packed.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(packed.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("est_jaccard", matches / lit(12.0))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))

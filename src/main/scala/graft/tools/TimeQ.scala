@@ -11,7 +11,7 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    Tables.corpusConfigs(sfDir).foreach { case (k, v) => builder.config(k, v) }
+    Tables.corpusConfigs(sfDir, cpus).foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     // SPARK_GRAFT_LOG=INFO surfaces DAGScheduler stage names when
     // chasing a stage-numbered failure at scale
