@@ -150,8 +150,11 @@ object Tables {
       if (dirBytes(dir) > (16L << 30)) (cpus.toInt * 4).toString else cpus)
 
   /** All corpus-adaptive session dials, ready for `builder.config`.
-    * `cpus` seeds the shuffle-partition floor (the session default). */
-  def corpusConfigs(dir: String, cpus: String = "32"): Seq[(String, String)] = Seq(
+    * `cpus` seeds the shuffle-partition floor (the session default) — no
+    * default value on purpose: a caller that sets its own partition count
+    * and then applies these configs would have it silently overridden by
+    * a hardcoded 32 (the r12 advisor found six tools doing exactly that). */
+  def corpusConfigs(dir: String, cpus: String): Seq[(String, String)] = Seq(
     InitPartsKey -> initPartsFor(dir),
     ScanSplitKey -> scanSplitFor(dir),
     "spark.sql.shuffle.partitions" -> shufflePartsFor(dir, cpus))

@@ -25,25 +25,43 @@ private[operators] final class BuildMemo(maxEntries: Int, prefix: String) {
   private val liveRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // Slots detached by LRU eviction, awaiting root cleanup OUTSIDE the map
+  // lock. The r12 advisor found the previous form (slot.synchronized
+  // inside removeEldestEntry, i.e. under the map monitor) reintroducing
+  // the global stall this class exists to remove: evicting a mid-build
+  // slot blocked every lookup of every key for the whole build.
+  private val evictedSlots =
+    new java.util.concurrent.ConcurrentLinkedQueue[Slot]()
+
   private val memo =
     new java.util.LinkedHashMap[String, Slot](8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Slot]): Boolean = {
         val evict = size() > maxEntries
-        // Slot lock under the map lock cannot deadlock: builders never
-        // take the map lock while holding a slot lock. Eviction can wait
-        // for an in-flight build of the EVICTED corpus — correct (never
-        // delete a tree under a live build) and bounded to that one slot.
-        if (evict) e.getValue.synchronized {
-          Option(e.getValue.root).foreach { r =>
-            BuildMemo.deleteTree(r); liveRoots.remove(r)
-          }
-          e.getValue.root = null
-          e.getValue.stamp = null
-        }
+        // Detach only — no slot lock here. Cleanup (which may wait for an
+        // in-flight build of the EVICTED corpus) happens in drainEvicted,
+        // outside the map monitor, so lookups of other keys never block.
+        if (evict) evictedSlots.add(e.getValue)
         evict
       }
     }
+
+  /** Delete the roots of detached slots. Takes each slot's OWN monitor
+    * (never the map's), so waiting for an in-flight build of an evicted
+    * corpus blocks only this cleaner, not the memo. */
+  private def drainEvicted(): Unit = {
+    var s = evictedSlots.poll()
+    while (s != null) {
+      s.synchronized {
+        Option(s.root).foreach { r =>
+          BuildMemo.deleteTree(r); liveRoots.remove(r)
+        }
+        s.root = null
+        s.stamp = null
+      }
+      s = evictedSlots.poll()
+    }
+  }
 
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -52,32 +70,46 @@ private[operators] final class BuildMemo(maxEntries: Int, prefix: String) {
 
   /** The memoized root for `key` at `stamp`, running `build(root)` into a
     * fresh temp dir when absent or stale. Builds for different keys run
-    * concurrently; two callers of ONE key serialize on its slot. */
+    * concurrently; two callers of ONE key serialize on its slot.
+    *
+    * After taking the slot lock the caller revalidates that the slot is
+    * still the map's slot for `key` — a slot evicted between lookup and
+    * lock acquisition would otherwise be rebuilt into as an orphan whose
+    * root is never served nor LRU-evicted (leaked until JVM exit; r12
+    * advisor finding). Taking the map lock while holding a slot lock is
+    * deadlock-free because eviction no longer takes slot locks under the
+    * map monitor (it only detaches). */
   def get(key: String, stamp: String)(build: String => Unit): String = {
-    val slot = memo.synchronized {
-      Option(memo.get(key)).getOrElse {
-        val sl = new Slot
-        memo.put(key, sl)
-        sl
-      }
-    }
-    slot.synchronized {
-      if (slot.stamp == stamp && slot.root != null) slot.root
-      else {
-        Option(slot.root).foreach { r =>
-          BuildMemo.deleteTree(r); liveRoots.remove(r)
+    while (true) {
+      val slot = memo.synchronized {
+        Option(memo.get(key)).getOrElse {
+          val sl = new Slot
+          memo.put(key, sl) // may detach the eldest into evictedSlots
+          sl
         }
-        slot.root = null
-        slot.stamp = null
-        val root =
-          java.nio.file.Files.createTempDirectory(prefix).toString
-        liveRoots.add(root)
-        build(root)
-        slot.stamp = stamp
-        slot.root = root
-        root
+      }
+      drainEvicted() // outside the map lock; may wait on evicted builds
+      slot.synchronized {
+        val current = memo.synchronized { memo.get(key) }
+        if (current eq slot) {
+          if (slot.stamp == stamp && slot.root != null) return slot.root
+          Option(slot.root).foreach { r =>
+            BuildMemo.deleteTree(r); liveRoots.remove(r)
+          }
+          slot.root = null
+          slot.stamp = null
+          val root =
+            java.nio.file.Files.createTempDirectory(prefix).toString
+          liveRoots.add(root)
+          build(root)
+          slot.stamp = stamp
+          slot.root = root
+          return root
+        }
+        // else: evicted between lookup and lock — retry with a fresh slot
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 }
 

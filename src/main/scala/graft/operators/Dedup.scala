@@ -455,7 +455,8 @@ object Dedup {
     * returned frame is the final, materialized label table's plan. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val pin = roundPinner(pairs)
-    val probe = pinWithSum(isReliable(pairs.sparkSession)) _
+    val reliable = isReliable(pairs.sparkSession)
+    val probe = pinWithSum(reliable) _
     // pin the pair pipeline ONCE before symmetrizing: the union below
     // references `pairs` twice, and without the checkpoint both branches
     // would re-run the whole upstream (LSH) plan. The pin is lazy — the
@@ -514,6 +515,20 @@ object Dedup {
         prevSum = newSum
         labels = jumped
         rounds += 1
+        // Exact-confirm the observe-based fixpoint before trusting it: the
+        // default path's per-round sums are accumulator metrics, and
+        // duplicate SUCCESSFUL task attempts (speculation, or a stage
+        // resubmission that kept the completed attempts' updates) can
+        // inflate one — two corrupted sums colliding would declare
+        // convergence early with silently wrong labels (r12 advisor).
+        // One extra exact aggregate TOTAL (not per round): it runs only on
+        // the round that claims convergence, over the already-pinned final
+        // table. A mismatch resumes the loop with the exact sum as the new
+        // baseline. Reliable mode's probe is already the exact aggregate.
+        if (converged && !reliable) {
+          val exact = labelSum(labels)
+          if (!sumsEqual(exact, prevSum)) { converged = false; prevSum = exact }
+        }
       }
     } finally edges.unpersist() // also on a mid-fixpoint throw — the loop
                                 // runs actions, so failure here would
@@ -605,7 +620,8 @@ object Dedup {
     * keyed joins, each emitting O(|oneHop|) rows. Same lineage/checkpoint
     * discipline as [[connectedComponents]]. */
   private[graft] def resolveChains(oneHop: DataFrame): DataFrame = {
-    val probe = pinWithSum(isReliable(oneHop.sparkSession)) _
+    val reliable = isReliable(oneHop.sparkSession)
+    val probe = pinWithSum(reliable) _
     // same Σ lbl fixpoint test as connectedComponents: pointers only ever
     // decrease, so "sum unchanged" ⟺ "no pointer moved" — and the sum
     // rides each round's pin job as an observe() metric (pinWithSum)
@@ -621,6 +637,12 @@ object Dedup {
       prevSum = newSum
       labels = jumped
       rounds += 1
+      // same exact-confirm as connectedComponents: observe sums are
+      // accumulator-based and can double-merge under duplicate attempts
+      if (converged && !reliable) {
+        val exact = labelSum(labels)
+        if (!sumsEqual(exact, prevSum)) { converged = false; prevSum = exact }
+      }
     }
     if (!converged)
       throw new IllegalStateException(

@@ -89,7 +89,12 @@ object JdbcIO {
     *    replacement) either deadlock in the probe txn (one aborts — Derby
     *    picks a victim) or both append; the verify-count turns the double
     *    append into a loud failure whose NEXT replay takes the torn-batch
-    *    arm and repairs to exactly-once. */
+    *    arm and repairs to exactly-once — with one honest residue: if the
+    *    zombie's append lands only AFTER the survivor has verified and
+    *    returned, the duplicates persist until something replays the batch
+    *    (the throw fires in the dying zombie, which never retries). A
+    *    single-writer-per-batch harness (Spark's streaming query guarantee
+    *    under correctly-fenced checkpoints) never enters that window. */
   def appendOnce(df: DataFrame, url: String, table: String, batchId: Long,
       expectedRows: Long, props: Properties = derbyProps()): Boolean = {
     val tagged = df.withColumn("batch_id",
@@ -99,6 +104,12 @@ object JdbcIO {
     // name, and these statements must also leave it unquoted), while
     // COLUMN names are dialect-quoted at CREATE time (case-sensitive
     // "batch_id" — quoted here too).
+    // None means TABLE ABSENT only. Derby's table/view-not-found SQLStates
+    // are 42X05 (table does not exist) and 42Y07 (schema does not exist);
+    // anything else — a deadlock or serialization abort inside the
+    // SERIALIZABLE probe txn in particular — must propagate, because
+    // misreading it as "absent" would skip the torn-batch DELETE and
+    // double-append on the retry (r12 advisor finding).
     def countBatch(conn: java.sql.Connection): Option[Long] =
       try {
         val st = conn.prepareStatement(
@@ -107,7 +118,11 @@ object JdbcIO {
         val rs = st.executeQuery()
         rs.next()
         Some(rs.getLong(1))
-      } catch { case _: java.sql.SQLException => None } // table absent
+      } catch {
+        case e: java.sql.SQLException
+            if e.getSQLState == "42X05" || e.getSQLState == "42Y07" =>
+          None
+      }
     val conn = DriverManager.getConnection(url, props)
     val decision =
       try {

@@ -57,7 +57,7 @@ object ChaosCc {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    Tables.corpusConfigs(sfDir).foreach { case (k, v) => builder.config(k, v) }
+    Tables.corpusConfigs(sfDir, "8").foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val work = java.nio.file.Files.createTempDirectory("graft-chaos-").toString

@@ -27,7 +27,7 @@ object PqRecallProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    Tables.corpusConfigs(sfDir).foreach { case (k, v) => builder.config(k, v) }
+    Tables.corpusConfigs(sfDir, cpus).foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -35,7 +35,7 @@ object ServeBench {
       // instead of queuing whole-job FIFO behind each other
       .config("spark.scheduler.mode", "FAIR")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    Tables.corpusConfigs(sfDir).foreach { case (k, v) => builder.config(k, v) }
+    Tables.corpusConfigs(sfDir, cpus).foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)

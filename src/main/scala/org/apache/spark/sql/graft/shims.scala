@@ -21,12 +21,16 @@ object shims {
     s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
   /** Number of plans the CacheManager currently holds — the bench's
     * between-query audit that every live persist has an owner (the field
-    * is `private`, so this one read goes through reflection). */
-  def cachedPlanCount(s: SparkSession): Int = {
-    val cm = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sharedState.cacheManager
-    val m = cm.getClass.getDeclaredMethod("cachedData")
-    m.setAccessible(true)
-    m.invoke(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[_]].size
-  }
+    * is `private`, so this one read goes through reflection). Returns -1
+    * when the reflective read fails (a Spark minor bump renaming the
+    * private member must degrade the DIAGNOSTIC, not crash the bench —
+    * r12 advisor finding); callers treat -1 as "audit unavailable". */
+  def cachedPlanCount(s: SparkSession): Int =
+    try {
+      val cm = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sharedState.cacheManager
+      val m = cm.getClass.getDeclaredMethod("cachedData")
+      m.setAccessible(true)
+      m.invoke(cm).asInstanceOf[scala.collection.Seq[_]].size
+    } catch { case _: Throwable => -1 }
 }
