@@ -162,4 +162,73 @@ object JdbcIO {
       true
     } else false
   }
+
+  /** Driver-side transactional twin of [[appendOnce]] for DRIVER-SCALE row
+    * sets — a worker's claim batch, which is a bounded driver decision by
+    * nature (the same doctrine as [[graft.streaming.WorkQueue]].claim's
+    * bounded collect). This is also the reference's OWN shape: the worker
+    * executable runs every queue write as driver-side prepared statements
+    * (`FileWorkerApp.scala:207-227`), never a distributed write.
+    *
+    * Two properties the distributed form cannot offer:
+    *  - probe + torn-batch DELETE + insert all commit in ONE SERIALIZABLE
+    *    transaction, so there is no zombie-after-commit residue — the
+    *    append is exactly-once, not "verified after the fact";
+    *  - it is the only JDBC WRITE shape that works under a multi-JVM
+    *    master with EMBEDDED Derby (one JVM may boot a Derby database;
+    *    executor JVMs cannot open the driver's ledger).
+    *
+    * Creates `table` on first use as ("file_id" BIGINT, "batch_id"
+    * BIGINT). Returns true when rows were (re)written; a fully-present
+    * batch replays as a no-op. */
+  def appendOnceLocal(fileIds: Seq[Long], url: String, table: String,
+      batchId: Long, props: Properties = derbyProps()): Boolean = {
+    if (fileIds.isEmpty) return false
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      conn.setTransactionIsolation(
+        java.sql.Connection.TRANSACTION_SERIALIZABLE)
+      try {
+        // create-on-first-use, inside the txn (Derby DDL is transactional);
+        // X0Y32 = "already exists"
+        try conn.createStatement().executeUpdate(
+          s"""CREATE TABLE $table ("file_id" BIGINT, "batch_id" BIGINT)""")
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+        val probe = conn.prepareStatement(
+          s"""SELECT count(*) FROM $table WHERE "batch_id" = ?""")
+        probe.setLong(1, batchId)
+        val rs = probe.executeQuery()
+        rs.next()
+        val present = rs.getLong(1)
+        val wrote =
+          if (present == fileIds.size) false // full replay: no-op
+          else {
+            if (present > 0) { // torn batch: repair by delete+rewrite
+              val del = conn.prepareStatement(
+                s"""DELETE FROM $table WHERE "batch_id" = ?""")
+              del.setLong(1, batchId)
+              del.executeUpdate()
+            }
+            val ins = conn.prepareStatement(
+              s"""INSERT INTO $table ("file_id", "batch_id") VALUES (?, ?)""")
+            fileIds.grouped(1000).foreach { grp =>
+              grp.foreach { id =>
+                ins.setLong(1, id); ins.setLong(2, batchId); ins.addBatch()
+              }
+              ins.executeBatch()
+            }
+            true
+          }
+        conn.commit()
+        wrote
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+          throw e
+      }
+    } finally conn.close()
+  }
 }

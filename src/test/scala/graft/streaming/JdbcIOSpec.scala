@@ -98,4 +98,34 @@ class JdbcIOSpec extends AnyFunSuite {
     assert(JdbcIO.read(spark, url, "docs_once")
       .filter(col("batch_id") === 2).count() == n2)
   }
+
+  test("appendOnceLocal: one-txn ledger — replay no-op, torn repair, create-on-first-use") {
+    val ids = (0L until 40L).toSeq
+    assert(JdbcIO.appendOnceLocal(ids, url, "claims_local", 0L),
+      "first append must write (and create the table)")
+    assert(!JdbcIO.appendOnceLocal(ids, url, "claims_local", 0L),
+      "full replay must skip")
+    assert(JdbcIO.appendOnceLocal((40L until 70L).toSeq, url, "claims_local", 1L))
+    def total(): Long = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT count(*) FROM claims_local")
+        rs.next(); rs.getLong(1)
+      } finally conn.close()
+    }
+    assert(total() == 70L)
+    // torn batch: lose some of batch 1 behind the ledger's back → replay
+    // repairs to exactly the batch (delete + rewrite, one transaction)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      "DELETE FROM claims_local WHERE \"batch_id\" = 1 AND \"file_id\" >= 60")
+    finally conn.close()
+    assert(JdbcIO.appendOnceLocal((40L until 70L).toSeq, url, "claims_local", 1L),
+      "torn batch must rewrite")
+    assert(total() == 70L)
+    // empty claim list is a no-op, not a ledger row
+    assert(!JdbcIO.appendOnceLocal(Seq.empty, url, "claims_local", 2L))
+    assert(total() == 70L)
+  }
 }
