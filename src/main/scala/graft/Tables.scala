@@ -149,6 +149,30 @@ object Tables {
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
       if (dirBytes(dir) > (16L << 30)) (cpus.toInt * 4).toString else cpus)
 
+  /** Pair-graph pre-flight ceiling (fourth corpus dial, r13): for >16 GiB
+    * corpora — the scale at which the sf100 probe watched q20 fill 49 GB
+    * of sort scratch and die at 98 % disk (BASELINE §r12) — set
+    * [[graft.operators.Dedup.MaxPairsConf]] from the local scratch
+    * volume's free space at ~200 B per candidate pair slot, so the
+    * pair-graph queries forecast their volume from the bucket stats and
+    * fail in seconds with sizing advice instead of after an hour of
+    * shuffle. Fixture and sf30-scale dirs (≤16 GiB) emit nothing: no
+    * pre-flight job, recorded numbers untouched. SPARK_GRAFT_MAX_PAIRS
+    * overrides the ceiling for measurement. */
+  def pairsCeilingFor(dir: String): Seq[(String, String)] = {
+    val ceil: Option[String] = sys.env.get("SPARK_GRAFT_MAX_PAIRS")
+      .orElse {
+        if (dirBytes(dir) > (16L << 30)) {
+          val scratch = sys.env.get("SPARK_LOCAL_DIRS")
+            .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+            .getOrElse(System.getProperty("java.io.tmpdir"))
+            .split(",").head
+          Some((new java.io.File(scratch).getUsableSpace / 200L).toString)
+        } else None
+      }
+    ceil.map(graft.operators.Dedup.MaxPairsConf -> _).toSeq
+  }
+
   /** All corpus-adaptive session dials, ready for `builder.config`.
     * `cpus` seeds the shuffle-partition floor (the session default) — no
     * default value on purpose: a caller that sets its own partition count
@@ -157,7 +181,8 @@ object Tables {
   def corpusConfigs(dir: String, cpus: String): Seq[(String, String)] = Seq(
     InitPartsKey -> initPartsFor(dir),
     ScanSplitKey -> scanSplitFor(dir),
-    "spark.sql.shuffle.partitions" -> shufflePartsFor(dir, cpus))
+    "spark.sql.shuffle.partitions" -> shufflePartsFor(dir, cpus)) ++
+    pairsCeilingFor(dir)
 
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")

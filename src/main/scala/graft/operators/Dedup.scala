@@ -102,13 +102,15 @@ object Dedup {
   /** Band rows tagged with their bucket's hot-guard verdict: `hub` is null
     * for small buckets, the bucket minimum for oversized ones. Shared by
     * the pair generator below and q27's bucket-grain verify. */
-  private def taggedBands(bandTable: DataFrame, cap: Int): DataFrame = {
+  private def taggedBands(bandTable: DataFrame, cap: Int): DataFrame =
     // One narrow row per (doc, band), materialized ONCE: the hot-bucket agg
     // and the join arms below would otherwise each replay the whole
     // upstream pipeline from the scan (AQE broadcasts these small sides, so
     // there is no shared shuffle for ReuseExchange to dedupe). At warehouse
     // scale this is the persisted signature/band table.
-    val bk = bandTable.localCheckpoint(eager = false)
+    tagBandsOf(bandTable.localCheckpoint(eager = false), cap)
+
+  private def tagBandsOf(bk: DataFrame, cap: Int): DataFrame = {
     // Only the OVERSIZED buckets survive the filter, so this side is tiny
     // (≤ N/cap rows, usually zero) and broadcasts: the guard costs one
     // aggregate over the same (band, key) exchange the self-join already
@@ -119,9 +121,60 @@ object Dedup {
     bk.join(broadcast(hot), Seq("band", "key"), "left")
   }
 
-  private[operators] def guardedBandPairs(bandTable: DataFrame,
-      cap: Int = HotBucketCap): DataFrame = {
-    val tagged = taggedBands(bandTable, cap)
+  /** Session conf: hard ceiling on the FORECAST candidate-pair-slot count
+    * (pre-dedup within-bucket pairs — the quantity the attach shuffle and
+    * sort scratch are proportional to). Unset ⇒ no pre-flight job, the
+    * fixture-scale default; [[graft.Tables.corpusConfigs]] sets it from
+    * free scratch space for >16 GiB corpora, the scale at which the sf100
+    * probe found q20 filling 49 GB of sort scratch and dying at 98 % disk
+    * (BASELINE §r12) — the guard fails in seconds with sizing advice
+    * instead of after an hour of shuffle. */
+  val MaxPairsConf = "spark.graft.pairs.maxEstimated"
+
+  /** Session conf: split the pair generation + signature attach into N
+    * band shards processed SEQUENTIALLY (each pinned before the next
+    * starts), trading an extra pass over the band/signature tables for a
+    * peak-scratch bound of ~1/N — the single-box escape hatch the guard
+    * message names. Default 1 = the recorded single-pass plan. */
+  val BandShardsConf = "spark.graft.pairs.bandShards"
+
+  /** Exact pre-flight forecast of the candidate pair-slot volume, from the
+    * same (band, key) bucket-size aggregate the hot guard runs anyway:
+    * Σ_small b(b−1)/2 + Σ_hot (b−1). This is the size of [[pairSlotsOf]]'s
+    * output BEFORE dedup — the driver of the attach shuffle and the sort
+    * scratch — known for the price of one narrow aggregate, before any
+    * pair is materialized (same doctrine as q70's `graft_winnow_buckets`
+    * observe: forecast the quadratic term from the bucket stats). */
+  private[operators] def pairSlotForecast(bandTable: DataFrame, cap: Int): Long =
+    bandTable.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsize"))
+      .agg(coalesce(sum(when(col("bsize") > cap, col("bsize") - 1)
+        .otherwise(col("bsize") * (col("bsize") - 1) / 2)), lit(0L))
+        .cast("long").as("slots"))
+      .first().getLong(0)
+
+  private def preflightPairGuard(bk: DataFrame, cap: Int): Unit =
+    bk.sparkSession.conf.getOption(MaxPairsConf).map(_.toLong).foreach { ceil =>
+      val slots = pairSlotForecast(bk, cap)
+      if (slots > ceil) throw new IllegalStateException(
+        s"pair-graph pre-flight: forecast $slots candidate pair slots exceeds " +
+          s"the ceiling $ceil ($MaxPairsConf). Estimated sort scratch ≈ " +
+          s"${slots * 200 / (1L << 20)} MiB at ~200 B/slot (BASELINE §r12 " +
+          "sizing rule: single-box scratch ≈ 3 × pairs × 200 B; a cluster " +
+          "spreads the same volume across its executors' local disks at " +
+          "~100 MB each at measured densities). Options: raise the ceiling, " +
+          "point spark.local.dir at a larger volume, or set " +
+          s"$BandShardsConf=2 to halve peak scratch with a second pass.")
+    }
+
+  /** The pre-dedup within-bucket pair stream (slots) — split from
+    * [[guardedBandPairs]] so the forecast spec can compare
+    * [[pairSlotForecast]] against the materialized truth. */
+  private[operators] def pairSlots(bandTable: DataFrame, cap: Int): DataFrame =
+    pairSlotsOf(bandTable.localCheckpoint(eager = false), cap)
+
+  private def pairSlotsOf(bk: DataFrame, cap: Int): DataFrame = {
+    val tagged = tagBandsOf(bk, cap)
     val small = tagged.filter(col("hub").isNull)
     val smallPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -135,7 +188,14 @@ object Dedup {
         count(lit(1)).as("capped_rows"),
         coalesce(max(col("bsize")), lit(0L)).as("max_bucket"))
       .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-    smallPairs.unionByName(hubPairs).distinct()
+    smallPairs.unionByName(hubPairs)
+  }
+
+  private[operators] def guardedBandPairs(bandTable: DataFrame,
+      cap: Int = HotBucketCap): DataFrame = {
+    val bk = bandTable.localCheckpoint(eager = false)
+    preflightPairGuard(bk, cap) // no-op unless MaxPairsConf is set
+    pairSlotsOf(bk, cap).distinct()
   }
 
   /** Spec/diagnostic entry: banded candidate pairs straight from documents
@@ -199,19 +259,42 @@ object Dedup {
     // materialize it once (one narrow row per doc; at real scale this is
     // the persisted signature table an LSH index maintains).
     val sig = signature(docs).localCheckpoint(eager = false)
-    // PACKED attach (r12): the pair-proportional exchange carries the two
-    // signatures per candidate — the dominant shuffle term (and the sf100
-    // disk wall's biggest addend). Each m_j < P < 2³⁰, so adjacent
-    // components pack losslessly into one long (hi<<32 | lo): 6 longs per
-    // side instead of 12 halves the attach bytes, and the match count
-    // recovers per-component from the XOR's halves (x>>32 == 0 ⇔ hi
-    // equal; x & 0xFFFFFFFF == 0 ⇔ lo equal — all codegen'd integer ops).
-    // An ENGINE-side representation change only: est_jaccard values are
-    // bit-identical, the oracle still compares m_j columns directly.
-    // Measurement dial (SPARK_GRAFT_SIG_ATTACH=packed|plain): both forms
-    // are bit-identical in output; the A/B exists because single-box
-    // timings on this shared machine swing 2× with ambient load and the
-    // two forms differ only in attach bytes vs per-pair expression cost.
+    val shards = docs.sparkSession.conf.get(BandShardsConf, "1").toInt
+    if (shards <= 1) attachEstimate(candidates(sig), sig)
+    else {
+      // Band-sharded two-pass mode (see [[BandShardsConf]]): each shard
+      // runs the full candidate + attach + threshold chain over its band
+      // subset and is PINNED EAGERLY before the next shard starts, so the
+      // peak sort/shuffle scratch is one shard's, not the sum. A pair found
+      // in bands of two shards appears twice with an identical est_jaccard
+      // (it is a function of the signatures), so the final dedup is over
+      // the POST-threshold survivors — pair-count-scale, not slot-scale.
+      (0 until shards).map { k =>
+        attachEstimate(
+          guardedBandPairs(bandKeys(sig).filter(col("band") % shards === k)),
+          sig)
+          .localCheckpoint(eager = true)
+      }.reduce(_ unionByName _).dropDuplicates("doc_a", "doc_b")
+    }
+  }
+
+  /** Signature attach + Jaccard estimate + threshold over a candidate pair
+    * frame (doc_a, doc_b).
+    *
+    * PACKED attach (r12): the pair-proportional exchange carries the two
+    * signatures per candidate — the dominant shuffle term (and the sf100
+    * disk wall's biggest addend). Each m_j < P < 2³⁰, so adjacent
+    * components pack losslessly into one long (hi<<32 | lo): 6 longs per
+    * side instead of 12 halves the attach bytes, and the match count
+    * recovers per-component from the XOR's halves (x>>32 == 0 ⇔ hi
+    * equal; x & 0xFFFFFFFF == 0 ⇔ lo equal — all codegen'd integer ops).
+    * An ENGINE-side representation change only: est_jaccard values are
+    * bit-identical, the oracle still compares m_j columns directly.
+    * Measurement dial (SPARK_GRAFT_SIG_ATTACH=packed|plain): both forms
+    * are bit-identical in output; the A/B exists because single-box
+    * timings on this shared machine swing 2× with ambient load and the
+    * two forms differ only in attach bytes vs per-pair expression cost. */
+  private def attachEstimate(pairs: DataFrame, sig: DataFrame): DataFrame =
     if (sys.env.getOrElse("SPARK_GRAFT_SIG_ATTACH", "packed") == "packed") {
       val packed = sig.select(col("doc_id") +: (0 until R / 2).map(i =>
         (shiftleft(col(s"m${2 * i}"), 32) + col(s"m${2 * i + 1}")).as(s"p$i")): _*)
@@ -220,7 +303,7 @@ object Dedup {
         when(shiftright(x, 32) === 0, 1).otherwise(0) +
           when(x.bitwiseAND(lit(0xFFFFFFFFL)) === 0, 1).otherwise(0)
       }.reduce(_ + _)
-      candidates(sig)
+      pairs
         .join(packed.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(packed.as("sb"), col("doc_b") === col("sb.doc_id"))
         .withColumn("est_jaccard", matches / lit(12.0))
@@ -230,14 +313,13 @@ object Dedup {
       val matches = (0 until R)
         .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
         .reduce(_ + _)
-      candidates(sig)
+      pairs
         .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
         .withColumn("est_jaccard", matches / lit(12.0))
         .filter(col("est_jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
     }
-  }
 
   /** MinHash near-dup: shingle → 12-perm signature → 4×3 banded buckets →
     * candidate pairs only within buckets → estimated Jaccard = matching
