@@ -564,6 +564,33 @@ object Dedup {
     // materialization job as an observe() metric (see [[pinWithSum]]) —
     // one SQL execution per round, no separate aggregate exchange.
     // DECIMAL(38,0): exact, no Long-overflow wraparound at any n × max(id).
+    // One ROUND of the solve as a pure plan transform: propagate (new
+    // label = min(own label, labels of in-neighbors) — ONE exchange: the
+    // neighbor candidates (edges ⋈ labels on u, the label side
+    // broadcast-able) unioned with the labels themselves, then a single
+    // min-groupBy on v; the previous join→groupBy→left-join form computed
+    // the same min with two extra exchanges per round), then pointer jump
+    // (follow the label one hop — labels ARE node ids and l(m) ≤ m, so
+    // this only ever lowers: path halving). Exactly ONE hop per round: an
+    // r11 interleaved A/B measured the two-hop variant 40-60% SLOWER at
+    // sf0.1 (5.6-6.5 s vs 3.7-3.9) — the second self-join's stage/
+    // broadcast overhead exceeds the one round it saves at fixture scale,
+    // and at sf10 the round count is already logarithmic. The r13 closure
+    // sweep measured the remaining structural variants and rejected them
+    // all — the fixture-scale floor is AQE per-stage scheduling across
+    // the round's exchanges, and every attempt to dodge it cost more than
+    // it saved (BASELINE §r13: round fusion, fused-with-lazy-mid-pin,
+    // AQE-off-for-rounds, propagate-only/no-jump).
+    def round(lbls: DataFrame): DataFrame = {
+      val stepped = edges
+        .join(lbls.select(col("v").as("u"), col("lbl")), "u")
+        .select(col("v"), col("lbl"))
+        .unionByName(lbls)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+      val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
+      stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
+        .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl"))
+    }
     var (labels, prevSum) = probe(
       edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl")))
@@ -571,28 +598,7 @@ object Dedup {
     var rounds = 0
     try {
       while (!converged && rounds < 64) { // 64 = safety rail ≫ log₂(any n)
-        // propagate: new label = min(own label, labels of in-neighbors) —
-        // ONE exchange: the neighbor candidates (edges ⋈ labels on u, the
-        // label side broadcast-able) unioned with the labels themselves,
-        // then a single min-groupBy on v. (The previous join→groupBy→left-
-        // join form computed the same min with two extra exchanges per
-        // round — pure fixture-scale stage-count tax, same 100 TB shape.)
-        val stepped = edges
-          .join(labels.select(col("v").as("u"), col("lbl")), "u")
-          .select(col("v"), col("lbl"))
-          .unionByName(labels)
-          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        // pointer jump: follow the label one hop (labels ARE node ids, and
-        // l(m) ≤ m, so this only ever lowers — path halving). Exactly ONE
-        // hop per round: an r11 interleaved A/B measured the two-hop
-        // variant 40-60% SLOWER at sf0.1 (5.6-6.5 s vs 3.7-3.9) — the
-        // second self-join's stage/broadcast overhead exceeds the one
-        // round it saves at fixture scale, and at sf10 the round count is
-        // already logarithmic.
-        val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
-        val (jumped, newSum) = probe(
-          stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
-            .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl")))
+        val (jumped, newSum) = probe(round(labels))
         converged = sumsEqual(newSum, prevSum)
         prevSum = newSum
         labels = jumped
