@@ -337,7 +337,12 @@ object Dedup {
     * that turned each downstream consumer into an hour-plus solve (the
     * q92 OOM finding's sibling; DuckDB-dialect hint, Spark never parses
     * oracle strings). */
-  private[operators] def lshCtes: String = {
+  private[operators] def lshCtes: String = lshCtesOver("documents")
+
+  /** [[lshCtes]] over an arbitrary docs relation (e.g. a doc_id-capped
+    * subquery — q107's bounded stream fixture). `docsRel` must expose
+    * (doc_id, text). */
+  private[operators] def lshCtesOver(docsRel: String): String = {
     val sigCols = (0 until R)
       .map(j => s"min((${2 * j + 1}*x + ${17 * j + 3}) % $P) AS m$j").mkString(",\n    ")
     val bandCase = (0 until Bands).map { b =>
@@ -345,7 +350,7 @@ object Dedup {
       s"WHEN $b THEN concat_ws(',', $cols)"
     }.mkString(" ")
     s"""WITH toks AS (
-       |  SELECT doc_id, ${graft.Tok.sqlText} AS t FROM documents
+       |  SELECT doc_id, ${graft.Tok.sqlText} AS t FROM $docsRel
        |), sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS s
@@ -381,9 +386,12 @@ object Dedup {
        |)""".stripMargin
   }
 
-  def q20Sql: String = {
+  def q20Sql: String = q20SqlOver("documents")
+
+  /** q20's law over an arbitrary docs relation — see [[lshCtesOver]]. */
+  def q20SqlOver(docsRel: String): String = {
     val matchSum = (0 until R).map(j => s"CAST(sa.m$j = sb.m$j AS INT)").mkString(" + ")
-    s"""$lshCtes
+    s"""${lshCtesOver(docsRel)}
        |SELECT doc_a, doc_b, (($matchSum) / 12.0) AS est_jaccard
        |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
        |WHERE (($matchSum) / 12.0) >= 0.5
