@@ -690,5 +690,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_unitok"),
       new ExpressionInfo(classOf[UniTokens].getName, "graft_unitok"),
       (exprs: Seq[Expression]) => UniTokens(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmin"),
+      new ExpressionInfo(classOf[KMinLongs].getName, "graft_kmin"),
+      // k must be a literal, like every sketch-size dial
+      (exprs: Seq[Expression]) => KMinLongs(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
   }
 }

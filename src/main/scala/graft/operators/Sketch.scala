@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Sketches, Text, Vectors}
+
+/** q112 — KMV distinct-count sketch over the corpus 3-gram space, the
+  * constant-memory answer to "how many distinct n-grams / users / urls
+  * does this 100 TB corpus have per group" when an exact count(DISTINCT)
+  * is too expensive to ship (n-gram LM sizing, vocabulary growth curves,
+  * dedup-rate forecasting all start from this number).
+  *
+  * Estimator (Bar-Yossef et al. 2002): hash every element uniformly into
+  * [0, 2^48) (the engine-wide 48-bit md5), keep only the k smallest
+  * DISTINCT hashes per group ([[graft.functions.KMinLongs]], the engine's
+  * first custom AGGREGATE expression — k longs of state per group
+  * everywhere in the plan), then ndv ≈ (k−1)·2^48 / h₍k₎. A group with
+  * fewer than k distinct hashes holds its whole distinct set and the
+  * estimate is exact.
+  *
+  * Declared rows at TWO grains so both regimes sit under the oracle at
+  * every fixture scale: per (lang, source) the small groups stay under k
+  * (exact regime) while per lang the 3-gram space is thousands-strong
+  * (estimator regime). The per-lang rows additionally pin the sketch's
+  * MERGE law in-plan: `kth_rolled` re-derives the per-lang k-th min by
+  * folding the per-(lang, source) k-min ARRAYS (flatten → distinct → sort
+  * → trim — the k smallest of a union are contained in the union of
+  * per-part k-smallest), and the oracle emits the directly-computed value
+  * for both columns — a buffer/merge/trim bug in the aggregate moves one
+  * of them and breaks the hash.
+  *
+  * Columns (eval-row doctrine, like q106's recall): exact ndv over the
+  * same hashes (collisions cancel), the k-th min witness, the integer
+  * estimate, error in permille — all integer arithmetic, no libm.
+  *
+  * Scale shape: shingles explode inside the scan stage (native
+  * `graft_shingles`, no corpus-wide intermediate), and the KMV half
+  * shuffles k longs per (map partition, group) — CONSTANT in corpus size.
+  * The exact-ndv columns (eval-only — a production user drops them and
+  * keeps the sketch) are the usual two-level count-distinct. The two
+  * grains are two aggregates over one derivation; the per-source k-min
+  * arrays feeding the roll-up are |lang|·|source| rows of k longs.
+  */
+object Sketch {
+
+  /** Sketch size: 256 keeps the expected KMV error ≈ 1/√(k−2) ≈ 6.3%
+    * while the buffer stays 2 KB per group. */
+  private[graft] val K = 256
+
+  /** (K−1)·2^48 — the estimator's numerator, exact in int64. */
+  private val Num: Long = (K - 1).toLong << 48
+
+  /** Hashed 3-gram shingles: (lang, source, h ∈ [0, 2^48)). */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("source"),
+        explode(Text.shingles(graft.Tok.toksText, 3)).as("sh"))
+      .select(col("lang"), col("source"), Vectors.md5Prefix48(col("sh")).as("h"))
+
+  /** est / err columns from (ndv_exact, kth_min, n_mins). */
+  private def estimator(df: DataFrame): DataFrame =
+    df.withColumn("kmv_est",
+        when(col("n_mins") < K, col("n_mins").cast("long"))
+          .otherwise(expr(s"$Num DIV kth_min")))
+      .withColumn("err_permille",
+        expr("abs(kmv_est - ndv_exact) * 1000 DIV ndv_exact"))
+
+  def q112KmvVocab(s: SparkSession, d: String): DataFrame = {
+    val sh = hashedShingles(s, d)
+    val perSrc = sh.groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("h")).as("ndv_exact"),
+        Sketches.kmin(col("h"), K).as("mins"))
+      .withColumn("kth_min", coalesce(get(col("mins"), lit(K - 1)), lit(0L)))
+      .withColumn("n_mins", size(col("mins")))
+    val srcRows = estimator(perSrc)
+      .select(concat(col("lang"), lit("/"), col("source")).as("grp"),
+        col("ndv_exact"), col("kth_min"), col("kth_min").as("kth_rolled"),
+        col("kmv_est"), col("err_permille"))
+    // per-lang: direct aggregate over the hashes + the merge-law roll-up
+    // of the per-source k-min arrays (must agree with the direct k-th min)
+    val rolled = perSrc.groupBy(col("lang"))
+      .agg(flatten(collect_list(col("mins"))).as("all_mins"))
+      .select(col("lang"), coalesce(
+        get(slice(sort_array(array_distinct(col("all_mins"))), 1, K), lit(K - 1)),
+        lit(0L)).as("kth_rolled"))
+    val perLang = sh.groupBy(col("lang"))
+      .agg(countDistinct(col("h")).as("ndv_exact"),
+        Sketches.kmin(col("h"), K).as("mins"))
+      .withColumn("kth_min", coalesce(get(col("mins"), lit(K - 1)), lit(0L)))
+      .withColumn("n_mins", size(col("mins")))
+      .join(rolled, "lang")
+    val langRows = estimator(perLang)
+      .select(col("lang").as("grp"), col("ndv_exact"), col("kth_min"),
+        col("kth_rolled"), col("kmv_est"), col("err_permille"))
+    langRows.unionByName(srcRows).orderBy(col("grp"))
+  }
+
+  /** Oracle k-th-min/ndv block over per-grain-DISTINCT hashes `rel`
+    * grouped by `keys` (the grain must dedup h at ITS OWN grain — a
+    * shingle shared by two sources is one element of the lang space). */
+  private def grainSql(rel: String, keys: String, grp: String): String =
+    s"""  SELECT $grp AS grp, max(ndv) AS ndv_exact,
+       |    coalesce(max(CASE WHEN rn = $K THEN h END), 0) AS kth_min,
+       |    least(max(ndv), $K) AS n_mins
+       |  FROM (
+       |    SELECT $keys, h,
+       |      row_number() OVER (PARTITION BY $keys ORDER BY h) AS rn,
+       |      count(*) OVER (PARTITION BY $keys) AS ndv
+       |    FROM $rel
+       |  ) GROUP BY $keys""".stripMargin
+
+  def q112Sql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, source, ${graft.Tok.sqlText} AS t
+       |  FROM documents WHERE text IS NOT NULL
+       |), sh AS (
+       |  SELECT lang, source,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+       |  FROM toks WHERE len(t) >= 3
+       |), hx AS MATERIALIZED (
+       |  SELECT lang, source, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h
+       |  FROM sh
+       |), hl AS (
+       |  SELECT DISTINCT lang, h FROM hx
+       |), hs AS (
+       |  SELECT DISTINCT lang, source, h FROM hx
+       |), g AS (
+       |${grainSql("hl", "lang", "lang")}
+       |  UNION ALL
+       |${grainSql("hs", "lang, source", "lang || '/' || source")}
+       |)
+       |SELECT grp, ndv_exact, kth_min, kth_min AS kth_rolled,
+       |  CASE WHEN n_mins < $K THEN n_mins
+       |       ELSE $Num // kth_min END AS kmv_est,
+       |  abs((CASE WHEN n_mins < $K THEN n_mins
+       |            ELSE $Num // kth_min END) - ndv_exact) * 1000 // ndv_exact
+       |    AS err_permille
+       |FROM g ORDER BY grp""".stripMargin
+}
