@@ -98,6 +98,17 @@ object PiiScan {
        |    CASE WHEN doc_id % 7 = 0 THEN ' 1.2.3.4.5' ELSE '' END AS text
        |  FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** Scrub a docs relation in place: `text` → its redaction. A pure
+    * per-row projection (stateless, row-local), so it is legal in a
+    * streaming plan unchanged — [[graft.streaming.StreamMain]] applies it
+    * at ingest under `--scrub-pii`, BEFORE any state is built, so dedup
+    * fingerprints / indexes / exports never see a raw identifier (the
+    * batch row q111 and the stream stage share this one expression and
+    * cannot diverge). Null text stays null (regexp_replace propagates),
+    * matching the gate's null admission law. */
+  def scrub(docs: DataFrame): DataFrame =
+    docs.withColumn("text", redact(col("text")))
+
   /** Sequential typed redaction — email → ip → phone → ssn. */
   private[graft] def redact(text: Column): Column =
     regexp_replace(

@@ -104,7 +104,11 @@ object StreamMain {
       // file-source batch granularity (maxFilesPerTrigger): > 0 caps each
       // micro-batch at N files so a multi-file drop replays as multiple
       // batches even under --once; 0 = Spark's default (all available)
-      maxFilesPerBatch: Int = 0)
+      maxFilesPerBatch: Int = 0,
+      // --scrub-pii: redact email/IPv4/phone/SSN from arriving text
+      // BEFORE any state (PiiScan.scrub — the q111 expression), so
+      // fingerprints, indexes, and exports never hold a raw identifier
+      scrubPii: Boolean = false)
 
   val DocsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -139,6 +143,7 @@ object StreamMain {
           cfg = cfg.copy(evalStride = args(i + 1).toLong); i += 2
         case "--max-files-per-batch" =>
           cfg = cfg.copy(maxFilesPerBatch = args(i + 1).toInt); i += 2
+        case "--scrub-pii" => cfg = cfg.copy(scrubPii = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg $other")
       }
     }
@@ -252,7 +257,11 @@ object StreamMain {
       (ivf, pq, sq)
     }
 
-    val arrivals = docsStream(spark, cfg.source, cfg.maxFilesPerBatch)
+    val raw = docsStream(spark, cfg.source, cfg.maxFilesPerBatch)
+    // scrub BEFORE the gate and before any state: nothing downstream —
+    // dedup fingerprints, indexes, telemetry, exports — sees raw PII
+    val arrivals =
+      if (cfg.scrubPii) graft.operators.PiiScan.scrub(raw) else raw
     val gated = bloom.fold(arrivals)(b => BloomGate.gate(arrivals, b))
     var batches = 0L
     var retrains = 0L
