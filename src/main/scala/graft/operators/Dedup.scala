@@ -950,7 +950,16 @@ object Dedup {
     val members = tagged.filter(col("hub").isNull)
       .join(arr, Seq("doc_id"))
       .groupBy(col("band"), col("key"))
-      .agg(collect_list(struct(col("doc_id"), col("xs"))).as("ms"))
+      .agg(collect_list(struct(col("doc_id"), col("xs"))).as("ms"),
+        // the collected-group heap bound made VISIBLE (r12 verdict): the
+        // cap²·32 B transient-struct arithmetic above is per-GROUP-ROW
+        // heap, not managed memory, and a future HotBucketCap increase
+        // would silently move q27's working set on-heap — this metric
+        // reports the largest materialized bucket in BYTES (8 B per
+        // fingerprint) so a cap change shows up in telemetry, not an OOM
+        (sum(size(col("xs"))).cast("long") * 8L).as("bucket_bytes"))
+      .observe("graft_q27_bucket_bytes",
+        coalesce(max(col("bucket_bytes")), lit(0L)).as("max_bucket_bytes"))
     val pairStructs = flatten(transform(col("ms"), a =>
       transform(
         filter(col("ms"), b =>

@@ -43,6 +43,27 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(capped == uncapped && capped.nonEmpty)
   }
 
+  test("q27 reports its collected-bucket heap bound, matching a replay") {
+    import org.apache.spark.sql.functions._
+    // the r12-verdict demand: the cap²-bounded group heap must be
+    // observable, so a HotBucketCap increase shows up in telemetry
+    val out = Dedup.q27NgramJaccard(spark, graft.TestSession.sf)
+    out.collect()
+    val m = out.queryExecution.observedMetrics("graft_q27_bucket_bytes")
+    val got = m.getAs[Long]("max_bucket_bytes")
+    // replay: largest (band,key) bucket in collected fingerprint bytes
+    // (8 B each; sf0.001 has no over-cap buckets, so every bucket counts)
+    val docs = graft.Tables.documents(spark, graft.TestSession.sf)
+    val perDoc = Dedup.shingles(docs)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val expected = Dedup.bandKeys(Dedup.signature(docs))
+      .join(perDoc, "doc_id")
+      .groupBy(col("band"), col("key")).agg((sum(col("n")) * 8L).as("b"))
+      .agg(max(col("b"))).head().getLong(0)
+    assert(got == expected, s"metric $got != replay $expected")
+    assert(got > 0L)
+  }
+
   test("capping preserves duplicate coverage: same docs linked, fewer edges") {
     val tight = pairSet(Dedup.candidatePairs(clustered, cap = 3))
     val full = pairSet(Dedup.candidatePairs(clustered, cap = Int.MaxValue))
