@@ -693,8 +693,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_kmin"),
       new ExpressionInfo(classOf[KMinLongs].getName, "graft_kmin"),
-      // k must be a literal, like every sketch-size dial
-      (exprs: Seq[Expression]) => KMinLongs(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+      // k must be a literal, like every sketch-size dial — validated
+      // here so a bad call surfaces as a clear error, not a CCE/NPE
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_kmin(col, k) takes 2 args, got ${exprs.length}")
+        val k = exprs(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.value != null && (lit.dataType == org.apache.spark.sql
+                .types.IntegerType || lit.dataType == org.apache.spark.sql
+                .types.LongType || lit.dataType == org.apache.spark.sql
+                .types.ShortType) =>
+            lit.value.asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_kmin: k must be a non-null integer literal, got $other")
+        }
+        KMinLongs(exprs.head, k).toAggregateExpression()
+      }))
   }
 }

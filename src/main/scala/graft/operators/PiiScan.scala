@@ -142,25 +142,25 @@ object PiiScan {
   def q111Sql: String =
     s"""WITH deco AS (
        |  $decoratedSql
+       |), redacted AS (
+       |  -- redaction named once so the twin pays the regex chain once per
+       |  -- row, like the engine side (codegen subexpression elimination)
+       |  SELECT source, text,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      text, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g'),
+       |      '$SsnRe', '<ID>', 'g') AS red
+       |  FROM deco
        |), per AS (
        |  SELECT source,
        |    len(regexp_extract_all(text, '$EmailRe')) AS em,
        |    len(regexp_extract_all(text, '$Ipv4Re')) AS ip,
        |    len(regexp_extract_all(text, '$PhoneRe')) AS ph,
        |    len(regexp_extract_all(text, '$SsnRe')) AS id,
-       |    length(text) - length(
-       |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       |        text, '$EmailRe', '<EMAIL>', 'g'),
-       |        '$Ipv4Re', '<IP>', 'g'),
-       |        '$PhoneRe', '<PHONE>', 'g'),
-       |        '$SsnRe', '<ID>', 'g')) AS cut,
-       |    ('0x' || substr(md5(
-       |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       |        text, '$EmailRe', '<EMAIL>', 'g'),
-       |        '$Ipv4Re', '<IP>', 'g'),
-       |        '$PhoneRe', '<PHONE>', 'g'),
-       |        '$SsnRe', '<ID>', 'g')), 1, 12))::BIGINT % 1000003 AS ck
-       |  FROM deco
+       |    length(text) - length(red) AS cut,
+       |    ('0x' || substr(md5(red), 1, 12))::BIGINT % 1000003 AS ck
+       |  FROM redacted
        |)
        |SELECT source,
        |  count(*) AS n_docs,

@@ -84,7 +84,7 @@ object Sketch {
     val rolled = perSrc.groupBy(col("lang"))
       .agg(flatten(collect_list(col("mins"))).as("all_mins"))
       .select(col("lang"), coalesce(
-        get(slice(sort_array(array_distinct(col("all_mins"))), 1, K), lit(K - 1)),
+        get(sort_array(array_distinct(col("all_mins"))), lit(K - 1)),
         lit(0L)).as("kth_rolled"))
     val perLang = sh.groupBy(col("lang"))
       .agg(countDistinct(col("h")).as("ndv_exact"),

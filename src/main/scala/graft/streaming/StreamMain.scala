@@ -105,9 +105,10 @@ object StreamMain {
       // micro-batch at N files so a multi-file drop replays as multiple
       // batches even under --once; 0 = Spark's default (all available)
       maxFilesPerBatch: Int = 0,
-      // --scrub-pii: redact email/IPv4/phone/SSN from arriving text
-      // BEFORE any state (PiiScan.scrub — the q111 expression), so
-      // fingerprints, indexes, and exports never hold a raw identifier
+      // --scrub-pii: redact email/IPv4/phone/SSN from admitted text
+      // AFTER the bloom gate (which must match raw shingles) but BEFORE
+      // any state (PiiScan.scrub — the q111 expression), so fingerprints,
+      // indexes, and exports never hold a raw identifier
       scrubPii: Boolean = false)
 
   val DocsSchema: StructType = StructType(Seq(
@@ -148,6 +149,10 @@ object StreamMain {
       }
     }
     require(cfg.mode == "docs" || cfg.mode == "chunks", s"unknown mode ${cfg.mode}")
+    // a privacy flag must never silently no-op: chunks are binary payloads
+    // with no text column, so --scrub-pii there would be ignored
+    require(!(cfg.scrubPii && cfg.mode == "chunks"),
+      "--scrub-pii applies to docs mode only (chunk payloads carry no text)")
     require(cfg.evalStride > 0, s"--eval-stride must be positive (got ${cfg.evalStride})")
     // Eval legs ride the index legs: without bootstrap+embeddings there are
     // no EvalStreams and the flags would silently no-op (eval_ticks:0).
@@ -257,12 +262,16 @@ object StreamMain {
       (ivf, pq, sq)
     }
 
-    val raw = docsStream(spark, cfg.source, cfg.maxFilesPerBatch)
-    // scrub BEFORE the gate and before any state: nothing downstream —
-    // dedup fingerprints, indexes, telemetry, exports — sees raw PII
-    val arrivals =
-      if (cfg.scrubPii) graft.operators.PiiScan.scrub(raw) else raw
-    val gated = bloom.fold(arrivals)(b => BloomGate.gate(arrivals, b))
+    val arrivals = docsStream(spark, cfg.source, cfg.maxFilesPerBatch)
+    // gate on RAW text, then scrub: the benchmark bloom is built from raw
+    // bench docs, so a contaminated passage overlapping a PII span must be
+    // matched BEFORE redaction rewrites its shingles (and placeholder
+    // tokens must not collide with bloom bits) — while the scrub still
+    // precedes every STATE consumer, so dedup fingerprints, indexes,
+    // telemetry, and exports never hold a raw identifier
+    val rawGated = bloom.fold(arrivals)(b => BloomGate.gate(arrivals, b))
+    val gated =
+      if (cfg.scrubPii) graft.operators.PiiScan.scrub(rawGated) else rawGated
     var batches = 0L
     var retrains = 0L
     var evalRetrains = 0L

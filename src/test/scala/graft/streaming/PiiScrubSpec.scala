@@ -29,20 +29,25 @@ class PiiScrubSpec extends AnyFunSuite {
     val expected = PiiScan.scrub(batchDf)
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
 
-    for (splits <- Seq(1, 2, 5)) {
+    // explicit batch plans: 1, 2 (3+2), and 5 single-row micro-batches
+    val batchPlans: Seq[Seq[Seq[(Long, String)]]] = Seq(
+      Seq(rows),
+      Seq(rows.take(3), rows.drop(3)),
+      rows.map(Seq(_)))
+    batchPlans.zipWithIndex.foreach { case (batches, i) =>
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[(Long, String)]
       val q = PiiScan.scrub(input.toDF().toDF("doc_id", "text"))
-        .writeStream.format("memory").queryName(s"pii_scrub_$splits")
+        .writeStream.format("memory").queryName(s"pii_scrub_$i")
         .outputMode("append").start()
       try {
-        rows.grouped(math.max(1, rows.length / splits)).foreach { b =>
+        batches.foreach { b =>
           input.addData(b)
           q.processAllAvailable()
         }
-        val got = spark.table(s"pii_scrub_$splits")
+        val got = spark.table(s"pii_scrub_$i")
           .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
-        assert(got == expected, s"splits=$splits")
+        assert(got == expected, s"batches=${batches.length}")
       } finally q.stop()
     }
     assert(expected(5L).isEmpty, "null text must stay null through the scrub")
