@@ -195,4 +195,68 @@ object Sampling {
        |)
        |SELECT doc_id, lang, rn FROM r WHERE rn <= $QuotaN
        |ORDER BY lang, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+
+  private[operators] val WeightedN = 60
+
+  /** WEIGHTED sampling without replacement, K per language: selection
+    * priority = hash DIV weight (weight = n_chars), smallest-K win — the
+    * integer-exact deterministic analogue of Efraimidis–Spirakis A-ES
+    * keys (u^(1/w) order ≈ u/w order at these stakes): doubling a doc's
+    * weight halves its priority, so long documents are proportionally
+    * likelier to be drawn, which is how a token-budget-aware mixture
+    * samples (q63 sets the budget; this operator implements the draw).
+    * Deterministic like q49/q50/q60 — same rows on any cluster at any
+    * parallelism; the `wgt_` salt keeps it an independent draw.
+    *
+    * "Exactly K per group by priority order" is the q60 problem again,
+    * but solved here with the engine's OWN sketch aggregate instead of
+    * the histogram cascade: phase 1 computes each language's K-th
+    * smallest DISTINCT priority with [[graft.functions.KMinLongs]]
+    * (k longs of state per group, one |langs|-row broadcast); phase 2
+    * filters the corpus to `pri <= threshold` — at least K rows, at most
+    * K plus priority-collision slack — and ranks ONLY those survivors in
+    * a window whose partitions are ~K rows, corpus-independent. The
+    * two-phase sketch-then-verify shape is the standard distributed
+    * top-K; the naive single-window formulation is what the DuckDB twin
+    * runs (bit-identical by the threshold law: every rank-≤K row has
+    * pri ≤ the K-th distinct priority).
+    *
+    * A language with under K distinct priorities broadcasts a +∞
+    * threshold (keep all, let the rank trim) — the sketch's under-k
+    * regime, exercised at sf0.001. */
+  def q113WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("w", greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)))
+      .withColumn("hv",
+        Dedup.hex12(concat(lit("wgt_"), col("doc_id").cast("string"))))
+      .withColumn("pri", expr("hv DIV w"))
+    val thr = docs.groupBy(col("lang"))
+      .agg(graft.functions.Sketches.kmin(col("pri"), WeightedN).as("mins"))
+      .select(col("lang"),
+        coalesce(get(col("mins"), lit(WeightedN - 1)), lit(Long.MaxValue))
+          .as("thr"))
+    val wL = Window.partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+    docs.join(broadcast(thr), Seq("lang"))
+      .filter(col("pri") <= col("thr"))
+      .withColumn("rn", row_number().over(wL).cast("int"))
+      .filter(col("rn") <= WeightedN)
+      .select(col("doc_id"), col("lang"), col("pri"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  def q113Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('wgt_' || doc_id), 1, 12))::BIGINT
+       |      // greatest(coalesce(n_chars, 1), 1) AS pri
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, lang, pri,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS INT) AS rn
+       |  FROM p
+       |)
+       |SELECT doc_id, lang, pri, rn FROM r WHERE rn <= $WeightedN
+       |ORDER BY lang, rn""".stripMargin
 }
