@@ -36,4 +36,27 @@ class PushdownSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q111 prunes the documents read to its three columns, pushes IsNotNull") {
+    val plan = graft.operators.PiiScan.q111PiiScan(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IsNotNull(text)"), s"text filter not pushed:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"unused columns not pruned:\n$readSchema")
+  }
+
+  test("q112's sketch aggregate runs partial-then-final (ObjectHashAggregate pair)") {
+    val plan = graft.operators.Sketch.q112KmvVocab(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_kmin"),
+      s"no map-side partial k-min (full rows would reach the exchange):\n$plan")
+  }
+
+  test("q113's threshold side broadcasts; the corpus never shuffles for the join") {
+    val plan = graft.operators.Sampling.q113WeightedSample(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$plan")
+  }
 }
