@@ -97,7 +97,12 @@ object Tables {
       val p = java.nio.file.Paths.get(dir)
       if (!java.nio.file.Files.isDirectory(p)) 0L
       else {
-        val s = java.nio.file.Files.walk(p, 2)
+        // FOLLOW_LINKS: corpora often arrive as symlinks to a mounted
+        // volume; without it a symlinked dir sizes as 0 and every
+        // corpus-adaptive dial silently stays at fixture defaults
+        // (depth 2 bounds any cycle)
+        val s = java.nio.file.Files.walk(p, 2,
+          java.nio.file.FileVisitOption.FOLLOW_LINKS)
         try s.filter(java.nio.file.Files.isRegularFile(_)).mapToLong { f =>
           try java.nio.file.Files.size(f) catch { case _: Throwable => 0L }
         }.sum
@@ -173,6 +178,20 @@ object Tables {
     ceil.map(graft.operators.Dedup.MaxPairsConf -> _).toSeq
   }
 
+  /** Pair-graph band sharding (fifth corpus dial, r13): >4 GiB corpora
+    * run [[graft.operators.Dedup.BandShardsConf]]=2 — the sf30 A/B
+    * (BASELINE §r13) measured the two-pass form ~10 % FASTER on q20
+    * (half-size attach sorts spill less than one big pass) and neutral on
+    * q54, with bit-identical output in every run, while bounding peak
+    * sort scratch at ~1/2 (the sf100 disk wall's biggest addend).
+    * Fixture and sf10-scale dirs keep the recorded single-pass plan.
+    * SPARK_GRAFT_BAND_SHARDS overrides for measurement. */
+  def bandShardsFor(dir: String): Seq[(String, String)] = {
+    val v = sys.env.get("SPARK_GRAFT_BAND_SHARDS")
+      .orElse(if (dirBytes(dir) > (4L << 30)) Some("2") else None)
+    v.map(graft.operators.Dedup.BandShardsConf -> _).toSeq
+  }
+
   /** All corpus-adaptive session dials, ready for `builder.config`.
     * `cpus` seeds the shuffle-partition floor (the session default) — no
     * default value on purpose: a caller that sets its own partition count
@@ -182,7 +201,7 @@ object Tables {
     InitPartsKey -> initPartsFor(dir),
     ScanSplitKey -> scanSplitFor(dir),
     "spark.sql.shuffle.partitions" -> shufflePartsFor(dir, cpus)) ++
-    pairsCeilingFor(dir)
+    pairsCeilingFor(dir) ++ bandShardsFor(dir)
 
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")

@@ -14,6 +14,9 @@ class DialsSpec extends AnyFunSuite {
     val cfg = Tables.corpusConfigs("/root/testdata/sf0.01", "32").toMap
     assert(cfg(Tables.ScanSplitKey) == (128L << 20).toString)
     assert(cfg("spark.sql.shuffle.partitions") == "32")
+    // the recorded fixture plans are single-pass: no shard dial emitted
+    assert(!cfg.contains(graft.operators.Dedup.BandShardsConf))
+    assert(!cfg.contains(graft.operators.Dedup.MaxPairsConf))
   }
 
   test("shufflePartsFor quadruples above 16 GiB and honors cpus below") {
@@ -23,5 +26,13 @@ class DialsSpec extends AnyFunSuite {
     val sf100 = new java.io.File("testdata/sf100")
     assume(sf100.isDirectory, "sf100 fixtures absent on this box")
     assert(Tables.shufflePartsFor("testdata/sf100", "32") == "128")
+  }
+
+  test("band-shard dial engages above 4 GiB (bit-identity measured, BASELINE r13)") {
+    val sf100 = new java.io.File("testdata/sf100")
+    assume(sf100.isDirectory, "sf100 fixtures absent on this box")
+    val cfg = Tables.corpusConfigs("testdata/sf100", "32").toMap
+    assert(cfg(graft.operators.Dedup.BandShardsConf) == "2")
+    assert(cfg.contains(graft.operators.Dedup.MaxPairsConf))
   }
 }
