@@ -99,14 +99,31 @@ object Tables {
       else {
         // FOLLOW_LINKS: corpora often arrive as symlinks to a mounted
         // volume; without it a symlinked dir sizes as 0 and every
-        // corpus-adaptive dial silently stays at fixture defaults
-        // (depth 2 bounds any cycle)
-        val s = java.nio.file.Files.walk(p, 2,
-          java.nio.file.FileVisitOption.FOLLOW_LINKS)
-        try s.filter(java.nio.file.Files.isRegularFile(_)).mapToLong { f =>
-          try java.nio.file.Files.size(f) catch { case _: Throwable => 0L }
-        }.sum
-        finally s.close()
+        // corpus-adaptive dial silently stays at fixture defaults.
+        // walkFileTree (not Files.walk): walk() surfaces a detected
+        // symlink CYCLE as a thrown FileSystemLoopException, which an
+        // outer catch would turn into 0 for the WHOLE directory — the
+        // exact silent-fixture-default failure this sizing exists to
+        // prevent. The visitor instead skips the one bad entry
+        // (visitFileFailed → CONTINUE) and keeps summing siblings.
+        import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+        import java.nio.file.attribute.BasicFileAttributes
+        var total = 0L
+        Files.walkFileTree(
+          p,
+          java.util.EnumSet.of(java.nio.file.FileVisitOption.FOLLOW_LINKS),
+          2,
+          new SimpleFileVisitor[Path] {
+            override def visitFile(f: Path, a: BasicFileAttributes) = {
+              if (a.isRegularFile) total += a.size()
+              FileVisitResult.CONTINUE
+            }
+            override def visitFileFailed(f: Path, e: java.io.IOException) =
+              FileVisitResult.CONTINUE // loop/IO error: skip entry, not dir
+            override def postVisitDirectory(d: Path, e: java.io.IOException) =
+              FileVisitResult.CONTINUE
+          })
+        total
       }
     } catch { case _: Throwable => 0L }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -31,22 +31,32 @@ object Mixing {
 
   // ---------------------------------------------------------------- q63
 
-  /** Per-(lang, source) largest-remainder apportionment of a half-corpus
-    * token budget. */
-  def q63MixAllocation(s: SparkSession, d: String): DataFrame = {
-    val g = Tables.documents(s, d)
+  /** Per-(lang, source) token counts from the corpus, the apportionment's
+    * input relation — staged (localCheckpoint) because it feeds the one-row
+    * total AND the apportionment, so the total is an agg over |groups|
+    * rows, not a second corpus scan. Extra aggregate columns (`extra`) ride
+    * along for callers that compose the allocation with per-group stats
+    * (q114 needs `n_docs`). */
+  private[operators] def tokenGroups(
+      s: SparkSession, d: String, extra: Column*): DataFrame =
+    Tables.documents(s, d)
       .select(col("lang"), col("source"),
         size(graft.Tok.toksText).as("n"))
       .groupBy(col("lang"), col("source"))
-      .agg(sum(col("n")).as("n_tokens"))
-      // feeds the total AND the apportionment: staged once so the one-row
-      // total is an agg over |groups| rows, not a second corpus scan
+      .agg(sum(col("n")).as("n_tokens"), extra: _*)
       .localCheckpoint(false)
+
+  /** Hamilton's largest-remainder apportionment of `budget = c_total DIV
+    * divisor` over a (lang, source, n_tokens, ...) relation: every group
+    * gets ⌊budget·share⌋ and the leftover units go to the largest
+    * remainders; Σ alloc == budget exactly. Input columns are preserved so
+    * composing queries can keep their own stats alongside `alloc`. */
+  private[operators] def apportion(g: DataFrame, divisor: Int): DataFrame = {
     val tot = g.agg(sum(col("n_tokens")).as("c_total"))
     val wRank = Window.orderBy(col("rem").desc, col("lang"), col("source"))
     val wAll = Window.partitionBy()
     g.crossJoin(broadcast(tot))
-      .withColumn("budget", expr("c_total DIV 2"))
+      .withColumn("budget", expr(s"c_total DIV $divisor"))
       .withColumn("floor_alloc", expr("(n_tokens * budget) DIV c_total"))
       .withColumn("rem", expr("(n_tokens * budget) % c_total"))
       .withColumn("rn", row_number().over(wRank))
@@ -55,10 +65,15 @@ object Mixing {
       // per top remainder always suffices
       .withColumn("alloc", col("floor_alloc") +
         when(col("rn") <= col("budget") - col("f_total"), 1).otherwise(0))
+  }
+
+  /** Per-(lang, source) largest-remainder apportionment of a half-corpus
+    * token budget. */
+  def q63MixAllocation(s: SparkSession, d: String): DataFrame =
+    apportion(tokenGroups(s, d), 2)
       .select(col("lang"), col("source"), col("n_tokens"),
         col("floor_alloc"), col("alloc"))
       .orderBy(col("lang"), col("source"))
-  }
 
   def q63Sql: String =
     s"""WITH g AS (

@@ -227,7 +227,12 @@ object Sampling {
     * threshold (keep all, let the rank trim) — the sketch's under-k
     * regime, exercised at sf0.001. */
   def q113WeightedSample(s: SparkSession, d: String): DataFrame = {
+    // lang IS NOT NULL: symmetric with the twin's WHERE — without it the
+    // engine's inner threshold join would drop NULL-lang docs while the
+    // twin's window kept a NULL partition (latent divergence; fixtures are
+    // non-null today but the operator shouldn't depend on that)
     val docs = Tables.documents(s, d)
+      .filter(col("lang").isNotNull)
       .withColumn("w", greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)))
       .withColumn("hv",
         Dedup.hex12(concat(lit("wgt_"), col("doc_id").cast("string"))))
@@ -251,7 +256,7 @@ object Sampling {
        |  SELECT doc_id, lang,
        |    ('0x' || substr(md5('wgt_' || doc_id), 1, 12))::BIGINT
        |      // greatest(coalesce(n_chars, 1), 1) AS pri
-       |  FROM documents
+       |  FROM documents WHERE lang IS NOT NULL
        |), r AS (
        |  SELECT doc_id, lang, pri,
        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS INT) AS rn
@@ -259,4 +264,175 @@ object Sampling {
        |)
        |SELECT doc_id, lang, pri, rn FROM r WHERE rn <= $WeightedN
        |ORDER BY lang, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+
+  /** [[graft.functions.KMinLongs]]'s hard buffer cap — above this
+    * per-language K the sketch cannot hold the K-th smallest priority and
+    * [[q114BudgetSample]] switches to the q60 histogram cascade (same
+    * exact selection, bounded state at ANY K). */
+  private[operators] val KminCap = 65536
+
+  /** q114's token-budget divisor: the draw targets c_total/16 tokens
+    * (a 6.25% curation sample — production passes a real token target;
+    * the apportionment rule is budget-invariant). */
+  private[operators] val BudgetDiv = 16
+
+  /** BUDGET-AWARE weighted sampling — the q63 ⇄ q113 composition: q63's
+    * Hamilton apportionment turns a global token budget into per-language
+    * token allocations, and this operator converts each allocation into a
+    * document draw count `K_lang = alloc_tokens DIV avg_doc_tokens`
+    * (floor 1) and runs the q113 A-ES draw with THAT K instead of a
+    * fixture constant. Deterministic end-to-end: the allocation is
+    * integer apportionment, the draw is the salted-hash priority order.
+    *
+    * Declared row: one summary row per language carrying the budget law
+    * (`alloc_tokens`, `avg_doc_tokens`, `k_lang`) and the draw's witness
+    * (`n_drawn`, `drawn_chars`, an order-insensitive `id_checksum` of the
+    * drawn doc ids, folded mod 1000003 like q111's corpus checksum) — a
+    * single mis-drawn document moves the checksum, and the output stays
+    * |langs| rows at any corpus size.
+    *
+    * Mechanism (two regimes, identical output):
+    *   - K ≤ [[KminCap]] (the common path): per-language K-th-smallest
+    *     distinct priority from ONE `graft_kmin(pri, kmax)` aggregate —
+    *     kmax longs of state per language — broadcast as a |langs|-row
+    *     threshold table; phase 2 ranks only the `pri <= thr` survivors
+    *     (≈ K rows per language + collision slack, corpus-independent
+    *     given the budget).
+    *   - K > [[KminCap]] (a budget so large the sketch cannot hold the
+    *     K-th min): the q60 histogram cascade generalized to per-language
+    *     quotas — 4096-bucket priority histogram, cumulative counts pick
+    *     the candidate buckets, global rank = bucket prefix + bounded
+    *     local row_number. Bounded state at any K; bucket occupancy
+    *     follows the weight distribution (heavy-doc corpora bunch in low
+    *     buckets), which is the documented skew caveat.
+    * The spec pins both paths bit-identical by forcing the cascade on the
+    * fixture corpus ([[q114Draw]]'s `kminCap` knob).
+    */
+  def q114BudgetSample(s: SparkSession, d: String): DataFrame =
+    q114Draw(s, d, KminCap)
+
+  private[operators] def q114Draw(
+      s: SparkSession, d: String, kminCap: Int): DataFrame = {
+    val perLang = Mixing.apportion(
+        Mixing.tokenGroups(s, d, count(lit(1)).as("n_docs")), BudgetDiv)
+      .groupBy(col("lang"))
+      .agg(sum(col("alloc")).as("alloc_tokens"),
+        sum(col("n_tokens")).as("tok_lang"),
+        sum(col("n_docs")).as("docs_lang"))
+      .withColumn("avg_doc_tokens",
+        greatest(expr("tok_lang DIV docs_lang"), lit(1L)))
+      .withColumn("k_lang",
+        greatest(expr("alloc_tokens DIV avg_doc_tokens"), lit(1L)))
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), col("alloc_tokens"), col("avg_doc_tokens"),
+        col("k_lang"))
+    val docs = Tables.documents(s, d)
+      .filter(col("lang").isNotNull)
+      .withColumn("w", greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)))
+      .withColumn("hv",
+        Dedup.hex12(concat(lit("wgt_"), col("doc_id").cast("string"))))
+      .withColumn("pri", expr("hv DIV w"))
+    // bounded driver probe: one long over |langs| rows (apportionment is
+    // localCheckpoint-staged, so the corpus agg is not re-run by the plan)
+    val kmax = {
+      val r = perLang.agg(max(col("k_lang"))).first()
+      if (r.isNullAt(0)) 1L else r.getLong(0)
+    }
+    val drawn =
+      if (kmax <= kminCap) {
+        val thr = docs.groupBy(col("lang"))
+          .agg(graft.functions.Sketches.kmin(col("pri"), kmax.toInt).as("mins"))
+          .join(perLang, Seq("lang"))
+          .select(col("lang"), col("alloc_tokens"), col("avg_doc_tokens"),
+            col("k_lang"),
+            // under-K language: +inf threshold keeps all, the rank trims
+            coalesce(expr("try_element_at(mins, cast(k_lang AS int))"),
+              lit(Long.MaxValue)).as("thr"))
+        val wL = Window.partitionBy(col("lang"))
+          .orderBy(col("pri"), col("doc_id"))
+        docs.join(broadcast(thr), Seq("lang"))
+          .filter(col("pri") <= col("thr"))
+          .withColumn("rn", row_number().over(wL))
+          .filter(col("rn") <= col("k_lang"))
+      } else {
+        val dB = docs.withColumn("hb", shiftright(col("pri"), 36))
+        val wB = Window.partitionBy(col("lang")).orderBy(col("hb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cand = dB.groupBy(col("lang"), col("hb"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum_before", coalesce(sum(col("cnt")).over(wB), lit(0L)))
+          .join(perLang.select(col("lang"), col("k_lang")), Seq("lang"))
+          .filter(col("cum_before") < col("k_lang"))
+          .select(col("lang"), col("hb"), col("cum_before"))
+        val wL = Window.partitionBy(col("lang"), col("hb"))
+          .orderBy(col("pri"), col("doc_id"))
+        dB.join(broadcast(cand), Seq("lang", "hb"))
+          .join(broadcast(perLang), Seq("lang"))
+          .withColumn("rn", col("cum_before") + row_number().over(wL))
+          .filter(col("rn") <= col("k_lang"))
+      }
+    drawn
+      .groupBy(col("lang"), col("alloc_tokens"), col("avg_doc_tokens"),
+        col("k_lang"))
+      .agg(count(lit(1)).as("n_drawn"),
+        sum(col("w")).as("drawn_chars"),
+        sum(Dedup.hex12(concat(lit("q114_"), col("doc_id").cast("string")))
+          % 1000003L).as("id_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  def q114Sql: String =
+    s"""WITH g AS (
+       |  SELECT lang, source,
+       |    CAST(sum(len(${graft.Tok.sqlText})) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY lang, source
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS c_total FROM g
+       |), p AS (
+       |  SELECT lang, source, n_tokens, n_docs,
+       |    c_total // $BudgetDiv AS budget,
+       |    (n_tokens * (c_total // $BudgetDiv)) // c_total AS floor_alloc,
+       |    (n_tokens * (c_total // $BudgetDiv)) % c_total AS rem
+       |  FROM g, tot
+       |), r AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, lang, source) AS INT) AS rn,
+       |    CAST(sum(floor_alloc) OVER () AS BIGINT) AS f_total
+       |  FROM p
+       |), a AS (
+       |  SELECT lang,
+       |    CAST(sum(floor_alloc +
+       |      CASE WHEN rn <= budget - f_total THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS alloc_tokens,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tok_lang,
+       |    CAST(sum(n_docs) AS BIGINT) AS docs_lang
+       |  FROM r GROUP BY lang
+       |), k AS (
+       |  SELECT lang, alloc_tokens,
+       |    greatest(tok_lang // docs_lang, 1) AS avg_doc_tokens,
+       |    greatest(alloc_tokens // greatest(tok_lang // docs_lang, 1), 1)
+       |      AS k_lang
+       |  FROM a WHERE lang IS NOT NULL
+       |), dd AS (
+       |  SELECT doc_id, lang,
+       |    greatest(coalesce(n_chars, 1), 1) AS w,
+       |    ('0x' || substr(md5('wgt_' || doc_id), 1, 12))::BIGINT
+       |      // greatest(coalesce(n_chars, 1), 1) AS pri
+       |  FROM documents WHERE lang IS NOT NULL
+       |), rk AS (
+       |  SELECT dd.doc_id, dd.lang, dd.w,
+       |    k.alloc_tokens, k.avg_doc_tokens, k.k_lang,
+       |    row_number() OVER (PARTITION BY dd.lang ORDER BY pri, doc_id) AS rn
+       |  FROM dd JOIN k USING (lang)
+       |)
+       |SELECT lang, alloc_tokens, avg_doc_tokens, k_lang,
+       |  CAST(count(*) AS BIGINT) AS n_drawn,
+       |  CAST(sum(w) AS BIGINT) AS drawn_chars,
+       |  CAST(sum(('0x' || substr(md5('q114_' || doc_id), 1, 12))::BIGINT
+       |    % 1000003) AS BIGINT) AS id_checksum
+       |FROM rk WHERE rn <= k_lang
+       |GROUP BY lang, alloc_tokens, avg_doc_tokens, k_lang
+       |ORDER BY lang""".stripMargin
 }

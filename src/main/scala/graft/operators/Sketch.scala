@@ -60,6 +60,39 @@ object Sketch {
         explode(Text.shingles(graft.Tok.toksText, 3)).as("sh"))
       .select(col("lang"), col("source"), Vectors.md5Prefix48(col("sh")).as("h"))
 
+  /** Per-language hashed-shingle relation of an in-memory docs frame —
+    * the derivation [[hashedShingles]] runs per-corpus, reusable by a
+    * stream micro-batch (which sketches ONLY its own documents). */
+  private[graft] def langShingles(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("lang"), explode(Text.shingles(graft.Tok.toksText, 3)).as("sh"))
+      .select(col("lang"), Vectors.md5Prefix48(col("sh")).as("h"))
+
+  /** Per-language batch KMV state: one row per lang, k longs. This is the
+    * APPEND unit of the streaming twin ([[graft.streaming.TelemetryStream]]):
+    * because "k smallest distinct of a union" is associative and
+    * order-free, per-batch k-min arrays ARE mergeable state. */
+  private[graft] def langKmins(docs: DataFrame): DataFrame =
+    langShingles(docs).groupBy(col("lang"))
+      .agg(Sketches.kmin(col("h"), K).as("mins"))
+
+  /** Merge-law roll-up of k-min ARRAYS (the q112 `kth_rolled` law): the k
+    * smallest of a union are contained in the union of per-part
+    * k-smallest — flatten, dedup, sort, trim. */
+  private[graft] def mergedMins(mins: Column): Column =
+    slice(sort_array(array_distinct(flatten(collect_list(mins)))), 1, K)
+
+  /** Serve (kth_min, n_mins, kmv_est) from a `mins` array column — the
+    * sketch-only read path (no exact companion: that's the production
+    * shape; q112's eval row keeps ndv_exact for the oracle). */
+  private[graft] def kmvServe(df: DataFrame): DataFrame =
+    df.withColumn("kth_min", coalesce(get(col("mins"), lit(K - 1)), lit(0L)))
+      .withColumn("n_mins", size(col("mins")))
+      .withColumn("kmv_est",
+        when(col("n_mins") < K, col("n_mins").cast("long"))
+          .otherwise(expr(s"$Num DIV kth_min")))
+      .drop("mins")
+
   /** est / err columns from (ndv_exact, kth_min, n_mins). */
   private def estimator(df: DataFrame): DataFrame =
     df.withColumn("kmv_est",
@@ -69,8 +102,16 @@ object Sketch {
         expr("abs(kmv_est - ndv_exact) * 1000 DIV ndv_exact"))
 
   def q112KmvVocab(s: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(s, d)
-    val perSrc = sh.groupBy(col("lang"), col("source"))
+    // One corpus scan, not three: the explode+md5 shingle derivation is
+    // the dominant cost, so dedup it ONCE at the finest grain
+    // (lang, source, h) and stage the result — perSrc aggregates it
+    // directly and perLang re-aggregates the same staged rows (KMinLongs
+    // keeps distinct hashes, so kmin over source-deduped rows equals kmin
+    // over the raw stream; countDistinct likewise). The staged relation
+    // is the per-source distinct shingle space — vocabulary-sized, far
+    // smaller than the raw shingle stream it replaces.
+    val hs = StagedCache.stage(d, "q112_hs", hashedShingles(s, d).distinct())
+    val perSrc = hs.groupBy(col("lang"), col("source"))
       .agg(countDistinct(col("h")).as("ndv_exact"),
         Sketches.kmin(col("h"), K).as("mins"))
       .withColumn("kth_min", coalesce(get(col("mins"), lit(K - 1)), lit(0L)))
@@ -86,7 +127,7 @@ object Sketch {
       .select(col("lang"), coalesce(
         get(sort_array(array_distinct(col("all_mins"))), lit(K - 1)),
         lit(0L)).as("kth_rolled"))
-    val perLang = sh.groupBy(col("lang"))
+    val perLang = hs.groupBy(col("lang"))
       .agg(countDistinct(col("h")).as("ndv_exact"),
         Sketches.kmin(col("h"), K).as("mins"))
       .withColumn("kth_min", coalesce(get(col("mins"), lit(K - 1)), lit(0L)))

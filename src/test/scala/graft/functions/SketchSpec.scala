@@ -66,4 +66,43 @@ class SketchSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(got == expected(data, 8))
   }
+
+  test("GraftExtensions injection path: happy call resolves, wrong arity " +
+    "and non-literal k raise the intended errors") {
+    // the REAL deploy path (spark.sql.extensions), not the temp twin
+    // above: a fresh session over the shared SparkContext with the
+    // extensions object applied, so the injected builder — including its
+    // arity check and integer-literal validation — is what resolves the
+    // SQL call
+    import org.apache.spark.sql.SparkSession
+    val active = SparkSession.getActiveSession
+    val dflt = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 =
+      try SparkSession.builder()
+        .master("local[8]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      finally {
+        dflt.foreach(SparkSession.setDefaultSession)
+        active.foreach(SparkSession.setActiveSession)
+      }
+    val enc = org.apache.spark.sql.Encoders.scalaLong
+    s2.createDataset(data)(enc).toDF("v").createOrReplaceTempView("kmv_ext")
+    val got = s2.sql("SELECT graft_kmin(v, 8) AS m FROM kmv_ext")
+      .head().getSeq[Long](0)
+    assert(got == expected(data, 8), "extensions-resolved call diverged")
+
+    def failsWith(sql: String, fragment: String): Unit = {
+      val e = intercept[Throwable](s2.sql(sql).collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains(fragment)),
+        s"expected '$fragment' in: ${messages(e).mkString(" | ")}")
+    }
+    failsWith("SELECT graft_kmin(v) FROM kmv_ext", "takes 2 args")
+    failsWith("SELECT graft_kmin(v, v) FROM kmv_ext", "integer literal")
+  }
 }

@@ -76,4 +76,39 @@ class WeightedSampleSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(asSet(Sampling.q113WeightedSample(spark, dir)) == base)
   }
+
+  // ---------------------------------------------------------------- q114
+
+  test("q114 budget law: K_lang = alloc_tokens DIV avg_doc_tokens " +
+    "(floor 1) and the draw fills exactly K_lang where the corpus allows") {
+    val d = graft.TestSession.sf
+    val rows = Sampling.q114BudgetSample(spark, d).collect()
+    assert(rows.nonEmpty)
+    val docsPerLang = graft.Tables.documents(spark, d)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (lang, alloc, avg, k, drawn) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(k == math.max(alloc / avg, 1L), s"$lang: k=$k != law")
+      assert(drawn == math.min(k, docsPerLang(lang)),
+        s"$lang: drawn=$drawn, k=$k, docs=${docsPerLang(lang)}")
+    }
+    // Hamilton: per-lang allocations sum to within |groups| of budget/16
+    // (exactness at (lang, source) grain is q63's own oracle-pinned law)
+    val allocSum = rows.map(_.getLong(1)).sum
+    assert(allocSum > 0)
+  }
+
+  test("q114 regime equality: the over-cap histogram cascade selects the " +
+    "same rows as the kmin-threshold path") {
+    val d = graft.TestSession.sf
+    def summary(kminCap: Int) =
+      Sampling.q114Draw(spark, d, kminCap).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // kminCap=0 forces every language over the cap → cascade path
+    assert(summary(0) == summary(Sampling.KminCap),
+      "cascade path diverged from the kmin-threshold path")
+  }
 }
