@@ -238,7 +238,7 @@ object Dedup {
     * join a cache would save is the cheap part of this chain. The
     * localCheckpoint inside [[minhashPairsOf]] (compute-once within one
     * query) is the right staging level here. */
-  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(Tables.documents(s, d))
 
   /** Same pair graph over an arbitrary (doc_id, text) frame — the entry
