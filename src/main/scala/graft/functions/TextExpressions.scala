@@ -587,4 +587,79 @@ object Text {
   /** TRUE iff no element might be in the Bloom filter (see [[BloomNone]]). */
   def bloomNone(arr: Column, bloom: Array[Byte]): Column =
     shims.column(BloomNone(shims.expression(arr), bloom))
+
+  /** Luhn-valid card-candidate count of a text column (see [[LuhnCardCount]]). */
+  def luhnCards(text: Column): Column =
+    shims.column(LuhnCardCount(shims.expression(text)))
+}
+
+/** `graft_luhn_cards(text)`: the number of card-SHAPED candidates
+  * (`\b\d{4}-\d{4}-\d{4}-\d{4}\b`, the q111 detection shape) whose digits
+  * pass the Luhn checksum — the counting half of q111's shape-redact /
+  * Luhn-count card policy. Replaces the HOF chain
+  * `size(filter(transform(regexp_extract_all(...)), ds -> aggregate(...)))`,
+  * which is CodegenFallback (an interpreted lambda dispatch per candidate
+  * and per DIGIT — ~40 interpreted evals per matching row) and banned by
+  * the plan contract. The native form is one static call inside the
+  * surrounding codegen stage: java.util.regex find-scan (the SAME engine
+  * and therefore the same `\b`/greedy-left/non-overlapping semantics as
+  * Spark's own RegExpCount next to it in the q111 projection) plus a
+  * tight right-to-left digit fold per candidate.
+  *
+  * The DuckDB twin spells the identical arithmetic as a list_filter/
+  * list_sum lambda over `regexp_extract_all` — integer-exact on both
+  * sides, so the q111 oracle hash holds; PiiScanSpec pins the per-string
+  * truths (all six industry test PANs count, a shape-valid Luhn-negative
+  * does not).
+  */
+case class LuhnCardCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_luhn_cards expects string, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_luhn_cards"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LuhnCardCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LuhnCardCount.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnCardCount =
+    copy(child = newChild)
+}
+
+object LuhnCardCount {
+  /** Card candidate shape — single source of truth; PiiScan aliases it. */
+  val CardRe = """\b\d{4}-\d{4}-\d{4}-\d{4}\b"""
+  private val P = java.util.regex.Pattern.compile(CardRe)
+
+  def count(text: UTF8String): Int = {
+    val m = P.matcher(text.toString)
+    var n = 0
+    while (m.find()) if (luhnOk(m.group())) n += 1
+    n
+  }
+
+  /** Right-to-left Luhn fold over the candidate's digits (separators
+    * skipped): double every second digit from the right, fold > 9 to
+    * digit − 9, valid iff sum ≡ 0 (mod 10). */
+  private def luhnOk(cand: String): Boolean = {
+    var sum = 0
+    var pos = 0
+    var i = cand.length - 1
+    while (i >= 0) {
+      val c = cand.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var d = c - '0'
+        if (pos % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        pos += 1
+      }
+      i -= 1
+    }
+    sum % 10 == 0
+  }
 }

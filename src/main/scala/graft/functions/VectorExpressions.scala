@@ -691,6 +691,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UniTokens].getName, "graft_unitok"),
       (exprs: Seq[Expression]) => UniTokens(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_luhn_cards"),
+      new ExpressionInfo(classOf[LuhnCardCount].getName, "graft_luhn_cards"),
+      (exprs: Seq[Expression]) => LuhnCardCount(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmin"),
       new ExpressionInfo(classOf[KMinLongs].getName, "graft_kmin"),
       // k must be a literal, like every sketch-size dial — validated

@@ -53,9 +53,9 @@ import graft.Tables
   * leaves one byte behind moves `chars_redacted` AND `red_checksum`.
   *
   * Scale shape: one narrow projection per document (regex scans are
-  * per-row, codegen'd `RegExpReplace`/`RegExpCount`; the Luhn fold is an
-  * interpreted HOF but runs per CANDIDATE — ≤ a few per document — not
-  * per token), then a map-side combinable groupBy on `source` — zero
+  * per-row, codegen'd `RegExpReplace`/`RegExpCount`; the Luhn count is
+  * the native `graft_luhn_cards` — one static call in the same codegen
+  * stage), then a map-side combinable groupBy on `source` — zero
   * corpus-wide shuffles; the only exchange carries |sources| partial-agg
   * rows. Survives 100 TB by construction.
   */
@@ -67,8 +67,9 @@ object PiiScan {
   private[graft] val PhoneRe = """\+1-555-\d{4}\b"""
   private[graft] val SsnRe   = """\b\d{3}-\d{2}-\d{4}\b"""
   /** Card CANDIDATE shape (dashed 16-digit); `n_card` additionally
-    * requires the Luhn checksum — see [[luhnValid]]. */
-  private[graft] val CardRe  = """\b\d{4}-\d{4}-\d{4}-\d{4}\b"""
+    * requires the Luhn checksum — see [[graft.functions.LuhnCardCount]],
+    * the single source of this pattern. */
+  private[graft] val CardRe  = graft.functions.LuhnCardCount.CardRe
   /** IBAN SHAPE (country + check digits + 10-30 alnum); the mod-97
     * checksum is out of scope — documented shape-only, like SSN. */
   private[graft] val IbanRe  = """\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b"""
@@ -193,28 +194,12 @@ object PiiScan {
         PhoneRe -> "<PHONE>", SsnRe -> "<ID>", IbanRe -> "<IBAN>")
       .foldLeft(text) { case (t, (re, tok)) => regexp_replace(t, re, tok) }
 
-  /** Luhn checksum over a digits-only string, as a pure integer
-    * expression: double every second digit from the RIGHT, fold digits
-    * > 9 to digit − 9, valid iff the sum ≡ 0 (mod 10). Identical
-    * arithmetic in the DuckDB twin — both engines compute the fold, no
-    * library call on either side. */
-  private[graft] def luhnValid(ds: Column): Column = {
-    val n = length(ds)
-    aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
-      val dg = ds.substr(i, lit(1)).cast("int")
-      val dbl = dg * 2
-      acc + when((n - i) % 2 === 1,
-        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(dg)
-    }) % 10 === 0
-  }
-
-  /** Luhn-valid card count: extract candidates, strip separators,
-    * keep the ones whose checksum passes. */
+  /** Luhn-valid card count: the native codegen expression (the HOF chain
+    * it replaced tripped the no-interpreted-HOF plan contract). The DuckDB
+    * twin spells the identical right-to-left integer fold as list lambdas
+    * in [[q111Sql]]. */
   private[graft] def cardCount(text: Column): Column =
-    size(filter(
-      transform(regexp_extract_all(text, lit(CardRe), lit(0)),
-        c => regexp_replace(c, "[^0-9]", "")),
-      ds => luhnValid(ds)))
+    graft.functions.Text.luhnCards(text)
 
   def q111PiiScan(s: SparkSession, d: String): DataFrame = {
     val per = decorated(Tables.documents(s, d))

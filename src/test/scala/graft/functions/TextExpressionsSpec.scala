@@ -247,4 +247,41 @@ class TextExpressionsSpec extends AnyFunSuite {
       "SELECT graft_shingles(array('x','y','z'), 2) AS s").head.getSeq[String](0)
     assert(viaSql == Seq("x y", "y z"))
   }
+
+  test("native luhn-card count == HOF reference on the q111 corpus, " +
+    "both exec paths; null propagates") {
+    // the interpreted reference implementation the native expression
+    // replaced (plan-contract ban: filter/transform/aggregate are
+    // CodegenFallback) — kept here as the equivalence oracle
+    def hofLuhn(text: org.apache.spark.sql.Column) =
+      size(filter(
+        transform(regexp_extract_all(text, lit(LuhnCardCount.CardRe), lit(0)),
+          c => regexp_replace(c, "[^0-9]", "")),
+        ds => {
+          val n = length(ds)
+          aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+            val dg = ds.substr(i, lit(1)).cast("int")
+            val dbl = dg * 2
+            acc + when((n - i) % 2 === 1,
+              when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(dg)
+          }) % 10 === 0
+        }))
+    // q111's decorated corpus: every doc carries the Luhn-negative decoy,
+    // doc_id%9==4 docs add a valid PAN — both regimes exercised
+    val deco = graft.operators.PiiScan.decorated(
+      graft.Tables.documents(spark, TestSession.sf))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val diff = deco
+          .select(Text.luhnCards(col("text")).as("a"), hofLuhn(col("text")).as("b"))
+          .filter(col("a") =!= col("b")).count()
+        assert(diff == 0, s"codegen=$codegen: native != HOF reference")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val vals = Seq(Tuple1("no cards here"), Tuple1(null: String)).toDF("text")
+      .select(Text.luhnCards(col("text")).as("n")).collect()
+    assert(vals(0).getInt(0) == 0)
+    assert(vals(1).isNullAt(0))
+  }
 }
