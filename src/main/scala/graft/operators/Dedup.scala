@@ -546,6 +546,8 @@ object Dedup {
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val pin = roundPinner(pairs)
     val reliable = isReliable(pairs.sparkSession)
+    val twoHop =
+      pairs.sparkSession.conf.get(TwoHopConf, "false").toBoolean
     val probe = pinWithSum(reliable) _
     // pin the pair pipeline ONCE before symmetrizing: the union below
     // references `pairs` twice, and without the checkpoint both branches
@@ -595,9 +597,18 @@ object Dedup {
         .select(col("v"), col("lbl"))
         .unionByName(lbls)
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-      val ptrLbl = stepped.select(col("v").as("p"), col("lbl").as("plbl"))
-      stepped.join(ptrLbl, stepped("lbl") === ptrLbl("p"), "left")
-        .select(stepped("v"), coalesce(col("plbl"), stepped("lbl")).as("lbl"))
+      def jump(df: DataFrame): DataFrame = {
+        val ptr = df.select(col("v").as("p"), col("lbl").as("plbl"))
+        df.join(ptr, df("lbl") === ptr("p"), "left")
+          .select(df("v"), coalesce(col("plbl"), df("lbl")).as("lbl"))
+      }
+      // TwoHopConf: a second pointer jump per round — fewer, pricier
+      // rounds. Rejected at fixture scale (r11: the extra self-join's
+      // stage overhead exceeds the round it saves when rounds cost
+      // milliseconds) but re-opened at sf30 where rounds are
+      // compute-bound (BASELINE §r14 decomposition); output is identical
+      // either way (pointer jumps only shorten chains — spec-pinned).
+      if (twoHop) jump(jump(stepped)) else jump(stepped)
     }
     var (labels, prevSum) = probe(
       edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
@@ -636,6 +647,9 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $rounds rounds")
+    // one stderr line per solve (never stdout — the bench JSON contract):
+    // round count is the two-hop dial's whole tradeoff, make it visible
+    System.err.println(s"graft.cc rounds=$rounds twoHop=$twoHop")
     labels
   }
 
@@ -654,6 +668,12 @@ object Dedup {
     * local run is speed; a long cluster solve over 100 TB of pairs flips
     * this on and survives executor loss. */
   val ReliableCcConf = "spark.graft.cc.reliable"
+
+  /** Session conf: two pointer jumps per CC round instead of one — fewer,
+    * pricier rounds. Off by default (the recorded fixture-scale plan);
+    * measured at sf30 via `tools.CcDecompose` (BASELINE §r14). Output is
+    * identical either way. */
+  val TwoHopConf = "spark.graft.cc.twoHop"
 
   /** Per-round pin for the iterative solvers: LAZY localCheckpoint by
     * default, eager reliable checkpoint when [[ReliableCcConf]] is true.

@@ -86,6 +86,24 @@ class DedupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("two-hop mode yields identical labels (q54 hash input) in fewer rounds") {
+    val s = TestSession.spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.001"
+    val default = Dedup.q54DedupClusters(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    s.conf.set(Dedup.TwoHopConf, "true")
+    try {
+      val twoHop = Dedup.q54DedupClusters(s, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(twoHop == default, "two-hop labels diverged from single-hop")
+      // the worst case for propagation: a long chain still closes
+      val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val labels = Dedup.connectedComponents(chain).collect()
+      assert(labels.length == 64 && labels.forall(_.getLong(1) == 0L))
+    } finally s.conf.set(Dedup.TwoHopConf, "false")
+  }
+
   test("two disjoint cliques stay two clusters") {
     val s = TestSession.spark
     import s.implicits._
