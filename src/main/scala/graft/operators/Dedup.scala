@@ -1024,18 +1024,24 @@ object Dedup {
   }
 
   def q27Sql: String =
-    s"""$lshCtes, counts AS (
-       |  SELECT doc_id, count(*) AS n_sh FROM hx GROUP BY doc_id
-       |), cand_pruned AS MATERIALIZED (
-       |  -- same length bound as the engine: J >= 0.5 needs 2*min >= max
-       |  SELECT doc_a, doc_b, ca.n_sh AS na, cb.n_sh AS nb
-       |  FROM cand JOIN counts ca ON ca.doc_id = doc_a
-       |            JOIN counts cb ON cb.doc_id = doc_b
-       |  WHERE 2 * least(ca.n_sh, cb.n_sh) >= greatest(ca.n_sh, cb.n_sh)
+    s"""$lshCtes, lists AS MATERIALIZED (
+       |  -- per-doc sorted shingle-hash lists: the twin of the engine's
+       |  -- collected-bucket arrays. The previous row-explosion form
+       |  -- (cand ⨝ hx ⨝ hx GROUP BY pair) materialized ~|cand|·|shingles|
+       |  -- rows into one aggregate hash table and OOM'd DuckDB at sf10
+       |  -- (>40 GB + >35 GB spill); this form carries two ~|doc| lists
+       |  -- per candidate row and streams. Result-identical: hx is
+       |  -- (doc_id, x)-distinct, so len(list_intersect) == the old
+       |  -- equality-join count.
+       |  SELECT doc_id, list(x ORDER BY x) AS xs, count(*) AS n_sh
+       |  FROM hx GROUP BY doc_id
        |), inter AS (
-       |  SELECT doc_a, doc_b, na, nb, count(*) AS n_int
-       |  FROM cand_pruned JOIN hx a ON a.doc_id = doc_a JOIN hx b ON b.doc_id = doc_b AND a.x = b.x
-       |  GROUP BY doc_a, doc_b, na, nb
+       |  -- same length bound as the engine: J >= 0.5 needs 2*min >= max
+       |  SELECT doc_a, doc_b, la.n_sh AS na, lb.n_sh AS nb,
+       |    len(list_intersect(la.xs, lb.xs)) AS n_int
+       |  FROM cand JOIN lists la ON la.doc_id = doc_a
+       |            JOIN lists lb ON lb.doc_id = doc_b
+       |  WHERE 2 * least(la.n_sh, lb.n_sh) >= greatest(la.n_sh, lb.n_sh)
        |)
        |SELECT doc_a, doc_b,
        |  n_int / CAST(na + nb - n_int AS DOUBLE) AS jaccard

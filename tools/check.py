@@ -23,6 +23,15 @@ if os.environ.get("GRAFT_DUCK_THREADS"):
     con.sql(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
 if os.environ.get("GRAFT_DUCK_MEM"):
     con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+# GRAFT_DUCK_TMP: give the in-memory connection a spill directory — an
+# in-memory DuckDB cannot offload otherwise, and the sf10 CC-closure
+# oracles exceed any reasonable memory_limit without one.
+if os.environ.get("GRAFT_DUCK_TMP"):
+    tmp = os.environ["GRAFT_DUCK_TMP"]
+    os.makedirs(tmp, exist_ok=True)
+    con.sql(f"SET temp_directory='{tmp}'")
+    con.sql("SET max_temp_directory_size='%s'"
+            % os.environ.get("GRAFT_DUCK_TMP_MAX", "40GB"))
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
