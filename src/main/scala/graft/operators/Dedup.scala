@@ -883,17 +883,36 @@ object Dedup {
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS u, doc_a AS v FROM pairs
+       |), m1 AS MATERIALIZED (
+       |  -- star-contraction pre-pass (sf10 tractability, r14): map every
+       |  -- vertex to min(self, neighbors). The dominant hub-star
+       |  -- components collapse to their hub HERE, so the recursion below
+       |  -- runs on the residual contracted graph (orders of magnitude
+       |  -- smaller), not the full pair graph. Result-identical: m(v) is
+       |  -- in v's component, the global min g has m(g) = g, and the
+       |  -- contracted component's min is still g.
+       |  SELECT u AS v, least(u, min(v)) AS m FROM edges GROUP BY u
+       |), e1 AS MATERIALIZED (
+       |  SELECT DISTINCT ma.m AS u, mb.m AS v
+       |  FROM edges e JOIN m1 ma ON ma.v = e.u JOIN m1 mb ON mb.v = e.v
+       |  WHERE ma.m <> mb.m
        |), seeds AS MATERIALIZED (
-       |  SELECT u FROM edges GROUP BY u HAVING u < min(v)
+       |  SELECT u FROM e1 GROUP BY u HAVING u < min(v)
        |), reach(v, lbl) AS (
        |  SELECT u AS v, u AS lbl FROM seeds
        |  UNION
        |  -- lbl > v proves lbl is not its component's min (the component
        |  -- holds v < lbl), so the label can stop spreading entirely
-       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.v
+       |  SELECT e.v, r.lbl FROM reach r JOIN e1 e ON e.u = r.v
        |  WHERE r.lbl < e.v
-       |), comp AS (
+       |), comp1 AS (
        |  SELECT v, min(lbl) AS lbl FROM reach GROUP BY v
+       |), comp AS (
+       |  -- back out of the contraction: label(v) = comp1(m(v)); a vertex
+       |  -- whose whole component contracted away keeps m(v) (already the
+       |  -- component min)
+       |  SELECT m1.v, coalesce(c.lbl, m1.m) AS lbl
+       |  FROM m1 LEFT JOIN comp1 c ON c.v = m1.m
        |)""".stripMargin
   }
 
