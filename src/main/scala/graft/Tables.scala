@@ -160,16 +160,23 @@ object Tables {
     * sort input grows with the corpus (the near-dup pair graph grows
     * ~N^1.39 on the synthetic generator — at sf100 its attach-join sorts
     * exceed 32 tasks × the 16 GB pool: `UNABLE_TO_ACQUIRE_MEMORY, got
-    * 0`). >16 GiB corpora shuffle at 4× the core count so each sort task
+    * 0`). >4 GiB corpora shuffle at 4× the core count so each sort task
     * holds ~¼ the rows; AQE coalesces the small stages' post-shuffle
-    * partitions back down, so fixture-scale plans and the recorded
-    * sf0.1–sf30 numbers are untouched (those dirs stay at the core
-    * count). On a real cluster this is the standard partitions ≈
-    * bytes/128 MB sizing; the constant automates the single-box shape.
-    * SPARK_GRAFT_SHUFFLE_PARTS overrides for measurement. */
+    * partitions back down, so fixture-scale plans and recorded sf0.1–sf10
+    * numbers are untouched (those dirs stay at the core count). The
+    * threshold was 16 GiB through r13; r14 aligned it with the other two
+    * at-scale dials after the sf30 pair-graph attach sorts proved
+    * BORDERLINE at 32 parts — 3 of 5 cold `CcDecompose` runs died in the
+    * attach stage with `UNABLE_TO_ACQUIRE_MEMORY` on an otherwise-quiet
+    * box, while 128 parts ran clean at parity-to-faster (pairs 92.9 s vs
+    * the 32-part best 91.0; CC rounds 138.4 vs 142.2 — BASELINE §r14). A
+    * coin-flip OOM is a wall, not a price. On a real cluster this is the
+    * standard partitions ≈ bytes/128 MB sizing; the constant automates
+    * the single-box shape. SPARK_GRAFT_SHUFFLE_PARTS overrides for
+    * measurement. */
   def shufflePartsFor(dir: String, cpus: String): String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
-      if (dirBytes(dir) > (16L << 30)) (cpus.toInt * 4).toString else cpus)
+      if (dirBytes(dir) > (4L << 30)) (cpus.toInt * 4).toString else cpus)
 
   /** Pair-graph pre-flight ceiling (fourth corpus dial, r13): for >16 GiB
     * corpora — the scale at which the sf100 probe watched q20 fill 49 GB

@@ -30,6 +30,11 @@ object CcDecompose {
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     Tables.corpusConfigs(sfDir, cpus).foreach { case (k, v) => builder.config(k, v) }
+    // SPARK_GRAFT_CC_TWOHOP=1: A/B the two-hop round form (see
+    // Dedup.TwoHopConf) without touching the session-default plan
+    sys.env.get("SPARK_GRAFT_CC_TWOHOP")
+      .foreach(v => builder.config(Dedup.TwoHopConf,
+        (v == "1" || v.equalsIgnoreCase("true")).toString))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -19,20 +19,26 @@ class DialsSpec extends AnyFunSuite {
     assert(!cfg.contains(graft.operators.Dedup.MaxPairsConf))
   }
 
-  test("shufflePartsFor quadruples above 16 GiB and honors cpus below") {
+  test("shufflePartsFor quadruples above 4 GiB and honors cpus below") {
     assert(Tables.shufflePartsFor("/root/testdata/sf0.001", "8") == "8")
-    // a >16 GiB dir: synthesize by probing the real sf100 dir when present,
-    // else skip (the arithmetic is the contract, the dir is the witness)
-    val sf100 = new java.io.File("testdata/sf100")
-    assume(sf100.isDirectory, "sf100 fixtures absent on this box")
-    assert(Tables.shufflePartsFor("testdata/sf100", "32") == "128")
+    // threshold lowered 16 GiB -> 4 GiB in r14: the sf30 attach sorts were
+    // a coin-flip OOM at core-count parts (BASELINE r14). Witness: any
+    // >4 GiB local corpus dir (sf30 preferred, sf100 legacy)
+    val big = Seq("testdata/sf30", "testdata/sf100")
+      .find(d => new java.io.File(d).isDirectory)
+    assume(big.isDefined, "no >4 GiB fixture dir on this box")
+    assert(Tables.shufflePartsFor(big.get, "32") == "128")
   }
 
   test("band-shard dial engages above 4 GiB (bit-identity measured, BASELINE r13)") {
-    val sf100 = new java.io.File("testdata/sf100")
-    assume(sf100.isDirectory, "sf100 fixtures absent on this box")
-    val cfg = Tables.corpusConfigs("testdata/sf100", "32").toMap
+    val big = Seq("testdata/sf30", "testdata/sf100")
+      .find(d => new java.io.File(d).isDirectory)
+    assume(big.isDefined, "no >4 GiB fixture dir on this box")
+    val cfg = Tables.corpusConfigs(big.get, "32").toMap
     assert(cfg(graft.operators.Dedup.BandShardsConf) == "2")
-    assert(cfg.contains(graft.operators.Dedup.MaxPairsConf))
+    // the pairs ceiling stays a >16 GiB dial: present for the sf100-class
+    // witness, absent for sf30 (6.2 GiB)
+    assert(cfg.contains(graft.operators.Dedup.MaxPairsConf) ==
+      big.get.endsWith("sf100"))
   }
 }
