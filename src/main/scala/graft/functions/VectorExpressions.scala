@@ -693,7 +693,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_luhn_cards"),
       new ExpressionInfo(classOf[LuhnCardCount].getName, "graft_luhn_cards"),
-      (exprs: Seq[Expression]) => LuhnCardCount(exprs.head)))
+      // arity validated like graft_kmin's — extra args must fail loudly,
+      // not silently drop
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_luhn_cards(text) takes 1 arg, got ${exprs.length}")
+        LuhnCardCount(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_kmin"),
       new ExpressionInfo(classOf[KMinLongs].getName, "graft_kmin"),

@@ -103,7 +103,7 @@ object PiiScan {
     val id = col("doc_id")
     def s(c: Column): Column = c.cast("string")
     val pan = ValidPans.zipWithIndex.tail.foldLeft(
-      when((id.cast("long") / 9).cast("long") % 6 === 0, lit(ValidPans.head))) {
+      when(expr("(doc_id DIV 9) % 6") === 0, lit(ValidPans.head))) {
         case (acc, (p, i)) => acc.when(expr("(doc_id DIV 9) % 6") === i, lit(p))
       }
     val ip6 = concat(lit("2001:0db8:"),

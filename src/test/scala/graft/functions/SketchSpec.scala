@@ -104,5 +104,9 @@ class SketchSpec extends AnyFunSuite {
     }
     failsWith("SELECT graft_kmin(v) FROM kmv_ext", "takes 2 args")
     failsWith("SELECT graft_kmin(v, v) FROM kmv_ext", "integer literal")
+    // the other injected builders validate arity the same way — a call
+    // with extra args must fail loudly, not silently drop them
+    failsWith("SELECT graft_luhn_cards(CAST(v AS STRING), 1) FROM kmv_ext",
+      "takes 1 arg")
   }
 }

@@ -71,6 +71,7 @@ for name in sorted(os.listdir(outdir)):
                     lambda v: str(list(v)) if isinstance(v, (list, np.ndarray)) else str(v))
     ok = True
     msgs = []
+    notes = []  # benign annotations (e.g. row order) — never in err
     if list(got.columns) != list(exp.columns):
         ok = False; msgs.append(f"cols {list(got.columns)} vs {list(exp.columns)}")
     elif len(got) != len(exp):
@@ -106,16 +107,19 @@ for name in sorted(os.listdir(outdir)):
             except Exception:
                 o = False
             if not o:
-                msgs.append(f"(row-order differs in {c})")
+                notes.append(f"(row-order differs in {c})")
                 break
     status = "OK " if ok else "FAIL"
     if not ok: fail += 1
-    print(f"{name:28s} {status} rows={len(got)} {'; '.join(msgs)}")
+    print(f"{name:28s} {status} rows={len(got)} {'; '.join(msgs + notes)}")
+    # err carries FAILURE text only — a strict `err != null` parser must
+    # never miscount an all-green row; benign annotations go to `note`.
     report[name] = {"rows_match": len(got) == len(exp),
                     "schema_match": list(got.columns) == list(exp.columns),
                     "hash_match": ok, "spark_rows": len(got),
                     "oracle_rows": len(exp),
-                    "err": ("; ".join(msgs))[:300] or None}
+                    "err": ("; ".join(msgs))[:300] or None,
+                    "note": ("; ".join(notes))[:300] or None}
 # A query that crashed in Verify leaves no output dir — that is a failure,
 # not a skip (otherwise a regressed query silently passes the gate).
 for name in sorted(oracle):
