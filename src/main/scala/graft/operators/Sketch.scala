@@ -139,6 +139,98 @@ object Sketch {
     langRows.unionByName(srcRows).orderBy(col("grp"))
   }
 
+  // ------------------------------------------------------------------
+  // q115 — the KMV TELEMETRY SERVE, driver-gated (r14 verdict #6): the
+  // [[graft.streaming.TelemetryStream.vocabSnapshot]] merge-law serve was
+  // spec-only; this row puts the stream ≡ q112 law under the DuckDB hash
+  // gate per round, the q107/q108/q110 doctrine. As a one-time build it
+  // drives the PRODUCTION TelemetryStream batch path over a bounded
+  // corpus slice (doc_id < [[StreamState.GateDocCap]], same cap doctrine
+  // as q107/q108 — the gated law is corpus-size-invariant, the build
+  // constant-size at any sf; vacuous at the sf0.01 driver gate) split
+  // into five deterministic micro-batches, then exercises BOTH
+  // idempotence contracts invisible-iff-correct in the declared hash:
+  //  - crash REPLAY: batch 0 re-driven under its own id — the committed()
+  //    guard must skip it (a double-append duplicates no k-min content
+  //    but would double HLL registers; the guard is the contract);
+  //  - content RE-DELIVERY: slice 0 arrives again as a NEW batch id —
+  //    appended rows change nothing because "k smallest distinct of a
+  //    union" is content-idempotent algebra.
+  // The declared row is the SERVE: per-language (kth_min, n_mins,
+  // kmv_est) from the persisted per-batch k-min arrays — O(|langs|·k)
+  // rows read, no document re-scanned. The oracle computes the same
+  // values DIRECTLY over the bounded corpus, so the hash is green iff
+  // the per-batch sketches, the merge law, and the replay guards all
+  // compose to the one-shot answer under this (or ANY) arrival split.
+  // Pricing follows the served-index doctrine: build once per (session,
+  // corpus stamp); repeats serve the persisted state.
+  // ------------------------------------------------------------------
+
+  private val VocabSlices = 5
+  private val vocabMemo = new BuildMemo(4, "graft-vocab-serve-")
+
+  private def cappedLangDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .filter(col("doc_id") < StreamState.GateDocCap)
+
+  private def ensureVocabBuilt(s: SparkSession, d: String): String = {
+    val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
+    vocabMemo.get(key, BuildMemo.stampOf(d, "documents.parquet")) { root =>
+      val ts = new graft.streaming.TelemetryStream(s,
+        new graft.streaming.StateDir(s, s"$root/telemetry"))
+      val docs = cappedLangDocs(s, d)
+      def slice(i: Int) = docs.filter(col("doc_id") % VocabSlices === i)
+      (0 until VocabSlices).foreach(i => ts.processBatch(slice(i), i.toLong))
+      ts.processBatch(slice(0), 0L)               // crash replay: skipped
+      ts.processBatch(slice(0), VocabSlices.toLong) // re-delivery: inert
+    }
+  }
+
+  /** The served per-language vocabulary estimates the stream left behind
+    * — [[graft.streaming.TelemetryStream.vocabSnapshot]] in the driver's
+    * declared shape. */
+  def q115VocabServe(s: SparkSession, d: String): DataFrame = {
+    val root = ensureVocabBuilt(s, d)
+    val ts = new graft.streaming.TelemetryStream(s,
+      new graft.streaming.StateDir(s, s"$root/telemetry"))
+    ts.vocabSnapshot
+      .select(col("lang"), col("kth_min"), col("n_mins").cast("long").as("n_mins"),
+        col("kmv_est"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the one-shot DIRECT computation of the same per-language
+    * sketch values over the bounded corpus — valid precisely because the
+    * KMV merge is exact algebra under any split (q112's `kth_rolled`
+    * already pins the law batch-side; this row pins the STREAM's use of
+    * it). */
+  def q115Sql: String = {
+    val kth = s"coalesce(max(CASE WHEN rn = $K THEN h END), 0)"
+    val nm = s"least(max(ndv), $K)"
+    s"""WITH toks AS (
+       |  SELECT lang, ${graft.Tok.sqlText} AS t
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${StreamState.GateDocCap}
+       |), sh AS (
+       |  SELECT lang,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+       |  FROM toks WHERE len(t) >= 3
+       |), hx AS (
+       |  SELECT DISTINCT lang, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h
+       |  FROM sh
+       |), g AS (
+       |  SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS ndv
+       |  FROM hx
+       |)
+       |SELECT lang, $kth AS kth_min, $nm AS n_mins,
+       |  CASE WHEN $nm < $K THEN $nm ELSE $Num // $kth END AS kmv_est
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Oracle k-th-min/ndv block over per-grain-DISTINCT hashes `rel`
     * grouped by `keys` (the grain must dedup h at ITS OWN grain — a
     * shingle shared by two sources is one element of the lang space). */
