@@ -544,10 +544,11 @@ object Dedup {
     * GraphFrames do the same): construction runs the loop eagerly; the
     * returned frame is the final, materialized label table's plan. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     val pin = roundPinner(pairs)
-    val reliable = isReliable(pairs.sparkSession)
-    val twoHop =
-      pairs.sparkSession.conf.get(TwoHopConf, "false").toBoolean
+    val reliable = isReliable(s)
+    val twoHop = s.conf.get(TwoHopConf, "false").toBoolean
+    val contract = s.conf.get(StarContractConf, "true").toBoolean
     val probe = pinWithSum(reliable) _
     // pin the pair pipeline ONCE before symmetrizing: the union below
     // references `pairs` twice, and without the checkpoint both branches
@@ -591,31 +592,29 @@ object Dedup {
     // the round's exchanges, and every attempt to dodge it cost more than
     // it saved (BASELINE §r13: round fusion, fused-with-lazy-mid-pin,
     // AQE-off-for-rounds, propagate-only/no-jump).
-    def round(lbls: DataFrame): DataFrame = {
-      val stepped = edges
-        .join(lbls.select(col("v").as("u"), col("lbl")), "u")
-        .select(col("v"), col("lbl"))
-        .unionByName(lbls)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-      def jump(df: DataFrame): DataFrame = {
-        val ptr = df.select(col("v").as("p"), col("lbl").as("plbl"))
-        df.join(ptr, df("lbl") === ptr("p"), "left")
-          .select(df("v"), coalesce(col("plbl"), df("lbl")).as("lbl"))
+    def fixpoint(es: DataFrame, seed: DataFrame, tag: String): DataFrame = {
+      def round(lbls: DataFrame): DataFrame = {
+        val stepped = es
+          .join(lbls.select(col("v").as("u"), col("lbl")), "u")
+          .select(col("v"), col("lbl"))
+          .unionByName(lbls)
+          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        def jump(df: DataFrame): DataFrame = {
+          val ptr = df.select(col("v").as("p"), col("lbl").as("plbl"))
+          df.join(ptr, df("lbl") === ptr("p"), "left")
+            .select(df("v"), coalesce(col("plbl"), df("lbl")).as("lbl"))
+        }
+        // TwoHopConf: a second pointer jump per round — fewer, pricier
+        // rounds. Rejected at fixture scale (r11: the extra self-join's
+        // stage overhead exceeds the round it saves when rounds cost
+        // milliseconds) AND at sf30 (r14: propagation-bound, 12 = 12
+        // rounds, +87%); output is identical either way (pointer jumps
+        // only shorten chains — spec-pinned).
+        if (twoHop) jump(jump(stepped)) else jump(stepped)
       }
-      // TwoHopConf: a second pointer jump per round — fewer, pricier
-      // rounds. Rejected at fixture scale (r11: the extra self-join's
-      // stage overhead exceeds the round it saves when rounds cost
-      // milliseconds) but re-opened at sf30 where rounds are
-      // compute-bound (BASELINE §r14 decomposition); output is identical
-      // either way (pointer jumps only shorten chains — spec-pinned).
-      if (twoHop) jump(jump(stepped)) else jump(stepped)
-    }
-    var (labels, prevSum) = probe(
-      edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl")))
-    var converged = false
-    var rounds = 0
-    try {
+      var (labels, prevSum) = probe(seed)
+      var converged = false
+      var rounds = 0
       while (!converged && rounds < 64) { // 64 = safety rail ≫ log₂(any n)
         val (jumped, newSum) = probe(round(labels))
         converged = sumsEqual(newSum, prevSum)
@@ -637,20 +636,67 @@ object Dedup {
           if (!sumsEqual(exact, prevSum)) { converged = false; prevSum = exact }
         }
       }
+      // The rail is unreachable for real inputs (pointer jumping converges
+      // in O(log n) rounds), but if it ever fires the labels are NOT
+      // components — fail loudly rather than silently emit wrong clusters.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $rounds rounds")
+      // one stderr line per solve (never stdout — the bench JSON contract):
+      // round count is the contraction/two-hop dials' whole tradeoff
+      System.err.println(
+        s"graft.cc rounds=$rounds twoHop=$twoHop graph=$tag")
+      labels
+    }
+    // m(v) = min(self, min neighbor) — one groupBy over the symmetric
+    // edges. This is both the direct path's l₀ seed and the contraction
+    // map.
+    def mOf(es: DataFrame): DataFrame =
+      es.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("v"), least(col("u"), col("mn")).as("lbl"))
+    try {
+      if (!contract) fixpoint(edges, mOf(edges), "direct")
+      else {
+        // STAR CONTRACTION (r14 verdict #2 — the oracle's own ccCtes
+        // pre-pass, engine-side): the pair graph's mass sits in wide
+        // near-clique/hub-star structures, and the fixpoint above JOINS
+        // THE FULL EDGE LIST every round just to re-propagate labels most
+        // vertices already hold after m(v). Contract each star to its
+        // m(v) representative first — every vertex maps into its own
+        // component (min of self+neighbors is a member), and the global
+        // component min g is a fixed point of m (all its neighbors are
+        // larger), so components of the contracted residual correspond
+        // 1:1 and carry the same minima. The fixpoint then runs over the
+        // RESIDUAL edges (m(u), m(v)), u ≉ v — typically orders of
+        // magnitude fewer rows than the raw pair graph (a star
+        // contributes zero) — and labels expand back through one keyed
+        // join: lbl(v) = lbl_c(m(v)), or m(v) itself where the whole
+        // component collapsed to one star. Cost: one extra m-pin plus one
+        // edges-sized double join (≈ one propagate round) buys every
+        // subsequent round running residual-sized — exactly the
+        // propagation-bound regime the r14 sf30 decomposition measured
+        // (cc_rounds ~58% of the q54 row). Labels are spec-pinned
+        // identical to the direct path (DedupClustersSpec).
+        val (m, _) = probe(mOf(edges))
+        val cEdges = edges
+          .join(m.select(col("v").as("u"), col("lbl").as("lu")), "u")
+          .join(m.select(col("v"), col("lbl").as("lv")), "v")
+          .filter(col("lu") =!= col("lv"))
+          .select(col("lu").as("u"), col("lv").as("v"))
+          .distinct()
+          .persist()
+        try {
+          val labelsC = fixpoint(cEdges, mOf(cEdges), "contracted")
+          m.join(
+              labelsC.select(col("v").as("mm"), col("lbl").as("clbl")),
+              m("lbl") === col("mm"), "left")
+            .select(m("v"), coalesce(col("clbl"), m("lbl")).as("lbl"))
+        } finally cEdges.unpersist()
+      }
     } finally edges.unpersist() // also on a mid-fixpoint throw — the loop
                                 // runs actions, so failure here would
                                 // otherwise strand the edge cache with no
                                 // owner positioned to release it
-    // The rail is unreachable for real inputs (pointer jumping converges in
-    // O(log n) rounds), but if it ever fires the labels are NOT components —
-    // fail loudly rather than silently emit wrong clusters.
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $rounds rounds")
-    // one stderr line per solve (never stdout — the bench JSON contract):
-    // round count is the two-hop dial's whole tradeoff, make it visible
-    System.err.println(s"graft.cc rounds=$rounds twoHop=$twoHop")
-    labels
   }
 
   /** Exact Σ lbl of a label table (null for an empty table — compares
@@ -674,6 +720,15 @@ object Dedup {
     * measured at sf30 via `tools.CcDecompose` (BASELINE §r14). Output is
     * identical either way. */
   val TwoHopConf = "spark.graft.cc.twoHop"
+
+  /** Session conf: star-contraction pre-pass before the CC fixpoint —
+    * contract every vertex to m(v) = min(self, neighbors) and solve the
+    * residual graph, expanding labels back through one keyed join. ON by
+    * default: the residual is typically orders of magnitude smaller than
+    * the raw pair graph, so the propagation-bound rounds the r14 sf30
+    * decomposition measured run residual-sized (BASELINE §r15 A/B).
+    * Output is identical either way (spec-pinned). */
+  val StarContractConf = "spark.graft.cc.starContract"
 
   /** Per-round pin for the iterative solvers: LAZY localCheckpoint by
     * default, eager reliable checkpoint when [[ReliableCcConf]] is true.
@@ -951,15 +1006,18 @@ object Dedup {
     // codegen'd merge walk (graft_isectn) per pair yields |intersection|
     // with both set sizes free as array lengths — no shingle-grain
     // shuffle, no re-aggregation, no count joins (the r9 shingle-grain
-    // join OOM'd sf10 at 8 GB; BASELINE §sf10). Multiset exactness:
-    // should a 48-bit collision ever duplicate a fingerprint,
-    // graft_isectn multiplies run lengths — exactly the exploded join's
-    // pair count, so the DuckDB oracle (shingle-grain SQL) hash-matches
-    // by construction.
+    // join OOM'd sf10 at 8 GB; BASELINE §sf10). Grain: DISTINCT
+    // fingerprints per doc (set resemblance over hashed shingles). The
+    // upstream shingle relation is distinct on the PRE-hash string, so a
+    // 48-bit collision of two distinct shingles would otherwise leave a
+    // duplicate x in the list and graft_isectn would multiply run
+    // lengths — while the oracle's list_intersect deduplicates. The
+    // array_distinct here pins BOTH engines to set grain, so the twin is
+    // exact by construction, collisions included (r14 advisor finding).
     val arr = StagedCache.stage(d, "q27_arr", shingles(docs)
       .select(col("doc_id"), hex12(col("s")).as("x"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("x"))).as("xs")))
+      .agg(sort_array(array_distinct(collect_list(col("x")))).as("xs")))
 
     // BUCKET-grain verify (r12 — replaces the pair-grain array joins):
     // the heaviest exchange used to replicate both docs' fingerprint
@@ -1043,17 +1101,22 @@ object Dedup {
   }
 
   def q27Sql: String =
-    s"""$lshCtes, lists AS MATERIALIZED (
+    s"""$lshCtes, hxd AS (
+       |  -- distinct fingerprints per doc: sh is distinct on the PRE-hash
+       |  -- shingle, so a 48-bit collision could leave duplicate x per
+       |  -- doc; both engines verify at SET grain (the engine
+       |  -- array_distincts its arrays), making list_intersect exact by
+       |  -- construction, collisions included.
+       |  SELECT DISTINCT doc_id, x FROM hx
+       |), lists AS MATERIALIZED (
        |  -- per-doc sorted shingle-hash lists: the twin of the engine's
        |  -- collected-bucket arrays. The previous row-explosion form
        |  -- (cand ⨝ hx ⨝ hx GROUP BY pair) materialized ~|cand|·|shingles|
        |  -- rows into one aggregate hash table and OOM'd DuckDB at sf10
        |  -- (>40 GB + >35 GB spill); this form carries two ~|doc| lists
-       |  -- per candidate row and streams. Result-identical: hx is
-       |  -- (doc_id, x)-distinct, so len(list_intersect) == the old
-       |  -- equality-join count.
+       |  -- per candidate row and streams.
        |  SELECT doc_id, list(x ORDER BY x) AS xs, count(*) AS n_sh
-       |  FROM hx GROUP BY doc_id
+       |  FROM hxd GROUP BY doc_id
        |), inter AS (
        |  -- same length bound as the engine: J >= 0.5 needs 2*min >= max
        |  SELECT doc_a, doc_b, la.n_sh AS na, lb.n_sh AS nb,

@@ -35,6 +35,11 @@ object CcDecompose {
     sys.env.get("SPARK_GRAFT_CC_TWOHOP")
       .foreach(v => builder.config(Dedup.TwoHopConf,
         (v == "1" || v.equalsIgnoreCase("true")).toString))
+    // SPARK_GRAFT_CC_CONTRACT=0: A/B the star-contraction pre-pass (on by
+    // default — see Dedup.StarContractConf)
+    sys.env.get("SPARK_GRAFT_CC_CONTRACT")
+      .foreach(v => builder.config(Dedup.StarContractConf,
+        (v == "1" || v.equalsIgnoreCase("true")).toString))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -104,6 +104,37 @@ class DedupClustersSpec extends AnyFunSuite {
     } finally s.conf.set(Dedup.TwoHopConf, "false")
   }
 
+  test("star contraction yields identical labels (q54 hash input) to the direct fixpoint") {
+    val s = TestSession.spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.001"
+    // default is CONTRACTED (StarContractConf on) — compare against the
+    // direct path explicitly
+    val contracted = Dedup.q54DedupClusters(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    s.conf.set(Dedup.StarContractConf, "false")
+    try {
+      val direct = Dedup.q54DedupClusters(s, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(contracted == direct, "contracted labels diverged from direct")
+    } finally s.conf.unset(Dedup.StarContractConf)
+    // adversarial shapes through the CONTRACTED default: a long chain
+    // (worst case for propagation — contraction halves it), a pure star
+    // (residual is EMPTY — the expand's coalesce arm), two disjoint stars
+    // bridged at their rims (residual is one edge)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(chain).collect()
+      .forall(_.getLong(1) == 0L))
+    val star = (1L to 8L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(star).collect()
+      .forall(_.getLong(1) == 0L))
+    val bridged = ((1L to 4L).map(i => (0L, i)) ++
+      (11L to 14L).map(i => (10L, i)) ++ Seq((4L, 14L))).toDF("doc_a", "doc_b")
+    val lbl = Dedup.connectedComponents(bridged).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lbl.values.toSet == Set(0L) && lbl.size == 10)
+  }
+
   test("two disjoint cliques stay two clusters") {
     val s = TestSession.spark
     import s.implicits._
