@@ -89,10 +89,16 @@ for name in sorted(os.listdir(outdir)):
                 if g.dtype.kind == 'f':
                     same = np.allclose(g.values.astype(float), e.values.astype(float), rtol=0, atol=0, equal_nan=True)
                     exact = same
+                elif g.dtype.kind in 'iub' and e.dtype.kind in 'iub':
+                    # integer columns compare natively — astype(str) on a
+                    # 30M-row column materializes tens of GB of python
+                    # strings and MemoryErrors at sf30 (r15)
+                    exact = np.array_equal(g.values, e.values)
                 else:
                     exact = g.astype(str).equals(e.astype(str))
             except Exception as ex:
-                exact = False; msgs.append(f"cmp[{c}]: {ex}")
+                exact = False
+                msgs.append(f"cmp[{c}]: {type(ex).__name__} {ex}")
             if not exact:
                 ok = False
                 msgs.append(f"VALUES differ in {c}: got {gs[c].head(3).tolist()} exp {es[c].head(3).tolist()}")
@@ -102,6 +108,8 @@ for name in sorted(os.listdir(outdir)):
             try:
                 if g.dtype.kind == 'f':
                     o = np.allclose(g.values.astype(float), e.values.astype(float), rtol=0, atol=0, equal_nan=True)
+                elif g.dtype.kind in 'iub' and e.dtype.kind in 'iub':
+                    o = np.array_equal(g.values, e.values)
                 else:
                     o = g.astype(str).equals(e.astype(str))
             except Exception:

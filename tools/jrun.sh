@@ -11,6 +11,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_JAVA_OPTS: extra -D flags (e.g. -Dspark.buffer.pageSize=4m for
+# the attach-sort A/B — SparkConf picks spark.* system properties up)
 exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${GRAFT_JAVA_OPTS:-} \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
