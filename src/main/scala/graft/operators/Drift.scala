@@ -81,10 +81,68 @@ object Drift {
         .groupBy(col("half"), col("tok"))
         .agg(count(lit(1)).as("cnt")))
 
-  def q85Sql: String =
+  def q85Sql: String = driftSql("documents")
+
+  // ------------------------------------------------------------------
+  // q116 — the DRIFT-REPORT SERVE, driver-gated (r15 verdict #6): the
+  // [[graft.streaming.DriftStream]] served report was spec-only
+  // (DriftStreamSpec pins stream ≡ batch), but it GUARDS the retrain
+  // trigger ([[graft.streaming.DriftStream.shouldRetrain]]), so a silent
+  // divergence there has production consequences — put it under the
+  // DuckDB hash gate per round, the q107/q108/q110/q115 doctrine. As a
+  // one-time build it drives the PRODUCTION DriftStream batch path over
+  // a bounded corpus slice (doc_id < [[StreamState.GateDocCap]], the
+  // gated law is corpus-size-invariant) split into five deterministic
+  // micro-batches, then exercises the crash-REPLAY leg in-build: batch 0
+  // re-driven under its own id — here the batch-id guard is LOAD-BEARING
+  // (exact token counts are delivery-counted sums; a double-append
+  // would shift every ppm rate, unlike q115's content-idempotent KMV).
+  // The split itself is the other leg: the oracle computes the report
+  // one-shot, so the hash is green iff count-delta appends, the
+  // sum-merge, and the replay guard compose to the one-shot answer
+  // under this (or ANY) arrival split. Pricing follows the served-index
+  // doctrine: build once per (session, corpus stamp); repeats serve the
+  // persisted state.
+  // ------------------------------------------------------------------
+
+  private val DriftSlices = 5
+  private val driftMemo = new BuildMemo(4, "graft-drift-serve-")
+
+  private[graft] def ensureDriftBuilt(s: SparkSession, d: String): String = {
+    val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
+    driftMemo.get(key, BuildMemo.stampOf(d, "documents.parquet")) { root =>
+      val ds = new graft.streaming.DriftStream(s,
+        new graft.streaming.StateDir(s, s"$root/drift"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < StreamState.GateDocCap)
+      def slice(i: Int) = docs.filter(col("doc_id") % DriftSlices === i)
+      (0 until DriftSlices).foreach(i => ds.processBatch(slice(i), i.toLong))
+      ds.processBatch(slice(0), 0L) // crash replay: the guard MUST skip it
+    }
+  }
+
+  /** The served drift report the stream left behind —
+    * [[graft.streaming.DriftStream.report]] (q85's law through StateDir
+    * count deltas) in the driver's declared shape. */
+  def q116DriftServe(s: SparkSession, d: String): DataFrame = {
+    val root = ensureDriftBuilt(s, d)
+    new graft.streaming.DriftStream(s,
+      new graft.streaming.StateDir(s, s"$root/drift")).report
+  }
+
+  /** Oracle: the one-shot DIRECT q85 report over the bounded corpus —
+    * valid precisely because exact counts are associative sums under any
+    * batch split, and the replay guard keeps them delivery-exact. */
+  def q116Sql: String =
+    driftSql(s"(SELECT * FROM documents WHERE doc_id < ${StreamState.GateDocCap})")
+
+  /** The q85 report law over an arbitrary docs relation — shared by the
+    * full-corpus q85 and the bounded served twin q116. */
+  private def driftSql(docsRel: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id % 2 AS half, unnest(${graft.Tok.sqlText}) AS tok
-       |  FROM documents
+       |  FROM $docsRel
        |), cnt AS (
        |  SELECT half, tok, count(*) AS cnt FROM toks GROUP BY half, tok
        |), tot AS (

@@ -174,7 +174,7 @@ object Sketch {
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .filter(col("doc_id") < StreamState.GateDocCap)
 
-  private def ensureVocabBuilt(s: SparkSession, d: String): String = {
+  private[graft] def ensureVocabBuilt(s: SparkSession, d: String): String = {
     val key = org.apache.spark.sql.graft.shims.sessionUUID(s) + ":" + d
     vocabMemo.get(key, BuildMemo.stampOf(d, "documents.parquet")) { root =>
       val ts = new graft.streaming.TelemetryStream(s,
@@ -183,17 +183,49 @@ object Sketch {
       def slice(i: Int) = docs.filter(col("doc_id") % VocabSlices === i)
       (0 until VocabSlices).foreach(i => ts.processBatch(slice(i), i.toLong))
       ts.processBatch(slice(0), 0L)               // crash replay: skipped
-      ts.processBatch(slice(0), VocabSlices.toLong) // re-delivery: inert
+      // Content RE-DELIVERY (slice 0 arrives again as a NEW batch id)
+      // pins KMV's content-idempotence — but it also re-appends slice 0
+      // to the HLL telemetry table, whose n_docs/n_tokens are
+      // delivery-counted SUMS, so a root that absorbed a re-delivery can
+      // never serve `snapshot` without double-counting the slice (r15
+      // advisor). The probe therefore runs on a state CLONE: the primary
+      // root stays exactly-once-clean (EVERY serve from it is valid,
+      // snapshot included — TelemetrySketchSpec pins its n_docs against
+      // the one-shot corpus), while the declared row serves vocabSnapshot
+      // from the probe root, keeping re-delivery inertness under the
+      // driver's hash.
+      copyStateTree(s"$root/telemetry", s"$root/$RedeliverProbe")
+      new graft.streaming.TelemetryStream(s,
+        new graft.streaming.StateDir(s, s"$root/$RedeliverProbe"))
+        .processBatch(slice(0), VocabSlices.toLong) // re-delivery: inert
     }
+  }
+
+  private[operators] val RedeliverProbe = "telemetry_redeliver"
+
+  /** Recursive copy of a StateDir tree (parquet version dirs + `latest`
+    * pointer) — a state snapshot for the re-delivery probe. Safe here:
+    * both roots live under one memo build, no concurrent writer. */
+  private def copyStateTree(from: String, to: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val src = Paths.get(from)
+    val walk = Files.walk(src)
+    try walk.forEach { p: Path =>
+      val dst = Paths.get(to).resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
   }
 
   /** The served per-language vocabulary estimates the stream left behind
     * — [[graft.streaming.TelemetryStream.vocabSnapshot]] in the driver's
-    * declared shape. */
+    * declared shape, read from the re-delivery probe root (see
+    * [[ensureVocabBuilt]]: KMV columns are content-idempotent under the
+    * re-delivered slice, which is exactly the law the hash pins). */
   def q115VocabServe(s: SparkSession, d: String): DataFrame = {
     val root = ensureVocabBuilt(s, d)
     val ts = new graft.streaming.TelemetryStream(s,
-      new graft.streaming.StateDir(s, s"$root/telemetry"))
+      new graft.streaming.StateDir(s, s"$root/$RedeliverProbe"))
     ts.vocabSnapshot
       .select(col("lang"), col("kth_min"), col("n_mins").cast("long").as("n_mins"),
         col("kmv_est"))

@@ -75,6 +75,41 @@ class TelemetrySpec extends AnyFunSuite {
     }
   }
 
+  test("q115 roots: primary stays exactly-once-clean, re-delivery probe is KMV-inert") {
+    // The r15 advisor's trap: the content re-delivery leg re-appends
+    // slice 0 to the HLL telemetry table, whose n_docs/n_tokens are
+    // delivery-counted SUMS — so the q115 build runs that leg on a state
+    // CLONE. Pin both halves of the contract:
+    //  1. the PRIMARY root's snapshot equals the one-shot corpus sketch
+    //     (every serve from it is valid — no double count anywhere);
+    //  2. the PROBE root's snapshot is visibly over-counted (the reason
+    //     `snapshot` must never be served from it), while its
+    //     vocabSnapshot is IDENTICAL to the primary's (re-delivery is
+    //     inert on the KMV law — the fact q115's hash pins).
+    val d = TestSession.sf
+    val root = Sketch.ensureVocabBuilt(spark, d)
+    def ts(sub: String) = new graft.streaming.TelemetryStream(spark,
+      new graft.streaming.StateDir(spark, s"$root/$sub"))
+    val primary = ts("telemetry")
+    val probe = ts(Sketch.RedeliverProbe)
+
+    val capped = docs.filter(col("doc_id") < StreamState.GateDocCap)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_docs", "n_tokens").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val oneShot = counts(Telemetry.estimates(Telemetry.sourceSketches(capped)))
+    assert(counts(primary.snapshot) == oneShot,
+      "primary root's delivery-counted sums drifted from the one-shot corpus")
+    val probeCounts = counts(probe.snapshot)
+    assert(probeCounts.values.map(_._1).sum > oneShot.values.map(_._1).sum,
+      "probe root should over-count docs (else the clone is pointless)")
+
+    def vocab(t: graft.streaming.TelemetryStream) =
+      t.vocabSnapshot.orderBy(col("lang")).collect().toSeq
+    assert(vocab(probe) == vocab(primary),
+      "re-delivery must be inert on the KMV merge law")
+  }
+
   test("corpus rollup serves totals from sketches alone") {
     val row = Telemetry.corpusRollup(Telemetry.sourceSketches(docs)).head
     val exDocs = exact.values.map(_._1).sum

@@ -35,6 +35,14 @@ if os.environ.get("GRAFT_DUCK_TMP"):
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+# GRAFT_DUCK_EXTRA_VIEWS: "name=/abs/glob.parquet;name2=..." — extra views
+# over already-hash-verified engine dumps, so an oracle twin can be seeded
+# from a verified intermediate instead of re-deriving an hour-class shared
+# chain per query (the r15 verdict's CC-twin recipe; tools/ccseed.py is
+# the only writer of this env var and asserts the seed row's own hash).
+for spec in filter(None, os.environ.get("GRAFT_DUCK_EXTRA_VIEWS", "").split(";")):
+    vname, vpath = spec.split("=", 1)
+    con.sql(f"CREATE VIEW {vname} AS SELECT * FROM '{vpath}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
@@ -89,10 +97,13 @@ for name in sorted(os.listdir(outdir)):
                 if g.dtype.kind == 'f':
                     same = np.allclose(g.values.astype(float), e.values.astype(float), rtol=0, atol=0, equal_nan=True)
                     exact = same
-                elif g.dtype.kind in 'iub' and e.dtype.kind in 'iub':
-                    # integer columns compare natively — astype(str) on a
-                    # 30M-row column materializes tens of GB of python
-                    # strings and MemoryErrors at sf30 (r15)
+                elif g.dtype == e.dtype and g.dtype.kind in 'iub':
+                    # SAME-dtype integer/bool columns compare natively —
+                    # astype(str) on a 30M-row column materializes tens of
+                    # GB of python strings and MemoryErrors at sf30 (r15).
+                    # Mixed kinds (bool-vs-int True==1, int64/uint64
+                    # promoting to float64 above 2^53) fall through to the
+                    # exact string compare (r15 advisor).
                     exact = np.array_equal(g.values, e.values)
                 else:
                     exact = g.astype(str).equals(e.astype(str))
@@ -108,7 +119,7 @@ for name in sorted(os.listdir(outdir)):
             try:
                 if g.dtype.kind == 'f':
                     o = np.allclose(g.values.astype(float), e.values.astype(float), rtol=0, atol=0, equal_nan=True)
-                elif g.dtype.kind in 'iub' and e.dtype.kind in 'iub':
+                elif g.dtype == e.dtype and g.dtype.kind in 'iub':
                     o = np.array_equal(g.values, e.values)
                 else:
                     o = g.astype(str).equals(e.astype(str))

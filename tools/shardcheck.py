@@ -71,6 +71,17 @@ def main():
                              "oracle_rows": None,
                              "err": f"shard{i} crashed (rc={rc})"}
         print(open(os.path.join(work, f"shard{i}.log")).read())
+    # A query that crashed in Verify has NO output dir, lands in no shard,
+    # and would otherwise be silently absent from the merged JSON —
+    # check.py's own tail loop flags exactly this case; mirror it here so
+    # the sharded gate cannot silently pass a regressed query (r15 advisor).
+    for q in sorted(oracle):
+        if q not in merged:
+            print(f"{q:28s} FAIL missing output dir (query crashed in Verify?)")
+            merged[q] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "spark_rows": None,
+                         "oracle_rows": None,
+                         "err": "missing output dir (query crashed in Verify?)"}
     for q, r in sorted(merged.items()):
         if not (r.get("hash_match") or r.get("hash_match") is None):
             fail += 1
