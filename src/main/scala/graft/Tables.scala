@@ -212,7 +212,17 @@ object Tables {
     * SPARK_GRAFT_BAND_SHARDS overrides for measurement. */
   def bandShardsFor(dir: String): Seq[(String, String)] = {
     val v = sys.env.get("SPARK_GRAFT_BAND_SHARDS")
-      .orElse(if (dirBytes(dir) > (4L << 30)) Some("2") else None)
+      .orElse {
+        // The sharding bounds the PACKED attach's pair-proportional sort
+        // scratch (BASELINE §r13). The r16 inline attach has no such
+        // sort — its only pair-grain exchange carries post-threshold
+        // survivors — and the sf30 sweep measured one-pass inline
+        // fastest (pairs_solve 42.6 s at shards=1 vs 47–54 s at 2,
+        // 48.7 s at 4), so the dial engages only for the packed/plain
+        // A/B arms.
+        if (graft.operators.Dedup.defaultSigAttach != "inline" &&
+            dirBytes(dir) > (4L << 30)) Some("2") else None
+      }
     v.map(graft.operators.Dedup.BandShardsConf -> _).toSeq
   }
 

@@ -244,23 +244,49 @@ object Dedup {
   /** Same pair graph over an arbitrary (doc_id, text) frame — the entry
     * composed pipelines use (e.g. gate-then-dedup over a filtered corpus).
     *
-    * DELIBERATELY pair-grain (measured r12): a bucket-grain variant of
-    * this estimate (the q27 rewrite's shape — member signatures collected
-    * per bucket, 12-component match counts in-group) was built and
-    * interleave-measured at sf30: 124 s warm vs 83.6, and q54 — its
-    * heaviest consumer — 308 s vs 242. The boundary is payload-per-pair:
-    * q27 ships ~1.6 KB fingerprint ARRAYS per pair, so deleting the
-    * pair-proportional exchange beat the interpreted in-group dispatch
-    * 6×; here the per-pair payload is 2×12 fixed-width longs (~200 B,
-    * radix-sortable), which Spark's joins move faster than a lambda
-    * evaluator can enumerate pairs. Rejected, recorded in BASELINE §r12. */
-  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    * Attach-form history: r12 REJECTED a bucket-grain variant that
+    * collected member signatures per bucket and counted matches with an
+    * interpreted in-group lambda (124 s warm vs 83.6 at sf30 — the
+    * evaluator lost to Spark's codegen'd joins). The r16 default,
+    * `inline` ([[inlinePairsOf]]), is a different animal: it KEEPS the
+    * codegen'd band self-join and simply lets the packed signatures ride
+    * the band rows, so the estimate computes inside the join output and
+    * the two pair-proportional attach exchanges disappear — sf30 A/B:
+    * pairs_solve 42.6–53.8 s inline vs 131.5–146.8 s packed, identical
+    * output (benchlogs/r16_sf30_pairs_ab.log). The packed/plain joins
+    * remain as [[SigAttachConf]] A/B arms. */
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame =
+    minhashPairsWith(docs, HotBucketCap)
+
+  /** [[minhashPairsOf]] with an explicit hot-bucket cap (spec entry — the
+    * suite pins the three attach modes identical with the hub path
+    * engaged, which needs a cap smaller than any fixture bucket). */
+  private[operators] def minhashPairsWith(docs: DataFrame, cap: Int): DataFrame = {
     // The signature subtree feeds the band pipeline and both pair sides —
     // materialize it once (one narrow row per doc; at real scale this is
     // the persisted signature table an LSH index maintains).
+    val s = docs.sparkSession
     val sig = signature(docs).localCheckpoint(eager = false)
-    val shards = docs.sparkSession.conf.get(BandShardsConf, "1").toInt
-    if (shards <= 1) attachEstimate(candidates(sig), sig)
+    val shards = s.conf.get(BandShardsConf, "1").toInt
+    if (sigAttachMode(s) == "inline") {
+      // INLINE attach (r16, the r15 verdict's pairs_solve lever): the
+      // packed signatures ride the BAND rows (once per (doc, band) — 4×
+      // per doc) instead of being joined back once per candidate pair, so
+      // the two pair-proportional attach exchanges disappear entirely and
+      // the threshold runs inside the band self-join's output. The
+      // distinct moves AFTER the threshold (est is a function of the
+      // pair, identical across duplicate band hits — same algebra the
+      // sharded mode already relies on), so the dedup exchange carries
+      // post-threshold survivors, not raw slots. Bit-identical output to
+      // the packed/plain forms (spec-pinned incl. the hub path).
+      val bkp = bandKeysPacked(sig)
+      (0 until shards.max(1)).map { k =>
+        val part = if (shards <= 1) bkp else bkp.filter(col("band") % shards === k)
+        val p = inlinePairsOf(part, cap)
+        if (shards <= 1) p else p.localCheckpoint(eager = true)
+      }.reduce(_ unionByName _).dropDuplicates("doc_a", "doc_b")
+    }
+    else if (shards <= 1) attachEstimate(guardedBandPairs(bandKeys(sig), cap), sig)
     else {
       // Band-sharded two-pass mode (see [[BandShardsConf]]): each shard
       // runs the full candidate + attach + threshold chain over its band
@@ -271,7 +297,7 @@ object Dedup {
       // the POST-threshold survivors — pair-count-scale, not slot-scale.
       (0 until shards).map { k =>
         attachEstimate(
-          guardedBandPairs(bandKeys(sig).filter(col("band") % shards === k)),
+          guardedBandPairs(bandKeys(sig).filter(col("band") % shards === k), cap),
           sig)
           .localCheckpoint(eager = true)
       }.reduce(_ unionByName _).dropDuplicates("doc_a", "doc_b")
@@ -290,12 +316,13 @@ object Dedup {
     * equal; x & 0xFFFFFFFF == 0 ⇔ lo equal — all codegen'd integer ops).
     * An ENGINE-side representation change only: est_jaccard values are
     * bit-identical, the oracle still compares m_j columns directly.
-    * Measurement dial (SPARK_GRAFT_SIG_ATTACH=packed|plain): both forms
-    * are bit-identical in output; the A/B exists because single-box
-    * timings on this shared machine swing 2× with ambient load and the
-    * two forms differ only in attach bytes vs per-pair expression cost. */
+    * Measurement dial ([[SigAttachConf]] / SPARK_GRAFT_SIG_ATTACH =
+    * packed|plain|inline): all forms are bit-identical in output; the A/B
+    * exists because single-box timings on this shared machine swing 2×
+    * with ambient load and the forms differ only in attach bytes vs
+    * per-pair expression cost. */
   private def attachEstimate(pairs: DataFrame, sig: DataFrame): DataFrame =
-    if (sys.env.getOrElse("SPARK_GRAFT_SIG_ATTACH", "packed") == "packed") {
+    if (sigAttachMode(pairs.sparkSession) != "plain") {
       val packed = sig.select(col("doc_id") +: (0 until R / 2).map(i =>
         (shiftleft(col(s"m${2 * i}"), 32) + col(s"m${2 * i + 1}")).as(s"p$i")): _*)
       val matches = (0 until R / 2).map { i =>
@@ -320,6 +347,87 @@ object Dedup {
         .filter(col("est_jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
     }
+
+  /** Session conf selecting the signature-attach form for the minhash
+    * pair graph: `packed` (r12 default — candidate pairs join the packed
+    * signature table twice), `plain` (unpacked m-column joins, the r12
+    * A/B arm), or `inline` (r16 — signatures ride the band rows, no
+    * attach join at all; see [[inlinePairsOf]]). Env
+    * SPARK_GRAFT_SIG_ATTACH is the tool-level fallback; the conf exists
+    * so specs and A/B harnesses can switch per-session. All forms are
+    * bit-identical in output (spec-pinned). */
+  val SigAttachConf = "spark.graft.pairs.sigAttach"
+
+  /** Process-level attach mode (env override, default `inline` since the
+    * r16 sf30 A/B: pairs_solve 42.6–53.8 s inline vs 131.5–146.8 s packed
+    * interleaved on one box, identical pair graph and clusters every
+    * run — and the packed arm's 1-in-6 cold attach-sort OOM class does
+    * not exist inline, which has no pair-proportional sort at all).
+    * [[graft.Tables.bandShardsFor]] reads this too: the band-shard dial
+    * existed to bound the packed attach's sort scratch. */
+  private[graft] def defaultSigAttach: String =
+    sys.env.getOrElse("SPARK_GRAFT_SIG_ATTACH", "inline")
+
+  private def sigAttachMode(s: SparkSession): String =
+    s.conf.get(SigAttachConf, defaultSigAttach)
+
+  /** Band keys carrying the PACKED signature (p0..p5, hi<<32|lo — the
+    * r12 packing) on every (doc, band) row, for the inline attach. */
+  private def bandKeysPacked(sig: DataFrame): DataFrame = {
+    val rows = R / Bands
+    val bandStructs = (0 until Bands).map { b =>
+      val key = concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val packed = (0 until R / 2).map(i =>
+      (shiftleft(col(s"m${2 * i}"), 32) + col(s"m${2 * i + 1}")).as(s"p$i"))
+    sig.select(col("doc_id") +: packed :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(Seq(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key")) ++ (0 until R / 2).map(i => col(s"p$i")): _*)
+  }
+
+  /** Guarded pair generation with the Jaccard estimate computed INSIDE
+    * the band self-join (r16, the r15 verdict's pairs_solve lever): the
+    * packed signature travels once per (doc, band) row — 4 × 48 B per doc
+    * on the band exchange — instead of twice per candidate pair through
+    * the attach joins, which were the dominant pair-proportional shuffle
+    * (BASELINE §r12 measured ~200 B/slot through attach+sort). The
+    * hot-bucket hub's signature rides the (tiny, broadcast) hot-bucket
+    * aggregate via min_by — hub = min(doc_id), so min_by picks exactly
+    * the hub's signature. Threshold BEFORE distinct: est is a function of
+    * the pair, identical across duplicate band hits, so filtering first
+    * shrinks the dedup exchange to survivors (the sharded mode's existing
+    * algebra). Returns (doc_a, doc_b, est_jaccard), pre-dedup. */
+  private def inlinePairsOf(bandTable: DataFrame, cap: Int): DataFrame = {
+    val bk = bandTable.localCheckpoint(eager = false)
+    preflightPairGuard(bk, cap) // no-op unless MaxPairsConf is set
+    val hot = bk.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"),
+        min_by(struct((0 until R / 2).map(i => col(s"p$i")): _*),
+          col("doc_id")).as("hubsig"))
+      .filter(col("bsize") > cap)
+    val tagged = bk.join(broadcast(hot), Seq("band", "key"), "left")
+    val small = tagged.filter(col("hub").isNull)
+    def est(a: Int => Column, b: Int => Column): Column =
+      (0 until R / 2).map { i =>
+        val x = a(i).bitwiseXOR(b(i))
+        when(shiftright(x, 32) === 0, 1).otherwise(0) +
+          when(x.bitwiseAND(lit(0xFFFFFFFFL)) === 0, 1).otherwise(0)
+      }.reduce(_ + _) / lit(12.0)
+    val smallPairs = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        est(i => col(s"a.p$i"), i => col(s"b.p$i")).as("est_jaccard"))
+    val hubPairs = tagged
+      .filter(col("hub").isNotNull && col("doc_id") =!= col("hub"))
+      .observe("graft_lsh_capped",
+        count(lit(1)).as("capped_rows"),
+        coalesce(max(col("bsize")), lit(0L)).as("max_bucket"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"),
+        est(i => col(s"hubsig.p$i"), i => col(s"p$i")).as("est_jaccard"))
+    smallPairs.unionByName(hubPairs).filter(col("est_jaccard") >= 0.5)
+  }
 
   /** MinHash near-dup: shingle → 12-perm signature → 4×3 banded buckets →
     * candidate pairs only within buckets → estimated Jaccard = matching

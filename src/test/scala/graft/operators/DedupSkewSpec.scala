@@ -43,6 +43,36 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(capped == uncapped && capped.nonEmpty)
   }
 
+  test("attach modes (packed/plain/inline) are bit-identical, hub path included") {
+    // The r16 inline attach (signatures ride the band rows, no attach
+    // join) must produce the exact pair graph of the r12 packed default
+    // and the plain m-column form — including through the hot-bucket hub
+    // branch, where inline reads the hub's signature off the broadcast
+    // aggregate instead of a join.
+    def run(mode: String, docs: org.apache.spark.sql.DataFrame, cap: Int) = {
+      spark.conf.set(Dedup.SigAttachConf, mode)
+      try Dedup.minhashPairsWith(docs, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset(Dedup.SigAttachConf)
+    }
+    val fixture = graft.Tables.documents(spark, TestSession.sf)
+    val base = run("packed", fixture, Dedup.HotBucketCap)
+    assert(base.nonEmpty)
+    assert(run("plain", fixture, Dedup.HotBucketCap) == base)
+    assert(run("inline", fixture, Dedup.HotBucketCap) == base)
+    // a clone cluster under cap=2 forces every mode through the hub branch
+    val clones = (0 until 50).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val hubBase = run("packed", clones, 2)
+    assert(hubBase.nonEmpty)
+    assert(run("plain", clones, 2) == hubBase)
+    assert(run("inline", clones, 2) == hubBase)
+    // band-sharded inline composes to the same graph
+    spark.conf.set(Dedup.BandShardsConf, "2")
+    try assert(run("inline", fixture, Dedup.HotBucketCap) == base)
+    finally spark.conf.unset(Dedup.BandShardsConf)
+  }
+
   test("q27 reports its collected-bucket heap bound, matching a replay") {
     import org.apache.spark.sql.functions._
     // the r12-verdict demand: the cap²-bounded group heap must be
