@@ -175,6 +175,25 @@ object Dials {
     * separate healthy from stale in the spec's constructed-drift test). */
   val EvalProbeStride = 100L
 
+  /** Pair-count ceiling for the CC solvers' driver-local fast path
+    * ([[graft.operators.Dedup.connectedComponents]]): at or below it the
+    * component solve collects the (already-materialized) edge list and
+    * runs a sequential union-find instead of the distributed fixpoint —
+    * identical labels (component min; spec-pinned), none of the
+    * per-round exchange/scheduling constants that are the measured
+    * fixture-scale floor (BASELINE §r13: rounds × ~0.4 s of AQE stage
+    * scheduling on a 0.33 s DuckDB twin). The same size-adaptivity
+    * doctrine as a broadcast join: below the threshold the data is
+    * driver-sized and the distributed machinery is pure overhead; above
+    * it the pointer-jump fixpoint runs exactly as before (sf30's 30M-pair
+    * graph stays distributed). 2^20 pairs ≈ 32 MB collected — well under
+    * any sane driver heap, far above every fixture (sf0.1: 43k pairs).
+    * At 100 TB the dial matters only for the RESIDUAL contracted graph a
+    * future round might route here; the conf
+    * (`spark.graft.cc.localMaxPairs`, 0 = always distributed) keeps it
+    * A/B-able per session. */
+  val LocalCcMaxPairs: Long = 1L << 20
+
   /** Row floor for [[graft.Tables.rescueNarrowScan]] — the corpus-reader
     * repartition that rescues CPU-dense kernels from few-row-group
     * layouts (a parquet row group is the scan atom; a single-row-group

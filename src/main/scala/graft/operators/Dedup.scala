@@ -401,12 +401,26 @@ object Dedup {
   private def inlinePairsOf(bandTable: DataFrame, cap: Int): DataFrame = {
     val bk = bandTable.localCheckpoint(eager = false)
     preflightPairGuard(bk, cap) // no-op unless MaxPairsConf is set
+    // Hub aggregate: count + min only — hash-aggregable primitives, so the
+    // plan keeps HashAggregate. The previous min_by(struct(p0..p5)) buffer
+    // forced SortAggregate, i.e. a full sort of the 4N-row band table on
+    // (band, key) before the partial aggregate (guide §2.3: the sort was
+    // pure overhead — the hub's signature is recoverable by one keyed join
+    // against the hot rows, which are at most |buckets > cap| and usually
+    // zero). min_by picked the MIN doc_id's row; the equi-join on
+    // doc_id = hub selects exactly that row (doc_id is unique per bucket),
+    // so hubsig is bit-identical.
     val hot = bk.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"),
-        min_by(struct((0 until R / 2).map(i => col(s"p$i")): _*),
-          col("doc_id")).as("hubsig"))
+      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"))
       .filter(col("bsize") > cap)
-    val tagged = bk.join(broadcast(hot), Seq("band", "key"), "left")
+    val bkSig = bk.select(col("band").as("hb"), col("key").as("hk"),
+      col("doc_id").as("hd"),
+      struct((0 until R / 2).map(i => col(s"p$i")): _*).as("hubsig"))
+    val hotSig = broadcast(hot).join(bkSig,
+        col("band") === col("hb") && col("key") === col("hk") &&
+          col("hub") === col("hd"))
+      .select(col("band"), col("key"), col("bsize"), col("hub"), col("hubsig"))
+    val tagged = bk.join(broadcast(hotSig), Seq("band", "key"), "left")
     val small = tagged.filter(col("hub").isNull)
     def est(a: Int => Column, b: Int => Column): Column =
       (0 until R / 2).map { i =>
@@ -664,6 +678,17 @@ object Dedup {
     // initial round probe below is the one job that materializes pairs,
     // edges, and l₀ together.
     val p = pin(pairs)
+    // Driver-local fast path (r16 optimization round): at or below the
+    // localMaxPairs ceiling the whole edge list is driver-sized and every
+    // distributed round is pure exchange/scheduling overhead — the
+    // measured fixture-scale floor (BASELINE §r13). One count over the
+    // pinned pairs decides; the count's materialization job is the same
+    // work the first fixpoint probe would have paid. Labels are identical
+    // (component min — DedupClustersSpec pins local ≡ distributed);
+    // 0 disables (ChaosCc and the distributed-path spec legs set 0).
+    val localMax = s.conf.get(LocalCcMaxConf,
+      graft.Dials.LocalCcMaxPairs.toString).toLong
+    if (localMax > 0L && p.count() <= localMax) return localCc(p)
     val edges = p
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -828,6 +853,60 @@ object Dedup {
     * measured at sf30 via `tools.CcDecompose` (BASELINE §r14). Output is
     * identical either way. */
   val TwoHopConf = "spark.graft.cc.twoHop"
+
+  /** Session conf: pair-count ceiling for [[connectedComponents]]'s
+    * driver-local union-find fast path (default
+    * [[graft.Dials.LocalCcMaxPairs]]; 0 = always distributed). Labels are
+    * identical to the distributed fixpoint — component min, ties
+    * impossible (ids are unique) — pinned by DedupClustersSpec's
+    * local-vs-distributed leg. */
+  val LocalCcMaxConf = "spark.graft.cc.localMaxPairs"
+
+  /** Sequential union-find over a driver-collected pair list — the small-
+    * graph arm of [[connectedComponents]]. Union by smaller MEMBER id (the
+    * root of every set is its minimum id, so the final label needs no
+    * second pass) + path halving on find. Bounded by [[LocalCcMaxConf]]
+    * pairs ≈ 32 MB collected at the default ceiling. */
+  private def localCc(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val rows = pairs.select(col("doc_a"), col("doc_b")).collect()
+    val index = new java.util.HashMap[java.lang.Long, Integer](rows.length * 4)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
+    val parent = new scala.collection.mutable.ArrayBuffer[Int](rows.length)
+    def intern(v: Long): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue()
+      else { val i = ids.length; index.put(v, i); ids += v; parent += i; i }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = find(intern(r.getLong(0)))
+      val b = find(intern(r.getLong(1)))
+      if (a != b) {
+        // attach the LARGER-id root under the smaller: the invariant
+        // "root id == component min" holds inductively, so lbl = root id
+        if (ids(a) < ids(b)) parent(b) = a else parent(a) = b
+      }
+    }
+    val n = ids.length
+    val out = new Array[org.apache.spark.sql.Row](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.sql.Row(ids(i), ids(find(i)))
+      i += 1
+    }
+    System.err.println(s"graft.cc rounds=local pairs=${rows.length} vertices=$n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lbl",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
 
   /** Session conf: star-contraction pre-pass before the CC fixpoint —
     * contract every vertex to m(v) = min(self, neighbors) and solve the

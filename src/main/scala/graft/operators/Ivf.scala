@@ -133,7 +133,20 @@ object Ivf {
     val trained = (0 until rounds).foldLeft(seed) { (c, _) =>
       centroidsOf(assignTo(emb, c))
     }
-    (emb, trained)
+    // Stage the trained centroid table for the declared (cold-seed,
+    // default-dial) shape: K rows, but its lineage is the whole Lloyd
+    // chain, and the serving plans reference it several times (probe
+    // ranking, probe residuals, candidate cells). Un-staged, every
+    // reference re-expands — and re-EXECUTES — the full training subtree
+    // (q92's physical plan carried 160 parquet scans / 280 sort
+    // aggregates from exactly this duplication), and each of the six
+    // inline ANN queries re-trained the same quantizer per reference.
+    // One persisted K-row table truncates all of it; warm/measurement
+    // shapes (seed0/k/rounds overrides) pass through unstaged since
+    // their results differ per seed.
+    if (seed0.isEmpty && rounds == Iters && k == K)
+      (emb, StagedCache.stage(d, "ivf_trained", trained))
+    else (emb, trained)
   }
 
   /** Validate a previous generation's (localized) centroid snapshot as a

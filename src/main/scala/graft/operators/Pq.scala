@@ -192,7 +192,11 @@ object Pq {
     val sub = StagedCache.stage(d, "q92_rsub",
       residualSubVectors(tagged, trained))
       // staged: scanned per Lloyd round + encode
-    val cb = trainCodebooks(sub)
+    // Stage the trained codebook (M·Ks = 256 rows): `codes` and the serve
+    // LUT both reference it, and un-staged each reference re-expands (and
+    // re-executes) the two subspace-Lloyd rounds over `sub` — the same
+    // duplication the staged coarse centroids close in [[Ivf.train]].
+    val cb = StagedCache.stage(d, "q92_cb", trainCodebooks(sub))
     val codes = assignSub(sub, cb).select(col("vec_id"), col("m"), col("code"))
     serve(tagged, trained, cb, codes, Ivf.ProbeFrom, Ivf.NProbes)
   }

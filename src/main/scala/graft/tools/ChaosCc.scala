@@ -56,6 +56,9 @@ object ChaosCc {
     val builder = Tables.configureMaster(SparkSession.builder(), "8")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      // the whole point is killing executors mid-FIXPOINT: force the
+      // distributed solver even on a fixture-sized pair graph
+      .config(graft.operators.Dedup.LocalCcMaxConf, "0")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     Tables.corpusConfigs(sfDir, "8").foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()

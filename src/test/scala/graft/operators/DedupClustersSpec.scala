@@ -27,6 +27,39 @@ class DedupClustersSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Run `body` with the driver-local CC fast path disabled, so the leg
+    * exercises the DISTRIBUTED fixpoint regardless of fixture size. */
+  private def forceDistributed[A](body: => A): A = {
+    val s = graft.TestSession.spark
+    s.conf.set(Dedup.LocalCcMaxConf, "0")
+    try body finally s.conf.unset(Dedup.LocalCcMaxConf)
+  }
+
+  test("local union-find fast path == distributed fixpoint (q54 hash input)") {
+    val s = TestSession.spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.001"
+    // fixture pair graphs are far below the default localMaxPairs ceiling,
+    // so the default q54 path IS the local solve; pin it against the
+    // forced-distributed fixpoint
+    val local = Dedup.q54DedupClusters(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val distributed = forceDistributed {
+      Dedup.q54DedupClusters(s, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(local == distributed, "local union-find diverged from the fixpoint")
+    // adversarial shapes through the LOCAL path (the distributed twins of
+    // these shapes run in the star-contraction leg below)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(chain).collect().forall(_.getLong(1) == 0L))
+    val bridged = ((1L to 4L).map(i => (0L, i)) ++
+      (11L to 14L).map(i => (10L, i)) ++ Seq((4L, 14L))).toDF("doc_a", "doc_b")
+    val lbl = Dedup.connectedComponents(bridged).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lbl.values.toSet == Set(0L) && lbl.size == 10)
+  }
+
   test("q54 clusters == sequential union-find over the q20 pair graph") {
     val s = TestSession.spark
     val d = "/root/testdata/sf0.001"
@@ -49,9 +82,10 @@ class DedupClustersSpec extends AnyFunSuite {
     val s = TestSession.spark
     import s.implicits._
     // path 0-1-2-...-63: worst case for one-hop propagation; pointer
-    // jumping must still converge inside the round cap
+    // jumping must still converge inside the round cap (forced
+    // distributed — the local fast path would trivialize the leg)
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(chain).collect()
+    val labels = forceDistributed(Dedup.connectedComponents(chain).collect())
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length == 64)
     assert(labels.forall(_._2 == 0L), s"all labels must be 0, got ${labels.filter(_._2 != 0L).take(5).toSeq}")
@@ -67,6 +101,7 @@ class DedupClustersSpec extends AnyFunSuite {
     val hadDir = s.sparkContext.getCheckpointDir
     s.sparkContext.setCheckpointDir(ckpt)
     s.conf.set(Dedup.ReliableCcConf, "true")
+    s.conf.set(Dedup.LocalCcMaxConf, "0") // reliable mode pins ROUND files
     try {
       // the solver rounds now persist into the checkpoint dir: an executor
       // lost mid-fixpoint recomputes from the last round's reliable files
@@ -82,6 +117,7 @@ class DedupClustersSpec extends AnyFunSuite {
       assert(Dedup.connectedComponents(chain).count() == 2L)
     } finally {
       s.conf.set(Dedup.ReliableCcConf, "false")
+      s.conf.unset(Dedup.LocalCcMaxConf)
       hadDir.foreach(s.sparkContext.setCheckpointDir)
     }
   }
@@ -93,7 +129,7 @@ class DedupClustersSpec extends AnyFunSuite {
     val default = Dedup.q54DedupClusters(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     s.conf.set(Dedup.TwoHopConf, "true")
-    try {
+    try forceDistributed {
       val twoHop = Dedup.q54DedupClusters(s, d).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(twoHop == default, "two-hop labels diverged from single-hop")
@@ -113,26 +149,28 @@ class DedupClustersSpec extends AnyFunSuite {
     val contracted = Dedup.q54DedupClusters(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     s.conf.set(Dedup.StarContractConf, "false")
-    try {
+    try forceDistributed {
       val direct = Dedup.q54DedupClusters(s, d).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(contracted == direct, "contracted labels diverged from direct")
     } finally s.conf.unset(Dedup.StarContractConf)
-    // adversarial shapes through the CONTRACTED default: a long chain
-    // (worst case for propagation — contraction halves it), a pure star
-    // (residual is EMPTY — the expand's coalesce arm), two disjoint stars
-    // bridged at their rims (residual is one edge)
-    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    assert(Dedup.connectedComponents(chain).collect()
-      .forall(_.getLong(1) == 0L))
-    val star = (1L to 8L).map(i => (0L, i)).toDF("doc_a", "doc_b")
-    assert(Dedup.connectedComponents(star).collect()
-      .forall(_.getLong(1) == 0L))
-    val bridged = ((1L to 4L).map(i => (0L, i)) ++
-      (11L to 14L).map(i => (10L, i)) ++ Seq((4L, 14L))).toDF("doc_a", "doc_b")
-    val lbl = Dedup.connectedComponents(bridged).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(lbl.values.toSet == Set(0L) && lbl.size == 10)
+    // adversarial shapes through the CONTRACTED DISTRIBUTED default: a
+    // long chain (worst case for propagation — contraction halves it), a
+    // pure star (residual is EMPTY — the expand's coalesce arm), two
+    // disjoint stars bridged at their rims (residual is one edge)
+    forceDistributed {
+      val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      assert(Dedup.connectedComponents(chain).collect()
+        .forall(_.getLong(1) == 0L))
+      val star = (1L to 8L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+      assert(Dedup.connectedComponents(star).collect()
+        .forall(_.getLong(1) == 0L))
+      val bridged = ((1L to 4L).map(i => (0L, i)) ++
+        (11L to 14L).map(i => (10L, i)) ++ Seq((4L, 14L))).toDF("doc_a", "doc_b")
+      val lbl = Dedup.connectedComponents(bridged).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(lbl.values.toSet == Set(0L) && lbl.size == 10)
+    }
   }
 
   test("two disjoint cliques stay two clusters") {
