@@ -596,13 +596,48 @@ object Dedup {
     val bandStructs = (0 until SimhashBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(255).cast("string").as("key")))
-    val bands = fp.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    guardedBandPairs(bands)
-      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), Seq("doc_a"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), Seq("doc_b"))
-      .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
+    // INLINE attach (the q20 inline-pairs doctrine, r16): the 8-byte
+    // fingerprint rides each band row, the Hamming distance computes
+    // inside the band self-join, and the threshold runs BEFORE the
+    // pair dedup — the two pair-proportional fingerprint attach joins
+    // disappear and the dedup exchange carries post-threshold survivors.
+    // hamming is a function of the pair (identical across duplicate band
+    // hits), so filter-then-dropDuplicates equals the old
+    // distinct-then-attach-then-filter bit-for-bit.
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("simhash"))
+    val bk = bands.localCheckpoint(eager = false)
+    preflightPairGuard(bk, HotBucketCap)
+    val hot = bk.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("hub"))
+      .filter(col("bsize") > HotBucketCap)
+    // the hub's fingerprint via one keyed join against the (usually
+    // empty) hot rows — the q20 hub-sig idiom, no sort-forcing min_by
+    val hubSim = broadcast(hot).join(
+        bk.select(col("band").as("hb"), col("key").as("hk"),
+          col("doc_id").as("hd"), col("simhash").as("hubsim")),
+        col("band") === col("hb") && col("key") === col("hk") &&
+          col("hub") === col("hd"))
+      .select(col("band"), col("key"), col("bsize"), col("hub"), col("hubsim"))
+    val tagged = bk.join(broadcast(hubSim), Seq("band", "key"), "left")
+    val small = tagged.filter(col("hub").isNull)
+    val smallPairs = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+    val hubPairs = tagged
+      .filter(col("hub").isNotNull && col("doc_id") =!= col("hub"))
+      .observe("graft_lsh_capped_simhash",
+        count(lit(1)).as("capped_rows"),
+        coalesce(max(col("bsize")), lit(0L)).as("max_bucket"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"),
+        expr("CAST(bit_count(hubsim ^ simhash) AS INT)").as("hamming"))
+    smallPairs.unionByName(hubPairs)
       .filter(col("hamming") <= SimhashHammingMax)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -45,7 +45,10 @@ object GraphRank {
     val knn = Similarity.knnEdges(s, d)
       .select(col("vec_id").as("src"), col("neighbor").as("dst"))
       .localCheckpoint(eager = false)
+    // pinned: referenced once per round — un-pinned, each round re-ran the
+    // full-edge-list aggregate (lazy localCheckpoint, the knn idiom above)
     val outdeg = knn.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(eager = false)
     var rank = verts.withColumn("rank_micro", lit(UnitMicro))
     for (_ <- 1 to Rounds) {
       val inflow = knn

@@ -73,7 +73,12 @@ object Propagate {
         .agg(min((lit(Big) - col("cnt")) * Radix + col("label")).as("enc"))
         .select(col("vec_id"), (col("enc") % Radix).cast("int").as("label"),
           lit(r).as("round"))
-      labels = labels.unionByName(assigned)
+      // pin each round's newly-assigned frontier: round r+1 references the
+      // running label table TWICE (vote join + anti join), so un-pinned the
+      // round-r subtree re-executed once per reference (plan size — and
+      // work — doubling per round); the pin computes each frontier once
+      // (lazy localCheckpoint, blocks reclaimed by the ContextCleaner)
+      labels = labels.unionByName(assigned.localCheckpoint(eager = false))
     }
     labels.orderBy(col("vec_id"))
   }

@@ -233,13 +233,23 @@ object Similarity {
     * by q46 and the incremental stream so both paths are bit-identical. */
   private[graft] val CosineThreshold: Double = NdThreshold
 
+  /** Sign-banded candidate pairs over the corpus embeddings, staged once
+    * per (session, corpus): q46's threshold verify and [[knnEdges]]'s
+    * top-k verify consume the IDENTICAL banded candidate set, and each
+    * used to re-run the planes → sign-bits → band groupBy → bucket
+    * self-join chain privately. */
+  private def stagedSignPairs(s: SparkSession, d: String): DataFrame =
+    StagedCache.stage(d, "sign_pairs",
+      Dedup.guardedBandPairs(signBands(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding")))))
+
   def q46CosineNeardup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Vectors
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Vectors.dot(col("embedding"), col("embedding")).as("n2"))
-    val bands = signBands(emb.select(col("vec_id").as("doc_id"), col("embedding")))
-    val pairs = Dedup.guardedBandPairs(bands)
+    val pairs = stagedSignPairs(s, d)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     pairs
       .join(emb.select(col("vec_id"), col("embedding").as("ea"), col("n2").as("na")),
@@ -331,13 +341,22 @@ object Similarity {
 
   /** The ranked k-NN edge list q74 serves, un-ordered — the shared graph
     * primitive (q80 label propagation consumes it directly). */
-  private[operators] def knnEdges(s: SparkSession, d: String): DataFrame = {
+  /** Staged once per (session, corpus) — q74 orders it, q80 propagates
+    * over it, q82 power-iterates over it, and each used to re-derive the
+    * whole bands → candidate-pairs → cosine → top-k chain privately (the
+    * same per-reference re-inlining the oracle's MATERIALIZED hint fixes
+    * on the DuckDB side, see [[knnSqlCtes]]). One corpus-scale build
+    * between the three graph consumers — the q70/q89/stagedTf sharing
+    * doctrine. */
+  private[operators] def knnEdges(s: SparkSession, d: String): DataFrame =
+    StagedCache.stage(d, "knn_edges", knnEdgesPlan(s, d))
+
+  private def knnEdgesPlan(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Vectors
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Vectors.dot(col("embedding"), col("embedding")).as("n2"))
-    val bands = signBands(emb.select(col("vec_id").as("doc_id"), col("embedding")))
-    val pairs = Dedup.guardedBandPairs(bands)
+    val pairs = stagedSignPairs(s, d) // shared with q46 — one banded build
     val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("nb"))
       .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("nb")))
     val w = Window.partitionBy(col("v"))
