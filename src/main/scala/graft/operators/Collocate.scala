@@ -39,10 +39,17 @@ object Collocate {
     val toks = Tables.documents(s, d)
       .select(graft.Tok.toksText.as("toks"))
       .filter(size(col("toks")) >= 2)
-    val uniRows = Tables.documents(s, d)
+    // unigram counts pinned once (lazy localCheckpoint, vocab-sized): they
+    // feed BOTH frequency joins and the total below — un-pinned, each
+    // reference re-ran the corpus tokenize+explode+aggregate (guide §1.2:
+    // don't compute things twice). n_total = Σ c is the same count the old
+    // third corpus pass aggregated (every token instance counts exactly
+    // once in its term's c), folded over |vocab| rows instead.
+    val uni = Tables.documents(s, d)
       .select(explode(graft.Tok.toksText).as("term"))
-    val uni = uniRows.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val total = uniRows.agg(count(lit(1)).as("n_total"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val total = uni.agg(sum(col("c")).as("n_total"))
     // Bigram enumeration rides the native 2-shingler ("w1 w2" strings,
     // codegen — the struct-building transform HOF it replaced was
     // interpreted); the split-back is exact because tokens from

@@ -34,15 +34,26 @@ object Funnel {
     * occurrence within a day, or the journey does not convert. */
   private[operators] val StepWindowMs = 86400000L
 
-  /** One row per funnel step: step number, name, users reaching it. */
+  /** One row per funnel step: step number, name, users reaching it.
+    *
+    * Each step table is pinned (lazy localCheckpoint): the step chain
+    * references v twice (c's join + step 1's count) and c twice (p's join
+    * + step 2's count), so un-pinned each union branch re-ran the events
+    * scan chain of every step below it — six scans for three steps (guide
+    * §1.2). Pinned, the scan count is one per step: v/c/p are ≤ |users|
+    * rows, the cheapest possible pins, and ev itself is pinned so the
+    * three type-filters read one narrow (user, type, ms) materialization
+    * instead of three corpus scans. */
   def q77Funnel(s: SparkSession, d: String): DataFrame = {
-    val ev = ms(s, d)
+    val ev = ms(s, d).localCheckpoint(eager = false)
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ms")).as("tv"))
+      .localCheckpoint(eager = false)
     val c = ev.filter(col("event_type") === "click")
       .join(v, Seq("user_id"))
       .filter(col("ms") > col("tv") && col("ms") <= col("tv") + StepWindowMs)
       .groupBy(col("user_id")).agg(min(col("ms")).as("tc"))
+      .localCheckpoint(eager = false)
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id"))
       .filter(col("ms") > col("tc") && col("ms") <= col("tc") + StepWindowMs)
@@ -83,9 +94,15 @@ object Funnel {
   /** One row per week-offset since each user's own first event: active
     * users and integer retention percent of the full user base. */
   def q78Retention(s: SparkSession, d: String): DataFrame = {
+    // day feeds first AND the join; first feeds total AND the join — both
+    // pinned (lazy localCheckpoint, the q77 rationale): one events scan
+    // per execution instead of three, with day a two-long-column row and
+    // first ≤ |users| rows.
     val day = Tables.events(s, d).select(col("user_id"),
       expr("unix_millis(ts) DIV 86400000").as("day"))
+      .localCheckpoint(eager = false)
     val first = day.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      .localCheckpoint(eager = false)
     val total = first.agg(count(lit(1)).as("n_total"))
     day.join(first, Seq("user_id"))
       .select(col("user_id"), expr("(day - d0) DIV 7").as("week"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -31,20 +31,23 @@ object Mixing {
 
   // ---------------------------------------------------------------- q63
 
-  /** Per-(lang, source) token counts from the corpus, the apportionment's
-    * input relation — staged (localCheckpoint) because it feeds the one-row
-    * total AND the apportionment, so the total is an agg over |groups|
-    * rows, not a second corpus scan. Extra aggregate columns (`extra`) ride
-    * along for callers that compose the allocation with per-group stats
-    * (q114 needs `n_docs`). */
-  private[operators] def tokenGroups(
-      s: SparkSession, d: String, extra: Column*): DataFrame =
-    Tables.documents(s, d)
-      .select(col("lang"), col("source"),
-        size(graft.Tok.toksText).as("n"))
-      .groupBy(col("lang"), col("source"))
-      .agg(sum(col("n")).as("n_tokens"), extra: _*)
-      .localCheckpoint(false)
+  /** Per-(lang, source) token + doc counts from the corpus, the
+    * apportionment's input relation — staged in the session-owned
+    * [[StagedCache]] (the bm25_tf / decon_shingles pattern): it feeds the
+    * one-row total AND the apportionment WITHIN each query, and the q63 /
+    * q114 pair derive from the identical corpus aggregate, so one
+    * tokenize pass per session+corpus serves both (previously each query
+    * re-ran it behind a per-invocation localCheckpoint). `n_docs` is part
+    * of the canonical build so both callers share one analyzed plan —
+    * q63 simply never reads it; the staged table is |lang × source| rows
+    * (dozens), the cheapest possible thing to keep hot. */
+  private[operators] def tokenGroups(s: SparkSession, d: String): DataFrame =
+    StagedCache.stage(d, "mix_token_groups",
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(graft.Tok.toksText).as("n"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_docs")))
 
   /** Hamilton's largest-remainder apportionment of `budget = c_total DIV
     * divisor` over a (lang, source, n_tokens, ...) relation: every group

@@ -64,9 +64,16 @@ object Packing {
   /** Per-(lang, shard) packing manifest: how many docs landed in each
     * token-budget shard, their token total, and the doc-id span. */
   def q58SequencePacking(s: SparkSession, d: String): DataFrame = {
+    // pinned (lazy localCheckpoint): [[prefixSum]] references its input
+    // TWICE — the bucket-totals aggregate and the final offsets join — so
+    // un-pinned the corpus scan + tokenize ran twice per execution (guide
+    // §1.2). The pinned table is three fixed-width columns per doc; at
+    // warehouse scale this is the persisted per-doc stats table a packing
+    // job reads instead of re-tokenizing.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(graft.Tok.toksText).cast("long").as("n_tokens"))
+      .localCheckpoint(eager = false)
     prefixSum(docs)
       .withColumn("shard", expr(s"CAST((cum - n_tokens) DIV $Budget AS INT)"))
       .groupBy(col("lang"), col("shard"))

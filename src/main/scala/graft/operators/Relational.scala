@@ -242,7 +242,11 @@ object Relational {
 
   /** §2.7 set operations: INTERSECT / EXCEPT / UNION (distinct semantics). */
   def q12SetOps(s: SparkSession, d: String): DataFrame = {
+    // pinned (lazy localCheckpoint): the intersect and the except both
+    // consume the customer projection — un-pinned, the scan ran twice
+    // (guide §1.2); the pin is a single int column per row.
     val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .localCheckpoint(eager = false)
     val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
     val allNations = Tables.nation(s, d).select(col("n_nationkey").as("nationkey"))
     custNations.intersect(suppNations)

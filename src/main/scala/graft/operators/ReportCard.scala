@@ -39,11 +39,20 @@ object ReportCard {
           col("stop_hits").cast("double") / col("nt") >= Curation.MinStopRatio, 1L)
           .otherwise(0L))
       .select(col("source"), col("nt"), col("pass"))
-    val hist = m.groupBy(col("source"), col("nt")).agg(count(lit(1)).as("c"))
+    // ONE corpus aggregation serves both consumers: the histogram and the
+    // per-source totals both derive from the (source, nt, pass) count
+    // table — previously each ran its own corpus scan + tokenize +
+    // stopword count (guide §1.2: don't compute things twice). The pinned
+    // base is |sources × distinct lengths × 2| rows, corpus-independent;
+    // n = Σc and np = Σ pass·c are exactly the old count(*) / sum(pass).
+    val base = m.groupBy(col("source"), col("nt"), col("pass"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val hist = base.groupBy(col("source"), col("nt")).agg(sum(col("c")).as("c"))
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("nt"))))
-    val tot = m.groupBy(col("source"))
-      .agg(count(lit(1)).as("n"), sum(col("pass")).as("np"))
+    val tot = base.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("pass") * col("c")).as("np"))
     cum.join(tot, Seq("source"))
       .groupBy(col("source"), col("n"), col("np"))
       .agg(

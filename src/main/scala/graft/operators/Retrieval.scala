@@ -272,10 +272,14 @@ object Retrieval {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** The fused q97 list, staged: q105 evaluates the SAME declared hybrid
+    * run, so the brute vector leg (a full embeddings scan per execution)
+    * and the fusion are priced once per session+corpus — the q95_ranked
+    * pattern one level up. NQueries·TopK = 50 rows. */
   def q97HybridRrf(s: SparkSession, d: String): DataFrame =
-    fuseRrf(
+    StagedCache.stage(d, "q97_fused", fuseRrf(
       q95Bm25TopK(s, d).select(col("qid"), col("doc_id"), col("rn").as("lrn")),
-      vectorLeg(s, d))
+      vectorLeg(s, d)))
 
   // ---------------------------------------------------------------- q98
 
@@ -533,10 +537,9 @@ object Retrieval {
     // cannot drift from the declared query, and pays it once.
     val lexRun = q95Bm25TopK(s, d)
       .select(lit("lex").as("run"), col("qid"), col("doc_id"), col("rn"))
-    val hybRun = fuseRrf(
-        q95Bm25TopK(s, d)
-          .select(col("qid"), col("doc_id"), col("rn").as("lrn")),
-        vectorLeg(s, d))
+    // the declared q97 run verbatim (staged there): the eval consumes the
+    // exact fused list, and pays the vector leg zero times here
+    val hybRun = q97HybridRrf(s, d)
       .select(lit("hybrid").as("run"), col("qid"), col("doc_id"), col("rn"))
     val disc = (2 to 5).foldLeft(when(col("rn") === 1, lit(Disc.head))) {
       (acc, r) => acc.when(col("rn") === r, lit(Disc(r - 1)))

@@ -163,9 +163,15 @@ object Sampling {
     * order IS the hash order), which is exactly what the DuckDB oracle
     * runs. */
   def q60QuotaSample(s: SparkSession, d: String): DataFrame = {
+    // pinned (lazy localCheckpoint): the bucket histogram and the rank
+    // join below each consume this projection — un-pinned, the corpus
+    // scan + md5 hash ran once per consumer (guide §1.2). Narrow
+    // fixed-width rows (ids + two longs + lang).
     val docs = Tables.documents(s, d)
       .withColumn("hv", Dedup.hex12(concat(lit("bal_"), col("doc_id").cast("string"))))
       .withColumn("hb", shiftright(col("hv"), BucketShift.toInt))
+      .select(col("doc_id"), col("lang"), col("hv"), col("hb"))
+      .localCheckpoint(eager = false)
     val hist = docs.groupBy(col("lang"), col("hb"))
       .agg(count(lit(1)).as("cnt"))
     val wB = Window.partitionBy(col("lang")).orderBy(col("hb"))
@@ -316,7 +322,7 @@ object Sampling {
   private[operators] def q114Draw(
       s: SparkSession, d: String, kminCap: Int): DataFrame = {
     val perLang = Mixing.apportion(
-        Mixing.tokenGroups(s, d, count(lit(1)).as("n_docs")), BudgetDiv)
+        Mixing.tokenGroups(s, d), BudgetDiv)
       .groupBy(col("lang"))
       .agg(sum(col("alloc")).as("alloc_tokens"),
         sum(col("n_tokens")).as("tok_lang"),
@@ -334,8 +340,15 @@ object Sampling {
       .withColumn("hv",
         Dedup.hex12(concat(lit("wgt_"), col("doc_id").cast("string"))))
       .withColumn("pri", expr("hv DIV w"))
-    // bounded driver probe: one long over |langs| rows (apportionment is
-    // localCheckpoint-staged, so the corpus agg is not re-run by the plan)
+      // pinned (lazy localCheckpoint): the k-min threshold aggregate and
+      // the draw join below each consume this projection — un-pinned, the
+      // corpus scan + md5 priority hash ran once per consumer (guide
+      // §1.2). Narrow fixed-width rows (ids + three longs + lang).
+      .select(col("doc_id"), col("lang"), col("w"), col("hv"), col("pri"))
+      .localCheckpoint(eager = false)
+    // bounded driver probe: one long over |langs| rows (the apportionment
+    // input is the staged mix_token_groups build, so the corpus agg is not
+    // re-run by the plan)
     val kmax = {
       val r = perLang.agg(max(col("k_lang"))).first()
       if (r.isNullAt(0)) 1L else r.getLong(0)

@@ -17,8 +17,13 @@ object SetsExt {
     * multisets (duplicates preserved — counts matter). Spark's
     * unionAll/intersectAll/exceptAll map 1:1 onto the SQL ALL variants. */
   def q43MultisetOps(s: SparkSession, d: String): DataFrame = {
+    // pinned (lazy localCheckpoint): intersectAll and exceptAll each
+    // consume both projections — un-pinned, each table scanned twice
+    // (guide §1.2); the pins are a single int column per row.
     val cust = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .localCheckpoint(eager = false)
     val supp = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      .localCheckpoint(eager = false)
     cust.intersectAll(supp)
       .unionAll(cust.exceptAll(supp))
       .groupBy(col("nationkey"))

@@ -131,15 +131,22 @@ object Similarity {
     import graft.functions.Vectors
     val planes = s.createDataFrame(planeWeights(Planes))
       .toDF("plane_id", "w")
+    // emb feeds the bucket aggregate AND the tagged join; tagged feeds the
+    // probe side AND the candidate side — both pinned (lazy
+    // localCheckpoint, guide §1.2): un-pinned, the scan + 16-plane dot
+    // chain executed four times per run. At warehouse scale `tagged` is
+    // the persisted LSH index table this inline row stands in for.
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Vectors.dot(col("embedding"), col("embedding")).as("n2"))
+      .localCheckpoint(eager = false)
     val buckets = emb.crossJoin(broadcast(planes))
       .withColumn("bit",
         when(Vectors.dot(col("w"), col("embedding")) > 0,
           expr("shiftleft(1, plane_id)")).otherwise(0))
       .groupBy(col("vec_id")).agg(sum(col("bit")).cast("int").as("bucket"))
     val tagged = emb.join(buckets, Seq("vec_id"))
+      .localCheckpoint(eager = false)
     val masks = s.createDataFrame(probeMasks.map(Tuple1(_))).toDF("mask")
     val probes = tagged.filter(col("vec_id") < NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
@@ -233,23 +240,28 @@ object Similarity {
     * by q46 and the incremental stream so both paths are bit-identical. */
   private[graft] val CosineThreshold: Double = NdThreshold
 
-  /** Sign-banded candidate pairs over the corpus embeddings, staged once
-    * per (session, corpus): q46's threshold verify and [[knnEdges]]'s
-    * top-k verify consume the IDENTICAL banded candidate set, and each
-    * used to re-run the planes → sign-bits → band groupBy → bucket
-    * self-join chain privately. */
-  private def stagedSignPairs(s: SparkSession, d: String): DataFrame =
-    StagedCache.stage(d, "sign_pairs",
-      Dedup.guardedBandPairs(signBands(
-        Tables.embeddings(s, d)
-          .select(col("vec_id").as("doc_id"), col("embedding")))))
+  // Sharing note (r16 optimization round): an interrupted-build commit
+  // briefly staged the sign-banded pair chain (and the knn edge list
+  // below) in StagedCache so q46/q74/q80/q82 would price one build.
+  // REJECTED by measurement — three interleaved TimeQ JVMs at sf0.1, with
+  // the untouched q53 as ambient control, put the staged arm 0.5–0.9 s
+  // SLOWER per graph query (q74 2.95 vs 2.12/2.33 warm, q82 2.86 vs
+  // 1.97/2.37, q80 3.17 vs 2.67/2.58) while the control favored the
+  // staged arm's JVM (benchlogs/r16_timeq_graph_{A1,B1,C1}.log): serving
+  // the pair table from the columnar cache hands every consumer the
+  // producer's partitioning and an InMemoryTableScan where the rebuilt
+  // chain runs fused codegen — the same effect the r10 sf10 A/B measured
+  // when q54's pair graph was cached (Dedup.minhashPairs scaladoc). The
+  // per-query derivation stays; within-query reuse rides the
+  // localCheckpoint in guardedBandPairs.
 
   def q46CosineNeardup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Vectors
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Vectors.dot(col("embedding"), col("embedding")).as("n2"))
-    val pairs = stagedSignPairs(s, d)
+    val bands = signBands(emb.select(col("vec_id").as("doc_id"), col("embedding")))
+    val pairs = Dedup.guardedBandPairs(bands)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     pairs
       .join(emb.select(col("vec_id"), col("embedding").as("ea"), col("n2").as("na")),
@@ -341,22 +353,13 @@ object Similarity {
 
   /** The ranked k-NN edge list q74 serves, un-ordered — the shared graph
     * primitive (q80 label propagation consumes it directly). */
-  /** Staged once per (session, corpus) — q74 orders it, q80 propagates
-    * over it, q82 power-iterates over it, and each used to re-derive the
-    * whole bands → candidate-pairs → cosine → top-k chain privately (the
-    * same per-reference re-inlining the oracle's MATERIALIZED hint fixes
-    * on the DuckDB side, see [[knnSqlCtes]]). One corpus-scale build
-    * between the three graph consumers — the q70/q89/stagedTf sharing
-    * doctrine. */
-  private[operators] def knnEdges(s: SparkSession, d: String): DataFrame =
-    StagedCache.stage(d, "knn_edges", knnEdgesPlan(s, d))
-
-  private def knnEdgesPlan(s: SparkSession, d: String): DataFrame = {
+  private[operators] def knnEdges(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Vectors
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Vectors.dot(col("embedding"), col("embedding")).as("n2"))
-    val pairs = stagedSignPairs(s, d) // shared with q46 — one banded build
+    val bands = signBands(emb.select(col("vec_id").as("doc_id"), col("embedding")))
+    val pairs = Dedup.guardedBandPairs(bands)
     val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("nb"))
       .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("nb")))
     val w = Window.partitionBy(col("v"))

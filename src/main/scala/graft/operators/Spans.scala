@@ -36,6 +36,16 @@ import graft.Tables
   */
 object Spans {
 
+  /** The (doc_id, i, tok) position table of pair-member docs — the
+    * semi filter runs BEFORE the posexplode, so the ~len× position
+    * amplification is paid only on the paired subset (spec-pinned
+    * shape; q89 pins the result for its two match-join consumers). */
+  private[operators] def pairedPositions(s: SparkSession, d: String,
+      pairIds: DataFrame): DataFrame =
+    Tables.documents(s, d)
+      .join(pairIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(graft.Tok.toksText).as(Seq("i", "tok")))
+
   /** (doc_a, doc_b, n_shared, longest_run) for every q70 pair. */
   def q89DupSpans(s: SparkSession, d: String): DataFrame = {
     // staged via Winnow's session-owned pair cache: one plan feeds both
@@ -52,9 +62,14 @@ object Spans {
     val pairIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-    val toks = Tables.documents(s, d)
-      .join(pairIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), posexplode(graft.Tok.toksText).as(Seq("i", "tok")))
+    // pinned (lazy localCheckpoint): the a/b match joins below each
+    // consume this position table — un-pinned, the corpus scan + semi
+    // filter + posexplode ran once per side (guide §1.2). Rows are
+    // paired-set-proportional (the semi filter ran first), so the pin is
+    // small by construction. SpansSpec asserts the semi-before-explode
+    // shape on [[pairedPositions]] directly (the pin truncates the
+    // visible plan at a LogicalRDD).
+    val toks = pairedPositions(s, d, pairIds).localCheckpoint(eager = false)
     val matches = pairs
       .join(toks.as("a"), col("doc_a") === col("a.doc_id"))
       .join(toks.as("b"),

@@ -63,10 +63,15 @@ class SpansSpec extends AnyFunSuite {
   test("q89 plans the pair semi-join UPSTREAM of the position explode") {
     // the ~len× posexplode amplification must be paid only on docs that
     // appear in a q70 pair (<1% of the corpus), never corpus-wide: the
-    // optimized plan must show a LeftSemi join feeding every Generate.
+    // position subplan must show a LeftSemi join feeding every Generate.
+    // Asserted on [[Spans.pairedPositions]] — the exact subtree q89 pins
+    // (the r16 lazy localCheckpoint truncates q89's own visible plan at a
+    // LogicalRDD, so the shape is checked where it is still a plan).
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
-    val plan = Spans.q89DupSpans(spark, TestSession.sf)
+    val pairIds = Winnow.q70WinnowPairs(spark, TestSession.sf)
+      .select(col("doc_a").as("doc_id"))
+    val plan = Spans.pairedPositions(spark, TestSession.sf, pairIds)
       .queryExecution.optimizedPlan
     val gens = plan.collect { case g: Generate => g }
     assert(gens.nonEmpty, "expected posexplode Generate nodes in q89")
@@ -75,6 +80,13 @@ class SpansSpec extends AnyFunSuite {
       assert(semis.nonEmpty,
         "position explode runs corpus-wide — pair semi-join missing below Generate")
     }
+    // and the declared q89 actually consumes a pinned (LogicalRDD) form
+    // of that subtree rather than re-deriving it per match-join side
+    val q89 = Spans.q89DupSpans(spark, TestSession.sf)
+      .queryExecution.optimizedPlan
+    assert(q89.collectLeaves().exists(
+      _.nodeName.toLowerCase.contains("logicalrdd")),
+      "q89 no longer pins the position table — expected a LogicalRDD leaf")
   }
 
   test("q89 == driver-side LCS over tokens on the fixture corpus") {
