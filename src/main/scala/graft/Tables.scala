@@ -56,6 +56,14 @@ object Tables {
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
+    // AQE rewrites a sort-merge join to a shuffled-hash join when every
+    // post-shuffle partition of the build side is at or below this bound
+    // (guide §3.1) — the bound is per-partition, so the hash map a task
+    // builds is ≤64 MB by construction at ANY corpus size (the OOM risk
+    // that makes blanket preferSortMergeJoin=false dangerous does not
+    // apply; partitions above the bound keep the spilling sort-merge).
+    // Default 0 = off. A/B-measured this round: see OPTIMIZATION_r16.md.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "64m",
     // Spill readers need no read-ahead double-buffer: the r9 sf10 q27
     // wall OOM'd the 8 GB heap in exactly those threads (a spill MERGE
     // opens every spill file at once — 32 tasks × hundreds of files ×
